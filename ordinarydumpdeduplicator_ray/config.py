@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+The reference engine has no tunables at all (sequential scan, one fixed
+SHA-1 grouping — ``OrdinaryDumpDeduplicator/OrdinaryDumpDeduplicator.cs:107-156``).
+The new engine exposes the signature / LSH / shuffle parameters the north
+rule requires, with defaults chosen so that dup-pair recall at
+Jaccard >= ``jaccard_threshold`` is >= 0.99 (LSH s-curve: with
+``num_perm=128`` split into 32 bands x 4 rows, P[candidate | s=0.8]
+= 1-(1-0.8^4)^32 ~ 1 - 5e-8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- tokenization / shingling -------------------------------------
+    shingle_size: int = 5          # words per shingle
+    lowercase: bool = True         # tokenizer folds case before hashing
+
+    # --- MinHash -------------------------------------------------------
+    num_perm: int = 128            # K hash permutations
+    lsh_bands: int = 32            # b bands
+    lsh_rows: int = 4              # r rows per band (b*r == num_perm)
+    seed: int = 42                 # seeds the permutation matrix
+
+    # --- SimHash ---------------------------------------------------------
+    simhash_bits: int = 64
+    simhash_blocks: int = 4        # split into 4x16-bit blocks -> catches
+    simhash_max_hamming: int = 3   # all pairs with hamming distance <= 3
+
+    # --- verification / clustering --------------------------------------
+    jaccard_threshold: float = 0.8     # duplicate definition (oracle + verify)
+    verify_margin: float = 0.1         # verify with est-jaccard >= thr - margin
+    # pairs with estimated jaccard inside [thr - margin, thr + margin] are
+    # re-verified exactly on shingle sets (joined texts); outside it the
+    # 128-perm estimate is > 4 sigma from the threshold either way.
+
+    # --- substring spans (suffix array) ----------------------------------
+    span_min_words: int = 30           # minimal common run length, in words
+    span_sample_mod: int = 8           # sample shingles with hash % mod == 0
+                                       # as span-candidate keys (P[catch a
+                                       # 50-word run] ~ 1-(7/8)^46 > 0.997)
+
+    # --- skew / shuffle handling ----------------------------------------
+    max_group_pairs: int = 64      # within a candidate bucket of n <= this,
+                                   # emit all C(n,2) pairs; above it, emit
+                                   # star-to-canonical + sorted-chain pairs
+                                   # (O(n), keeps connectivity for true
+                                   # clusters, bounds hot-key blowup)
+    salt_buckets: int = 16         # hot band keys are salted into this many
+                                   # sub-buckets before the groupby
+
+    # --- execution -------------------------------------------------------
+    batch_size: int = 1024         # rows per signature batch (texts are KBs)
+    sig_concurrency: int | tuple = 8  # actor-pool size for signature stage
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.simhash_bits % self.simhash_blocks != 0:
+            raise ValueError("simhash_bits must divide evenly into blocks")
+
+    def config_hash(self) -> str:
+        """Stable fingerprint of every semantic parameter — stamped into
+        checkpoint lineage manifests so a resume never mixes configs."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

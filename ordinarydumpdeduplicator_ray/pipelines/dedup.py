@@ -1,0 +1,158 @@
+"""The flagship pipeline: pages -> signatures -> candidates -> edges ->
+components -> groups -> actions (+ rollup report).
+
+Facade mirrors the reference's public API verbs
+(``OrdinaryDumpDeduplicator.cs:37-72``): AddDataLocation ->
+``register_input``, DoInspection -> ``run_scan``, GetDuplicatesFound ->
+``find_duplicates``, MoveDuplicatesToSpecialFolder -> ``plan_isolation``
+(+ ``apply_actions``), DeleteDuplicates -> ``plan_deletion``.
+
+Execution shape (SURVEY.md §3.2): every per-row stage is a
+``map_batches`` over Arrow batches; the wide steps are groupby / join
+shuffles keyed on content hash, LSH band bucket, SimHash block bucket and
+component id; union-find is the one driver-side reducer (see
+``state.unionfind``). With a ``checkpoint_dir`` each stage persists to
+Parquet with a lineage manifest and a rerun resumes after the last
+complete stage.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ordinarydumpdeduplicator_ray.config import DedupConfig
+from ordinarydumpdeduplicator_ray.sources.pages import read_pages
+from ordinarydumpdeduplicator_ray.stages.actions import apply_actions, plan_deletion, plan_isolation
+from ordinarydumpdeduplicator_ray.stages.candidates import (
+    candidate_pairs,
+    explode_minhash_bands,
+    explode_simhash_blocks,
+)
+from ordinarydumpdeduplicator_ray.stages.groups import (
+    component_groups,
+    exact_groups,
+    exact_star_edges,
+)
+from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
+from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+from ordinarydumpdeduplicator_ray.stages.verify import verify_minhash_pairs, verify_simhash_pairs
+from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
+from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges
+
+
+class DedupPipeline:
+    """Orchestrates the full near-duplicate detection run."""
+
+    def __init__(
+        self,
+        config: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+        num_partitions: int = 16,
+    ) -> None:
+        self.config = config or DedupConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.num_partitions = num_partitions
+        self._input: str | ray.data.Dataset | None = None
+        self._fingerprint: str | None = None
+        self.results: dict[str, ray.data.Dataset] = {}
+
+    # --- reference verb: AddDataLocation --------------------------------
+    def register_input(self, pages: str | ray.data.Dataset) -> "DedupPipeline":
+        self._input = pages
+        self._fingerprint = ckpt.input_fingerprint(pages)
+        return self
+
+    def _pages(self) -> ray.data.Dataset:
+        if self._input is None:
+            raise ValueError("call register_input() first")
+        if isinstance(self._input, str):
+            return read_pages(self._input)
+        return self._input
+
+    def _stage(self, name: str, build) -> ray.data.Dataset:
+        """Checkpoint-or-materialize boundary: with a checkpoint_dir the
+        stage persists to Parquet + manifest (and is skipped on resume);
+        without one, the result is pinned in the object store so branches
+        don't recompute lineage."""
+        if self.checkpoint_dir:
+            ch = self.config.config_hash()
+            if ckpt.stage_is_complete(self.checkpoint_dir, name, ch, self._fingerprint):
+                ds = ckpt.read_stage(self.checkpoint_dir, name)
+            else:
+                ds = ckpt.write_stage(
+                    build(), self.checkpoint_dir, name, ch, self._fingerprint
+                )
+        else:
+            ds = build().materialize()
+        self.results[name] = ds
+        return ds
+
+    # --- reference verb: DoInspection ------------------------------------
+    def run_scan(self) -> ray.data.Dataset:
+        """pages -> signatures (extract + sha256 + minhash + simhash)."""
+        return self._stage(
+            "signatures", lambda: compute_signatures(self._pages(), self.config)
+        )
+
+    # --- reference verb: GetDuplicatesFound -------------------------------
+    def find_duplicates(self) -> dict[str, ray.data.Dataset]:
+        cfg, np_ = self.config, self.num_partitions
+        sigs = self.results.get("signatures") or self.run_scan()
+
+        groups_exact = self._stage("groups_exact", lambda: exact_groups(sigs))
+
+        def build_edges() -> ray.data.Dataset:
+            e_exact = exact_star_edges(sigs, self.results.get("groups_exact"), np_)
+            bands = explode_minhash_bands(sigs, cfg).materialize()
+            pairs_mh = candidate_pairs(bands, cfg, np_)
+            e_mh = verify_minhash_pairs(pairs_mh, sigs, cfg, np_)
+            blocks = explode_simhash_blocks(sigs, cfg).materialize()
+            pairs_sh = candidate_pairs(blocks, cfg, np_)
+            e_sh = verify_simhash_pairs(pairs_sh, sigs, cfg, np_)
+            return e_exact.union(e_mh).union(e_sh)
+
+        edges = self._stage("edges", build_edges)
+
+        def build_components() -> ray.data.Dataset:
+            return ray.data.from_arrow(components_from_edges(edges))
+
+        components = self._stage("components", build_components)
+        groups_near = self._stage(
+            "groups_near", lambda: component_groups(components, sigs, np_)
+        )
+        return {
+            "signatures": sigs,
+            "groups_exact": groups_exact,
+            "edges": edges,
+            "components": components,
+            "groups_near": groups_near,
+        }
+
+    # --- reference verb: MoveDuplicatesToSpecialFolder --------------------
+    def plan_isolation(self) -> ray.data.Dataset:
+        components = self.results.get("components")
+        if components is None:
+            self.find_duplicates()
+            components = self.results["components"]
+        return self._stage("actions", lambda: plan_isolation(components))
+
+    # --- reference verb: DeleteDuplicates ---------------------------------
+    def plan_deletion(self, delete_urls: ray.data.Dataset) -> ray.data.Dataset:
+        actions = self.results.get("actions") or self.plan_isolation()
+        return plan_deletion(actions, delete_urls, self.num_partitions)
+
+    def apply_actions(self) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+        actions = self.results.get("actions") or self.plan_isolation()
+        return apply_actions(self._pages(), actions, self.num_partitions)
+
+    def report_rollup(self) -> ray.data.Dataset:
+        actions = self.results.get("actions") or self.plan_isolation()
+        return host_dup_rollup(actions, self.results["signatures"], self.num_partitions)
+
+    # --- one-call convenience ---------------------------------------------
+    def run(self, pages: str | ray.data.Dataset) -> dict[str, ray.data.Dataset]:
+        self.register_input(pages)
+        self.run_scan()
+        out = self.find_duplicates()
+        out["actions"] = self.plan_isolation()
+        return out

@@ -1,0 +1,175 @@
+"""Duplicate-group construction — the reference's core query.
+
+Exact grouping reproduces ``DataControllerSimple.GetDuplicates``
+(``DataControllerSimple.cs:247-304``): group by content identity, keep
+groups with more than one copy (``:288-301``), excluding broken rows
+(``:263-275``); per-group aggregates follow ``SameContentFilesInfo``
+(``SameContentFilesInfo.cs:34-68``): all_data_size = size * copies,
+dup_data_size = size * (copies - 1). Canonical copy = min url
+(deterministic; replaces the reference's filesystem-location oracle,
+``DuplicatesProcessor.cs:275-295``).
+
+Everything is vectorized builtin aggregates (Count/Min/Sum) — no
+per-group Python in the main path; the optional ``urls`` list (GUI-style
+full member listing) is a separate pass over dup groups only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
+from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+
+def _sizes(t: pa.Table, copies: str = "n_copies", size: str = "n_bytes") -> pa.Table:
+    all_sz = pc.multiply(t[size], t[copies])
+    dup_sz = pc.multiply(t[size], pc.subtract(t[copies], pa.scalar(1, pa.int64())))
+    t = t.append_column("all_data_size", pc.cast(all_sz, pa.int64()))
+    return t.append_column("dup_data_size", pc.cast(dup_sz, pa.int64()))
+
+
+def exact_groups(signatures: ray.data.Dataset) -> ray.data.Dataset:
+    """signatures -> exact duplicate groups (n_copies > 1), keyed by the
+    hex text_sha256. Empty rows form their own group (EmptyBlobInfo
+    semantics); broken rows are excluded before grouping."""
+    valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
+    agg = valid.groupby("text_sha256").aggregate(
+        Count(alias_name="n_copies"),
+        Min("url", alias_name="canonical_url"),
+        Min("n_bytes", alias_name="n_bytes"),  # identical content => identical size
+    )
+    dups = agg.filter(expr="n_copies > 1")
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = pa.array([b.hex() for b in t["text_sha256"].to_pylist()], type=pa.string())
+        out = pa.table(
+            {
+                "group_key": keys,
+                "n_copies": t["n_copies"],
+                "n_bytes": t["n_bytes"],
+                "canonical_url": t["canonical_url"],
+            }
+        )
+        return _sizes(out)
+
+    return dups.map_batches(finish, batch_format="pyarrow")
+
+
+def exact_star_edges(
+    signatures: ray.data.Dataset,
+    groups: ray.data.Dataset | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Edges connecting every member of an exact group to its canonical
+    copy — O(n) per group (star), feeding union-find alongside the
+    near-dup edges. jaccard = 1.0 by definition."""
+    # re-derive the (text_sha256 -> canonical) map if not supplied
+    if groups is None:
+        valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
+        agg = valid.groupby("text_sha256").aggregate(
+            Count(alias_name="n_copies"), Min("url", alias_name="canonical_url")
+        )
+        canon = agg.filter(expr="n_copies > 1").drop_columns(["n_copies"])
+    else:
+        # groups carries hex keys; rebuild binary keys for the join
+        def unhex(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "text_sha256": pa.array(
+                        [bytes.fromhex(k) for k in t["group_key"].to_pylist()],
+                        type=pa.binary(),
+                    ),
+                    "canonical_url": t["canonical_url"],
+                }
+            )
+
+        canon = groups.map_batches(unhex, batch_format="pyarrow")
+
+    members = signatures.filter(expr=f"status != '{STATUS_BROKEN}'").map_batches(
+        lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
+    )
+    joined = inner_join(
+        members, canon, on=("text_sha256",), num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("url", pa.string()), ("text_sha256", pa.binary()),
+             ("canonical_url", pa.string())]
+        ),
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["url"], t["canonical_url"])
+        t = t.filter(mask)
+        n = len(t)
+        return pa.table(
+            {
+                "url_a": t["canonical_url"],  # canonical = min url => url_a < url_b
+                "url_b": t["url"],
+                "source": pa.array(["exact"] * n, type=pa.string()),
+                "jaccard": pa.array([1.0] * n, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(to_edges, batch_format="pyarrow")
+
+
+def component_groups(
+    components: ray.data.Dataset,
+    signatures: ray.data.Dataset,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """components (url, component_id) -> near-dup group aggregates.
+
+    Near-dup members differ slightly in size, so (deviating from the
+    exact-group arithmetic): n_bytes = max member size (representative),
+    all_data_size = sum of member sizes, dup_data_size = sum - max
+    (bytes reclaimable keeping the largest copy)."""
+    sizes = signatures.map_batches(
+        lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
+    )
+    joined = inner_join(
+        components, sizes, on=("url",), num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("url", pa.string()), ("component_id", pa.string()),
+             ("n_bytes", pa.int64())]
+        ),
+    )
+    agg = joined.groupby("component_id").aggregate(
+        Count(alias_name="n_copies"),
+        Min("url", alias_name="canonical_url"),
+        Max("n_bytes", alias_name="n_bytes"),
+        Sum("n_bytes", alias_name="all_data_size"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup_sz = pc.subtract(t["all_data_size"], t["n_bytes"])
+        return pa.table(
+            {
+                "group_key": t["component_id"],
+                "n_copies": t["n_copies"],
+                "n_bytes": t["n_bytes"],
+                "canonical_url": t["canonical_url"],
+                "all_data_size": pc.cast(t["all_data_size"], pa.int64()),
+                "dup_data_size": pc.cast(dup_sz, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def collect_group_urls(
+    members: ray.data.Dataset, key: str, batch_format: str = "pandas"
+) -> ray.data.Dataset:
+    """Optional GUI-style member listing: (key, url) rows -> one row per
+    group with sorted ``urls`` list. Run only on already-filtered dup
+    groups (small) — per-group Python is acceptable there."""
+
+    def to_list(g: pd.DataFrame) -> pd.DataFrame:
+        urls = sorted(g["url"].tolist())
+        return pd.DataFrame({key: [g[key].iloc[0]], "urls": [urls], "n_copies": [len(urls)]})
+
+    return members.groupby(key).map_groups(to_list, batch_format=batch_format)

@@ -1,0 +1,87 @@
+"""Join utilities.
+
+``Dataset.join`` (hash-shuffle, Acero per partition) crashes when either
+side arrives with zero schema-bearing blocks ("No match or multiple
+matches for key field"), which legitimately happens here: a corpus with
+no hot buckets, no exact dups, or no candidate pairs produces empty
+intermediate tables. ``inner_join``/``left_outer_join`` materialize the
+inputs (the join is a full shuffle barrier anyway, so this changes
+buffering, not asymptotics), short-circuit the empty cases, and return a
+schema-correct empty Dataset instead.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def _empty(schema: pa.Schema) -> ray.data.Dataset:
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def _base_schema(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema()
+    if s is None:
+        return pa.schema([])
+    return s.base_schema
+
+
+def _joined_schema(left: ray.data.Dataset, right: ray.data.Dataset,
+                   on: tuple, right_on: tuple | None) -> pa.Schema:
+    ls = _base_schema(left)
+    rs = _base_schema(right)
+    rkeys = set(right_on or on)
+    fields = list(ls)
+    for f in rs:
+        if f.name not in rkeys and f.name not in ls.names:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def inner_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple,
+    right_on: tuple | None = None,
+    num_partitions: int = 16,
+    empty_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """``empty_schema``: the joined schema to use for the short-circuit
+    empty result — pass it whenever an empty side is a legitimate outcome
+    (a filtered-to-empty Dataset loses its schema entirely, so it cannot
+    be composed from the inputs)."""
+    left = left.materialize()
+    right = right.materialize()
+    if left.count() == 0 or right.count() == 0:
+        return _empty(empty_schema or _joined_schema(left, right, on, right_on))
+    return left.join(right, "inner", num_partitions=num_partitions,
+                     on=on, right_on=right_on)
+
+
+def left_outer_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple,
+    right_on: tuple | None = None,
+    num_partitions: int = 16,
+    empty_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    left = left.materialize()
+    right = right.materialize()
+    if left.count() == 0:
+        return _empty(empty_schema or _joined_schema(left, right, on, right_on))
+    if right.count() == 0:
+        # left rows with nulls for every right payload column
+        schema = empty_schema or _joined_schema(left, right, on, right_on)
+        lnames = set(_base_schema(left).names)
+
+        def pad(t: pa.Table) -> pa.Table:
+            for f in schema:
+                if f.name not in lnames:
+                    t = t.append_column(f.name, pa.nulls(len(t), type=f.type))
+            return t
+
+        return left.map_batches(pad, batch_format="pyarrow")
+    return left.join(right, "left_outer", num_partitions=num_partitions,
+                     on=on, right_on=right_on)

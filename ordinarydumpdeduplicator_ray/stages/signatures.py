@@ -1,0 +1,173 @@
+"""Scan stage: extract/validate + content hashing + similarity signatures.
+
+Reference lifecycle step this reproduces: ``DoInspectionInternal``'s
+attribute pass + hash pass (``OrdinaryDumpDeduplicator.cs:78-105,107-156``)
+— per-file stat + SHA-1 with per-row error tolerance (bad row -> status,
+never an exception; ``OrdinaryDumpDeduplicator.cs:114-127``) — extended
+with the north rule's MinHash + SimHash sketches.
+
+Two stages:
+
+- ``extract_batch``     — stateless task: html->text extraction (fixed
+                          deterministic rule), status derivation, raw +
+                          text SHA-256, byte/size columns.
+- ``SignatureActor``    — actor pool: holds the seeded permutation matrix
+                          and the token-hash cache (state built once per
+                          actor, SURVEY.md §2.3); emits minhash/simhash.
+
+Content identity: ``text_sha256`` (sha256 of extracted-text utf-8) is the
+exact-dup group key — the BlobInfo (size, digest) analogue
+(``Common/BlobInfo.cs:143-164``). Sentinel semantics: empty text hashes to
+the well-known empty-input digest and groups only with other empties
+(EmptyBlobInfo, ``Common/BlobInfo.cs:44-51``); broken rows (no text, no
+html) carry null digests and are excluded from all grouping
+(BrokenBlobInfo, ``Common/BlobInfo.cs:52-55``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ordinarydumpdeduplicator_ray.config import DedupConfig
+from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher, shingle_hashes
+from ordinarydumpdeduplicator_ray.functions.minhash import make_permutations, minhash_flat
+from ordinarydumpdeduplicator_ray.functions.simhash import simhash_flat
+from ordinarydumpdeduplicator_ray.functions.text import extract_text, tokenize
+from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN, STATUS_EMPTY, STATUS_OK
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html, text) -> (url, text, status, content_sha256,
+    text_sha256, n_bytes).
+
+    Per-row, never raises: rows with neither text nor html become
+    ``status=broken`` with null hashes (the job never fails on bad rows —
+    reference walk/hash error tolerance, ``Common/FsUtils.cs:77-109``).
+    """
+    urls = batch["url"]
+    htmls = batch["html"].to_pylist() if "html" in batch.column_names else [None] * len(batch)
+    texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(batch)
+
+    out_text: list[str | None] = []
+    status: list[str] = []
+    content_sha: list[bytes | None] = []
+    text_sha: list[bytes | None] = []
+    n_bytes: list[int] = []
+    for html, text in zip(htmls, texts):
+        if text is None and html is not None:
+            text = extract_text(html)
+        if text is None:
+            out_text.append(None)
+            status.append(STATUS_BROKEN)
+            content_sha.append(None)
+            text_sha.append(None)
+            n_bytes.append(-1)  # reference BrokenBlobInfo size = -1
+            continue
+        tb = text.encode("utf-8")
+        raw = html if html is not None else tb
+        out_text.append(text)
+        status.append(STATUS_EMPTY if not text else STATUS_OK)
+        content_sha.append(hashlib.sha256(raw).digest())
+        text_sha.append(hashlib.sha256(tb).digest())
+        n_bytes.append(len(tb))
+
+    return pa.table(
+        {
+            "url": urls,
+            "text": pa.array(out_text, type=pa.string()),
+            "status": pa.array(status, type=pa.string()),
+            "content_sha256": pa.array(content_sha, type=pa.binary()),
+            "text_sha256": pa.array(text_sha, type=pa.binary()),
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+        }
+    )
+
+
+class SignatureActor:
+    """Actor-pool stage: MinHash + SimHash signatures over word shingles.
+
+    State built once per actor (``__init__``): the seeded (a, b)
+    permutation matrix and the Zipf-friendly token-hash cache. Per batch
+    (``__call__``): tokenize -> shingle-hash (vectorized multiply-xor) ->
+    flatten -> one ``minimum.reduceat`` minhash pass + one simhash pass.
+    Input must carry (url, text, status, ...); output appends
+    (n_tokens, minhash, simhash) and drops ``text``.
+    """
+
+    def __init__(self, config: DedupConfig | None = None) -> None:
+        self.config = config or DedupConfig()
+        self.perm_a, self.perm_b = make_permutations(self.config.num_perm, self.config.seed)
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        texts = batch["text"].to_pylist()
+        status = batch["status"].to_pylist()
+
+        shingle_arrays: list[np.ndarray] = []
+        n_tokens = np.zeros(len(texts), dtype=np.int64)
+        for i, (t, st) in enumerate(zip(texts, status)):
+            if st != STATUS_OK or not t:
+                shingle_arrays.append(np.empty(0, dtype=np.uint64))
+                continue
+            toks = tokenize(t, cfg.lowercase)
+            n_tokens[i] = len(toks)
+            th = self.hasher.hash_tokens(toks)
+            shingle_arrays.append(shingle_hashes(th, cfg.shingle_size))
+
+        lengths = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        flat = (
+            np.concatenate(shingle_arrays)
+            if shingle_arrays
+            else np.empty(0, dtype=np.uint64)
+        )
+
+        sigs = minhash_flat(flat, offsets, self.perm_a, self.perm_b)
+        sims = simhash_flat(flat, offsets)
+
+        has_sig = lengths > 0
+        sig_bytes = np.ascontiguousarray(sigs.astype("<u8"))
+        minhash_col = pa.array(
+            [sig_bytes[i].tobytes() if has_sig[i] else None for i in range(len(texts))],
+            type=pa.binary(),
+        )
+        simhash_col = pa.array(
+            [int(sims[i]) if has_sig[i] else None for i in range(len(texts))],
+            type=pa.uint64(),
+        )
+        out = batch.drop_columns(["text"])
+        out = out.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
+        out = out.append_column("minhash", minhash_col)
+        out = out.append_column("simhash", simhash_col)
+        return out
+
+
+def compute_signatures(
+    pages, config: DedupConfig | None = None, keep_text: bool = False
+):
+    """pages Dataset -> signatures Dataset (extract stage as stateless
+    tasks, signature stage as an actor pool)."""
+    cfg = config or DedupConfig()
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+    cls = SignatureActorKeepText if keep_text else SignatureActor
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.sig_concurrency,
+    )
+
+
+class SignatureActorKeepText(SignatureActor):
+    """Signature stage variant that keeps the extracted text column
+    (needed when spans / exact pair verification run downstream)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        text_col = batch["text"]
+        out = super().__call__(batch)
+        return out.append_column("text", text_col)
