@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+SQL-expressible ones (column names match exactly — the driver sorts
+columns by name and hash-compares values). Near-dup / signature /
+heuristic queries are rows-only by nature (custom hash functions are not
+expressible in ANSI SQL).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# shared CTE: the derived dup corpus (documents + exact copy of every
+# third doc) — mirrors queries.dup_corpus exactly
+_PAGES_CTE = """
+pages AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents
+  UNION ALL
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-copy' AS url, text
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+_PAGES_HOST_CTE = """
+pages AS (
+  SELECT 'https://' || source || '.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         source, text
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-copy' AS url,
+         source, text
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+_EMB_CTE = """
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS e
+  FROM embeddings WHERE vec_id % 4 = 0
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline over the sf0.001 documents-derived
+    corpus; returns the near-dup groups table."""
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    return q.near_dup_groups("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SQL-oracled ------------------------------------------------
+        "exact_dedup_groups": q.exact_dedup_groups,
+        "dedup_actions": q.dedup_actions,
+        "dup_rollup_by_source": q.dup_rollup_by_source,
+        "corpus_stats": q.corpus_stats,
+        "token_stats_by_lang": q.token_stats_by_lang,
+        "last_event_per_user": q.last_event_per_user,
+        "lang_counts": q.lang_counts,
+        "doc_length_buckets": q.doc_length_buckets,
+        "events_type_stats": q.events_type_stats,
+        "knn_cosine_vec0": q.knn_cosine_vec0,
+        "embedding_near_dup": q.embedding_near_dup_pairs,
+        # --- rows-only (non-SQL-expressible operators) ------------------
+        "near_dup_components": q.near_dup_components,
+        "near_dup_groups": q.near_dup_groups,
+        "minhash_edges": q.minhash_edges,
+        "lang_id": q.lang_id,
+        "quality_scores": q.quality_scores,
+        "doc_fingerprints": q.doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": f"""
+WITH {_PAGES_CTE},
+g AS (
+  SELECT sha256(text) AS group_key, count(*) AS n_copies,
+         CAST(min(strlen(text)) AS BIGINT) AS n_bytes,
+         min(url) AS canonical_url
+  FROM pages GROUP BY sha256(text) HAVING count(*) > 1
+)
+SELECT group_key, n_copies, n_bytes, canonical_url,
+       n_bytes * n_copies AS all_data_size,
+       n_bytes * (n_copies - 1) AS dup_data_size
+FROM g
+""",
+        "dedup_actions": f"""
+WITH {_PAGES_CTE},
+g AS (
+  SELECT url,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+)
+SELECT url,
+       CASE WHEN url = canon THEN 'keep' ELSE 'isolate' END AS action,
+       canon AS group_key
+FROM g WHERE n > 1
+""",
+        "dup_rollup_by_source": f"""
+WITH {_PAGES_HOST_CTE},
+g AS (
+  SELECT url, source, text,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+)
+SELECT source || '.example' AS host,
+       count(*) AS n_dup_pages,
+       CAST(sum(strlen(text)) AS BIGINT) AS dup_bytes
+FROM g WHERE n > 1 AND url <> canon
+GROUP BY source
+""",
+        "corpus_stats": """
+SELECT count(*) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       count(DISTINCT text) AS distinct_texts,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+""",
+        "token_stats_by_lang": r"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS sum_bpe_tokens,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+        "last_event_per_user": """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type, event_id AS last_event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+        "lang_counts": """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+""",
+        "doc_length_buckets": """
+SELECT CAST(floor(strlen(text) / 500) AS BIGINT) AS bucket, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "events_type_stats": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+""",
+        "knn_cosine_vec0": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id, round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.e), 6) AS cos_sim
+FROM embeddings v, q
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT 10
+""",
+        "embedding_near_dup": f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+""",
+    }

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data dedup engine.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the SAME flagship near-dup job twice in fresh
+processes (num_cpus=8 then num_cpus=32) over an identical synthetic
+pages corpus (seeded generator, written once to /tmp) and report both
+throughputs plus ``efficiency = (rate_32 / rate_8) / 4`` — the sandbox
+substitute for the north rule's N->4N-node criterion (BASELINE.md
+"Measurement protocol").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "30000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _consume(res) -> int:
+    """Row count without pulling data to the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_flagship(pages, num_cpus: int) -> tuple[float, int]:
+    """Full near-dup pipeline (sha256 + minhash/LSH + simhash ->
+    union-find -> groups + actions) over a materialized pages dataset.
+    Returns (wall_sec, n_groups)."""
+    from ordinarydumpdeduplicator_ray.config import DedupConfig
+    from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+
+    cfg = DedupConfig(
+        sig_concurrency=max(2, num_cpus // 2),
+        batch_size=1024,
+    )
+    nparts = max(8, num_cpus)
+    t0 = time.perf_counter()
+    pipe = DedupPipeline(cfg, num_partitions=nparts)
+    out = pipe.run(pages)
+    n_groups = out["groups_near"].count()
+    return time.perf_counter() - t0, n_groups
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query wall times for the representative operator set."""
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    picks = [
+        "exact_dedup_groups",
+        "dedup_actions",
+        "dup_rollup_by_source",
+        "token_stats_by_lang",
+        "last_event_per_user",
+        "events_type_stats",
+        "knn_cosine_vec0",
+        "embedding_near_dup_pairs",
+        "lang_id",
+        "quality_scores",
+        "doc_fingerprints",
+    ]
+    timings: dict[str, float] = {}
+    for name in picks:
+        fn = getattr(q, name)
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    pages = q.dup_corpus(sf_dir, near=True).materialize()
+    n_docs = pages.count()
+
+    wall, n_groups = run_flagship(pages, num_cpus)
+    timings = {"near_dup_full": round(wall, 3)}
+    timings.update(bench_queries(sf_dir))
+
+    return {
+        "metric": "near_dup_full_pipeline_wall",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "near_dup_groups": n_groups,
+    }
+
+
+# --- scaling mode ----------------------------------------------------------
+
+def _scaling_corpus(rows: int) -> str:
+    """Deterministic synthetic pages corpus (input_hint schema), written
+    once; both scaling runs read the identical files."""
+    out_dir = f"/tmp/odd_bench_pages_{rows}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+
+        _init_ray(DEFAULT_CPUS)
+        write_pages_corpus(out_dir, rows, seed=42, shards=64)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from ordinarydumpdeduplicator_ray.sources.pages import read_pages
+
+    pages = read_pages(pages_dir).materialize()
+    n_docs = pages.count()
+    wall, n_groups = run_flagship(pages, num_cpus)
+    return {
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "near_dup_groups": n_groups,
+    }
+
+
+def main_scaling(rows: int) -> dict:
+    pages_dir = _scaling_corpus(rows)
+    runs = {}
+    for cpus in (8, 32):
+        # fresh process = fresh ray session per parallelism level
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--one-scaling-run", pages_dir, str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            raise RuntimeError(f"scaling run at num_cpus={cpus} failed")
+        runs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    rate8 = runs[8]["docs_per_sec"]
+    rate32 = runs[32]["docs_per_sec"]
+    eff = (rate32 / rate8) / 4.0
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "near_dup_full_8cpu": runs[8]["wall_sec"],
+            "near_dup_full_32cpu": runs[32]["wall_sec"],
+        },
+        "sf": pages_dir,
+        "num_cpus": 32,
+        "docs": runs[32]["docs"],
+        "docs_per_sec_8cpu": rate8,
+        "docs_per_sec_32cpu": rate32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--rows", type=int, default=SCALING_ROWS)
+    ap.add_argument("--one-scaling-run", nargs=2, metavar=("PAGES_DIR", "CPUS"))
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    args = ap.parse_args()
+
+    import warnings
+
+    warnings.filterwarnings("ignore")
+
+    if args.one_scaling_run:
+        result = _one_scaling_run(args.one_scaling_run[0], int(args.one_scaling_run[1]))
+    elif args.scaling:
+        result = main_scaling(args.rows)
+    else:
+        result = main_bench(args.sf_dir, args.num_cpus)
+
+    print(json.dumps(result))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

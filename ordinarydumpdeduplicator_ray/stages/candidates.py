@@ -24,7 +24,6 @@ join shuffles keyed on the bucket key.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count
@@ -97,20 +96,22 @@ def explode_simhash_blocks(signatures: ray.data.Dataset, config: DedupConfig) ->
     return signatures.map_batches(explode, batch_format="pyarrow")
 
 
-def _chain_star_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def _chain_star_pairs(group: pa.Table) -> pa.Table:
     """O(n) pair emission for one hot bucket: star to min url + sorted
-    chain — preserves connectivity without C(n,2) blowup."""
-    urls = np.sort(group["url"].to_numpy())
+    chain — preserves connectivity without C(n,2) blowup. Arrow in/out so
+    hot-path blocks union cleanly with the cold self-join's blocks."""
+    urls = np.sort(np.asarray(group["url"].to_pylist(), dtype=object))
     if len(urls) < 2:
-        return pd.DataFrame({"url_a": [], "url_b": []})
+        return pa.table({"url_a": pa.array([], type=pa.string()),
+                         "url_b": pa.array([], type=pa.string())})
     star_a = np.repeat(urls[0], len(urls) - 1)
     star_b = urls[1:]
     chain_a = urls[1:-1]
     chain_b = urls[2:]
-    return pd.DataFrame(
+    return pa.table(
         {
-            "url_a": np.concatenate([star_a, chain_a]),
-            "url_b": np.concatenate([star_b, chain_b]),
+            "url_a": pa.array(np.concatenate([star_a, chain_a]), type=pa.string()),
+            "url_b": pa.array(np.concatenate([star_b, chain_b]), type=pa.string()),
         }
     )
 
@@ -151,7 +152,7 @@ def candidate_pairs(
         hot_rows = inner_join(bucket_rows, hot_keys, on=("bucket",),
                               num_partitions=num_partitions, empty_schema=bucket_url)
         pairs_hot = hot_rows.groupby("bucket").map_groups(
-            _chain_star_pairs, batch_format="pandas"
+            _chain_star_pairs, batch_format="pyarrow"
         )
         pairs = pairs.union(pairs_hot)
 

@@ -1,0 +1,184 @@
+"""Substring-duplicate spans: sampled-shingle candidate generation +
+per-pair suffix-array span extraction.
+
+North-rule operator (no reference counterpart — the reference only knows
+whole-content equality). Two docs that share a long token run are found
+by grouping on a *deterministic sample* of shingle hashes
+(``hash % span_sample_mod == 0``): a run of R words contains R-w+1
+shingles, so the probability at least one sampled shingle survives is
+1-(1-1/m)^(R-w+1) (~0.998 for R=50, w=5, m=8). Sampled-bucket grouping
+reuses the skew-aware ``candidate_pairs`` machinery (hot boilerplate
+shingles get chain+star treatment). Verified spans come from the exact
+suffix-array kernel (``functions.suffix``) over the pair's token
+sequences.
+
+Pairs with byte-identical text are skipped (their "span" is the whole
+document — that is exact duplication, handled by the exact-dedup path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ordinarydumpdeduplicator_ray.config import DedupConfig
+from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher, shingle_hashes
+from ordinarydumpdeduplicator_ray.functions.suffix import common_spans
+from ordinarydumpdeduplicator_ray.functions.text import tokenize
+from ordinarydumpdeduplicator_ray.schemas import STATUS_OK
+from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+
+class SampledShingleActor:
+    """Emit (bucket, url) rows for the sampled shingles of each doc.
+    Permutation-free — the shingle hash itself is the bucket key."""
+
+    def __init__(self, config: DedupConfig | None = None) -> None:
+        self.config = config or DedupConfig()
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        mod = np.uint64(cfg.span_sample_mod)
+        buckets: list[np.ndarray] = []
+        urls: list[str] = []
+        reps: list[int] = []
+        for url, text, status in zip(
+            batch["url"].to_pylist(), batch["text"].to_pylist(), batch["status"].to_pylist()
+        ):
+            if status != STATUS_OK or not text:
+                continue
+            toks = tokenize(text, cfg.lowercase)
+            if len(toks) < cfg.span_min_words:
+                continue
+            sh = shingle_hashes(self.hasher.hash_tokens(toks), cfg.shingle_size)
+            sampled = sh[sh % mod == 0]
+            if len(sampled):
+                buckets.append(sampled)
+                urls.append(url)
+                reps.append(len(sampled))
+        if not buckets:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "url": pa.array([], type=pa.string())})
+        flat = np.concatenate(buckets).view(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(flat, type=pa.int64()),
+                "url": pa.array(np.repeat(np.asarray(urls, dtype=object), reps),
+                                type=pa.string()),
+            }
+        )
+
+
+def span_candidate_pairs(
+    extracted: ray.data.Dataset,
+    config: DedupConfig | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """extracted pages (url, text, status) -> candidate (url_a, url_b)
+    pairs that share at least one sampled shingle."""
+    cfg = config or DedupConfig()
+    buckets = extracted.map_batches(
+        SampledShingleActor,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.sig_concurrency,
+    ).materialize()
+    return candidate_pairs(buckets, cfg, num_partitions)
+
+
+class SpanActor:
+    """Exact span extraction for one batch of candidate pairs with both
+    texts attached."""
+
+    def __init__(self, config: DedupConfig | None = None) -> None:
+        self.config = config or DedupConfig()
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        out = {k: [] for k in ("url_a", "url_b", "a_start", "a_end", "b_start", "b_end", "n_words")}
+        for ua, ub, ta, tb in zip(
+            batch["url_a"].to_pylist(), batch["url_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            if ta is None or tb is None or ta == tb:
+                continue  # identical text = exact dup, not a span record
+            ha = self.hasher.hash_tokens(tokenize(ta, cfg.lowercase))
+            hb = self.hasher.hash_tokens(tokenize(tb, cfg.lowercase))
+            for a_s, a_e, b_s, b_e, n in common_spans(ha, hb, cfg.span_min_words):
+                out["url_a"].append(ua)
+                out["url_b"].append(ub)
+                out["a_start"].append(a_s)
+                out["a_end"].append(a_e)
+                out["b_start"].append(b_s)
+                out["b_end"].append(b_e)
+                out["n_words"].append(n)
+        return pa.table(
+            {
+                "url_a": pa.array(out["url_a"], type=pa.string()),
+                "url_b": pa.array(out["url_b"], type=pa.string()),
+                "a_start": pa.array(out["a_start"], type=pa.int64()),
+                "a_end": pa.array(out["a_end"], type=pa.int64()),
+                "b_start": pa.array(out["b_start"], type=pa.int64()),
+                "b_end": pa.array(out["b_end"], type=pa.int64()),
+                "n_words": pa.array(out["n_words"], type=pa.int64()),
+            }
+        )
+
+
+def compute_spans(
+    pairs: ray.data.Dataset,
+    extracted: ray.data.Dataset,
+    config: DedupConfig | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(url_a, url_b) pairs + extracted texts -> spans table."""
+    cfg = config or DedupConfig()
+    texts = extracted.map_batches(
+        lambda t: t.select(["url", "text"]), batch_format="pyarrow"
+    )
+
+    def proj(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({f"url_{side}": t["url"], f"text_{side}": t["text"]})
+        return f
+
+    base = [("url_a", pa.string()), ("url_b", pa.string())]
+    with_a = inner_join(
+        pairs, texts.map_batches(proj("a"), batch_format="pyarrow"),
+        on=("url_a",), num_partitions=num_partitions,
+        empty_schema=pa.schema(base + [("text_a", pa.string())]),
+    )
+    with_ab = inner_join(
+        with_a, texts.map_batches(proj("b"), batch_format="pyarrow"),
+        on=("url_b",), num_partitions=num_partitions,
+        empty_schema=pa.schema(base + [("text_a", pa.string()), ("text_b", pa.string())]),
+    )
+    return with_ab.map_batches(
+        SpanActor,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=cfg.sig_concurrency,
+    )
+
+
+def find_substring_spans(
+    pages: ray.data.Dataset,
+    config: DedupConfig | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """pages -> spans, end to end (extract -> sampled-shingle candidates
+    -> suffix-array spans)."""
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
+    cfg = config or DedupConfig()
+    extracted = pages.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+    ).materialize()
+    pairs = span_candidate_pairs(extracted, cfg, num_partitions)
+    return compute_spans(pairs, extracted, cfg, num_partitions)
