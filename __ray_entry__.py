@@ -75,10 +75,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": q.events_type_stats,
         "knn_cosine_vec0": q.knn_cosine_vec0,
         "embedding_near_dup": q.embedding_near_dup_pairs,
+        "top_dup_groups": q.top_dup_groups,
+        "group_flags": q.group_flags,
+        "user_session_stats": q.user_session_stats,
         # --- rows-only (non-SQL-expressible operators) ------------------
         "near_dup_components": q.near_dup_components,
         "near_dup_groups": q.near_dup_groups,
         "minhash_edges": q.minhash_edges,
+        "simhash_edges": q.simhash_edges,
+        "substring_spans": q.substring_spans,
+        "media_features": q.media_features,
+        "knn_cosine_lsh": q.knn_cosine_lsh_vec0,
         "lang_id": q.lang_id,
         "quality_scores": q.quality_scores,
         "doc_fingerprints": q.doc_fingerprints,
@@ -174,5 +181,57 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+""",
+        "top_dup_groups": f"""
+WITH {_PAGES_CTE},
+g AS (
+  SELECT sha256(text) AS group_key, count(*) AS n_copies,
+         CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+  FROM pages GROUP BY sha256(text) HAVING count(*) > 1
+)
+SELECT group_key, n_copies, n_bytes,
+       n_bytes * (n_copies - 1) AS dup_data_size
+FROM g
+ORDER BY dup_data_size DESC, group_key
+LIMIT 10
+""",
+        "group_flags": f"""
+WITH {_PAGES_CTE},
+m AS (
+  SELECT url,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+)
+SELECT canon AS group_key,
+       count(*) AS n_copies,
+       CAST(sum(CASE WHEN url = canon THEN 1 ELSE 0 END) AS BIGINT) AS n_original,
+       CAST(sum(CASE WHEN url = canon THEN 0 ELSE 1 END) AS BIGINT) AS n_isolated,
+       sum(CASE WHEN url = canon THEN 1 ELSE 0 END) > 0 AS has_original_located,
+       sum(CASE WHEN url = canon THEN 0 ELSE 1 END) > 0 AS has_isolated_duplicates
+FROM m WHERE n > 1
+GROUP BY canon
+""",
+        "user_session_stats": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM s GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       count(*) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
 """,
     }

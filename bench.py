@@ -59,10 +59,10 @@ def run_flagship(pages, num_cpus: int) -> tuple[float, int]:
     from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
 
     cfg = DedupConfig(
-        sig_concurrency=max(2, num_cpus // 2),
+        sig_concurrency=int(os.environ.get("GRAFT_SIG_CONC", max(2, num_cpus // 2))),
         batch_size=1024,
     )
-    nparts = max(8, num_cpus)
+    nparts = int(os.environ.get("GRAFT_NPARTS", max(8, num_cpus)))
     t0 = time.perf_counter()
     pipe = DedupPipeline(cfg, num_partitions=nparts)
     out = pipe.run(pages)
@@ -126,15 +126,9 @@ def _scaling_corpus(rows: int) -> str:
     """Deterministic synthetic pages corpus (input_hint schema), written
     once; both scaling runs read the identical files."""
     out_dir = f"/tmp/odd_bench_pages_{rows}"
-    marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
-        from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+    from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
 
-        _init_ray(DEFAULT_CPUS)
-        write_pages_corpus(out_dir, rows, seed=42, shards=64)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out_dir
+    return write_pages_corpus(out_dir, rows, seed=42, shards=64)
 
 
 def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:

@@ -35,7 +35,7 @@ from ordinarydumpdeduplicator_ray.stages.groups import (
 )
 from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
-from ordinarydumpdeduplicator_ray.stages.verify import verify_minhash_pairs, verify_simhash_pairs
+from ordinarydumpdeduplicator_ray.stages.verify import verify_pairs
 from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
 from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges
 
@@ -55,6 +55,9 @@ class DedupPipeline:
         self._input: str | ray.data.Dataset | None = None
         self._fingerprint: str | None = None
         self.results: dict[str, ray.data.Dataset] = {}
+        # per-stage run metrics (rows out, wall sec, resumed?) — the
+        # CountFilesAndSize analogue (OrdinaryDumpDeduplicator.cs:208-222)
+        self.metrics: dict[str, dict] = {}
 
     # --- reference verb: AddDataLocation --------------------------------
     def register_input(self, pages: str | ray.data.Dataset) -> "DedupPipeline":
@@ -74,16 +77,26 @@ class DedupPipeline:
         stage persists to Parquet + manifest (and is skipped on resume);
         without one, the result is pinned in the object store so branches
         don't recompute lineage."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        resumed = False
         if self.checkpoint_dir:
             ch = self.config.config_hash()
             if ckpt.stage_is_complete(self.checkpoint_dir, name, ch, self._fingerprint):
                 ds = ckpt.read_stage(self.checkpoint_dir, name)
+                resumed = True
             else:
                 ds = ckpt.write_stage(
                     build(), self.checkpoint_dir, name, ch, self._fingerprint
                 )
         else:
             ds = build().materialize()
+        self.metrics[name] = {
+            "rows": ds.count(),
+            "wall_sec": round(_time.perf_counter() - t0, 3),
+            "resumed": resumed,
+        }
         self.results[name] = ds
         return ds
 
@@ -102,14 +115,19 @@ class DedupPipeline:
         groups_exact = self._stage("groups_exact", lambda: exact_groups(sigs))
 
         def build_edges() -> ray.data.Dataset:
+            # one candidate pass over the UNION of bucket families
+            # (minhash band keys + simhash block keys live in disjoint
+            # key spaces modulo a ~2^-46 collision, and every candidate
+            # is verified anyway) — halves the shuffle count vs separate
+            # minhash/simhash passes, and one merged verify attaches
+            # both signatures in two joins instead of four.
             e_exact = exact_star_edges(sigs, self.results.get("groups_exact"), np_)
-            bands = explode_minhash_bands(sigs, cfg).materialize()
-            pairs_mh = candidate_pairs(bands, cfg, np_)
-            e_mh = verify_minhash_pairs(pairs_mh, sigs, cfg, np_)
-            blocks = explode_simhash_blocks(sigs, cfg).materialize()
-            pairs_sh = candidate_pairs(blocks, cfg, np_)
-            e_sh = verify_simhash_pairs(pairs_sh, sigs, cfg, np_)
-            return e_exact.union(e_mh).union(e_sh)
+            bands = explode_minhash_bands(sigs, cfg)
+            blocks = explode_simhash_blocks(sigs, cfg)
+            buckets = bands.union(blocks).materialize()
+            pairs = candidate_pairs(buckets, cfg, np_)
+            e_near = verify_pairs(pairs, sigs, cfg, np_)
+            return e_exact.union(e_near)
 
         edges = self._stage("edges", build_edges)
 

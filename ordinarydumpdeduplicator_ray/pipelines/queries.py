@@ -489,3 +489,190 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", batch_size=512,
                             concurrency=2)
+
+
+def substring_spans(sf_dir: str) -> ray.data.Dataset:
+    """Suffix-array exact substring duplicate spans over the near-dup
+    corpus (north rule; no reference counterpart). Sampled-shingle
+    candidates -> per-pair suffix-array span extraction."""
+    from ordinarydumpdeduplicator_ray.stages.spans import find_substring_spans
+
+    return find_substring_spans(
+        dup_corpus(sf_dir, near=True), Q_CONFIG, NUM_PARTITIONS
+    )
+
+
+def simhash_edges(sf_dir: str) -> ray.data.Dataset:
+    """Verified near-dup edges discovered via SimHash Hamming-ball
+    banding (pigeonhole over 4x16-bit blocks)."""
+    return _flagship(sf_dir)["edges"].filter(expr="source == 'simhash'")
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing demo: documents' text bytes stand in for an
+    opaque encoded payload; the actor-pool feature stage emits
+    deterministic decode metadata + content embedding
+    (stages/multimodal.py — decode kernel stubbed, Ray plumbing real)."""
+    from ordinarydumpdeduplicator_ray.stages.multimodal import extract_media_features
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"testdata://media/{d:08d}" for d in t["doc_id"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "media_type": pa.array(
+                    [("image", "audio", "video")[d % 3] for d in t["doc_id"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "payload": pc.cast(t["text"], pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return extract_media_features(media, concurrency=2, media_batch_size=128)
+
+
+def knn_cosine_lsh_vec0(sf_dir: str, k: int = 10, nbits: int = 16,
+                        max_hamming: int = 6) -> pa.Table:
+    """Approximate top-k via random-hyperplane LSH: 16-bit signature per
+    vector (seeded planes broadcast once), candidates = vectors whose
+    code is within ``max_hamming`` bits of the query's code, exact cosine
+    re-rank on candidates only. The scale path for similarity search —
+    the candidate set is a small fraction of the corpus, and bucket codes
+    shuffle as int64 keys."""
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
+    qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0),
+                      dtype=np.float64)
+    dim = len(qvec)
+    rng = np.random.default_rng(Q_CONFIG.seed)
+    planes = rng.standard_normal((dim, nbits))
+    qcode = int(np.packbits((qvec @ planes) > 0).view(">u2")[0]) if nbits == 16 else 0
+    ref = ray.put((planes, qvec / np.linalg.norm(qvec), qcode))
+
+    class LshScanner:
+        def __init__(self):
+            self.planes, self.qvec, self.qcode = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            mask = ids != 0
+            ids, mat = ids[mask], mat[mask]
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "cos_sim": pa.array([], type=pa.float64())})
+            bits = (mat @ self.planes) > 0
+            codes = np.packbits(bits, axis=1).view(">u2").reshape(-1).astype(np.int64)
+            ham = np.vectorize(lambda c: bin(c ^ self.qcode).count("1"))(codes)
+            cand = ham <= max_hamming
+            ids, mat = ids[cand], mat[cand]
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "cos_sim": pa.array([], type=pa.float64())})
+            cos = np.round((mat @ self.qvec) / np.linalg.norm(mat, axis=1), 6)
+            order = np.lexsort((ids, -cos))[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[order], type=pa.int64()),
+                    "cos_sim": pa.array(cos[order], type=pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(LshScanner, batch_format="pyarrow",
+                              batch_size=4096, concurrency=2).take_all()
+    partials.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+    top = partials[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
+            "cos_sim": pa.array([r["cos_sim"] for r in top], type=pa.float64()),
+        }
+    )
+
+
+def top_dup_groups(sf_dir: str, k: int = 10) -> pa.Table:
+    """Report-table ordering O1-O3 (DuplicatesViewController.cs:31-59):
+    exact dup groups sorted desc by reclaimable bytes, deterministic
+    tie-break on group_key, top k."""
+    groups = exact_dedup_groups(sf_dir)
+    rows = groups.sort(["dup_data_size", "group_key"], descending=[True, False]).limit(k)
+    tbl = pa.concat_tables(
+        list(rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    ) if rows.count() else None
+    if tbl is None:
+        import pyarrow as _pa
+        return _pa.table({})
+    return tbl.select(["group_key", "n_copies", "n_bytes", "dup_data_size"])
+
+
+def group_flags(sf_dir: str) -> ray.data.Dataset:
+    """Per-group flag aggregate A3 (SameContentFilesInfo.cs:209-248):
+    counts of keep/isolate copies per dup group -> boolean flags."""
+    actions = dedup_actions(sf_dir)
+
+    def to_counts(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(t["action"], pa.scalar("keep")), pa.int64())
+        return pa.table(
+            {
+                "group_key": t["group_key"],
+                "keep": keep,
+                "iso": pc.subtract(pa.scalar(1, pa.int64()), keep),
+            }
+        )
+
+    agg = actions.map_batches(to_counts, batch_format="pyarrow").groupby(
+        "group_key"
+    ).aggregate(
+        Count(alias_name="n_copies"),
+        Sum("keep", alias_name="n_original"),
+        Sum("iso", alias_name="n_isolated"),
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "has_original_located", pc.greater(t["n_original"], pa.scalar(0, pa.int64()))
+        )
+        return t.append_column(
+            "has_isolated_duplicates", pc.greater(t["n_isolated"], pa.scalar(0, pa.int64()))
+        )
+
+    return agg.map_batches(flags, batch_format="pyarrow")
+
+
+def user_session_stats(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Windowed sessionization per user (30-min inactivity gap): a
+    streaming-window custom operator the Dataset API lacks, expressed as
+    sort-within-group + vectorized gap detection in ``map_groups``.
+    Partitioning assumption: one user's events fit one group (true at any
+    realistic fan-out; a single user's event count is bounded)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        ts = np.sort(np.asarray(g["ts"].cast(pa.int64()).to_pylist(), dtype=np.int64))
+        gaps = np.diff(ts) > gap_us
+        n_sessions = 1 + int(gaps.sum())
+        # events per session: split sizes from gap boundaries
+        bounds = np.flatnonzero(gaps) + 1
+        sizes = np.diff(np.concatenate([[0], bounds, [len(ts)]]))
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "max_session_events": pa.array([int(sizes.max())], type=pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")

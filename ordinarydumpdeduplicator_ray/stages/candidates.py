@@ -12,10 +12,12 @@ size using a vectorized count aggregate:
 - **cold buckets** (2 <= n <= ``max_group_pairs``): a hash-shuffle
   self-join emits all C(n,2) pairs — fully vectorized (Acero), blowup
   bounded by the cap squared;
-- **hot buckets** (n > cap): O(n) star-to-canonical + sorted-chain pairs
-  per bucket via ``map_groups`` — few groups, each processed with numpy,
-  connectivity of true clusters preserved (every member links to the
-  bucket's min url).
+- **hot buckets** (n > cap): explicitly SALTED (north rule) — each hot
+  bucket splits into ``salt_buckets`` sub-buckets by url hash so no
+  single reducer ever holds a full boilerplate cluster; each sub-bucket
+  emits O(n) star-to-canonical + sorted-chain pairs, and a second (tiny)
+  pass chains the per-sub-bucket minimum urls so the cluster stays
+  connected across salts.
 
 No stage materializes all-pairs; everything streams through groupby /
 join shuffles keyed on the bucket key.
@@ -23,10 +25,12 @@ join shuffles keyed on the bucket key.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
 from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows
@@ -147,14 +151,31 @@ def candidate_pairs(
                                 ("url_b", pa.string())]),
     ).filter(expr="url_a < url_b").drop_columns(["bucket"])
 
-    # hot: few giant buckets -> O(n) chain+star per bucket
+    # hot: few giant buckets -> salt into sub-buckets, O(n) chain+star
+    # per sub-bucket, then link sub-bucket minima (connectivity)
     if hot_keys.count() > 0:
+        n_salts = config.salt_buckets
         hot_rows = inner_join(bucket_rows, hot_keys, on=("bucket",),
                               num_partitions=num_partitions, empty_schema=bucket_url)
-        pairs_hot = hot_rows.groupby("bucket").map_groups(
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            salts = np.asarray(
+                [zlib.crc32(u.encode()) % n_salts for u in t["url"].to_pylist()],
+                dtype=np.int64,
+            )
+            return t.append_column("salt", pa.array(salts, type=pa.int64()))
+
+        salted = hot_rows.map_batches(add_salt, batch_format="pyarrow")
+        pairs_sub = salted.groupby(["bucket", "salt"]).map_groups(
             _chain_star_pairs, batch_format="pyarrow"
         )
-        pairs = pairs.union(pairs_hot)
+        minima = salted.groupby(["bucket", "salt"]).aggregate(
+            Min("url", alias_name="url")
+        )
+        pairs_link = minima.groupby("bucket").map_groups(
+            _chain_star_pairs, batch_format="pyarrow"
+        )
+        pairs = pairs.union(pairs_sub).union(pairs_link)
 
     pairs = pairs.materialize()
     if pairs.count() == 0:

@@ -21,10 +21,37 @@ def _empty(schema: pa.Schema) -> ray.data.Dataset:
 
 
 def _base_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Schema of ``ds``, robust to Ray's zero-column empty blocks: when
+    blocks mix real and schema-less-empty (hash-aggregate output), the
+    reported schema can itself be the zero-column one — recover the real
+    schema from the first actual row."""
     s = ds.schema()
-    if s is None:
-        return pa.schema([])
-    return s.base_schema
+    schema = s.base_schema if s is not None else pa.schema([])
+    if len(schema) == 0:
+        try:
+            sample = ds.take_batch(1, batch_format="pyarrow")
+            schema = sample.schema
+        except Exception:
+            pass  # genuinely empty dataset
+    return schema
+
+
+def _drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Strip zero-row blocks from a materialized dataset. Ray's hash
+    aggregate emits zero-COLUMN empty blocks for empty partitions
+    ("RefBundle with a different schema ... new schema: ." warnings);
+    ``map_batches`` skips empty blocks without calling the UDF, so they
+    survive every downstream transform and poison Acero joins ("No match
+    ... for key field"). Driver-side metadata filter over block refs —
+    no data moves."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return _empty(_base_schema(ds))
+    return ray.data.from_arrow_refs(refs)
 
 
 def _joined_schema(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -55,6 +82,8 @@ def inner_join(
     right = right.materialize()
     if left.count() == 0 or right.count() == 0:
         return _empty(empty_schema or _joined_schema(left, right, on, right_on))
+    left = _drop_empty_blocks(left)
+    right = _drop_empty_blocks(right)
     return left.join(right, "inner", num_partitions=num_partitions,
                      on=on, right_on=right_on)
 
@@ -83,5 +112,7 @@ def left_outer_join(
             return t
 
         return left.map_batches(pad, batch_format="pyarrow")
+    left = _drop_empty_blocks(left)
+    right = _drop_empty_blocks(right)
     return left.join(right, "left_outer", num_partitions=num_partitions,
                      on=on, right_on=right_on)

@@ -1,0 +1,154 @@
+"""Multimodal (image/audio/video) plumbing over opaque ``binary``
+payload columns.
+
+No reference counterpart (the reference hashes file bytes without
+interpreting them — ``Common/FsUtils.cs:39-54``); these are the
+training-data-pipeline operators a 100 TB multimodal corpus needs. The
+container ships no image/audio codecs, so the *decode kernels* are
+stubbed: ``real=True`` raises ``NotImplementedError`` (the documented
+integration point for Pillow / torchaudio / pyav), ``real=False`` runs a
+deterministic fake decoder derived from the payload bytes. Everything
+Ray-side — schema, actor-pool signature, batch sizing, zero-copy binary
+columns, output layout — is real and tested.
+
+Scale notes: payloads are large, so batches must be SMALL
+(``media_batch_size`` rows, not the text default) to keep
+batch x concurrency within worker heap; the payload column rides
+zero-copy through the object store and is dropped as soon as features
+are extracted (project-early discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("media_type", pa.string()),      # image | audio | video
+        ("payload", pa.binary()),         # opaque encoded bytes
+    ]
+)
+
+FEATURE_DIM = 8
+
+MEDIA_FEATURES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("payload_sha256", pa.string()),
+        ("width", pa.int64()),            # decoded dims (fake: derived)
+        ("height", pa.int64()),
+        ("n_frames", pa.int64()),         # 1 for image; sampled for video
+        ("embedding", pa.list_(pa.float32(), FEATURE_DIM)),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic (width, height, n_frames) derived from the payload
+    digest — stands in for a real codec so downstream plumbing has real
+    shapes to carry."""
+    d = hashlib.sha256(payload).digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    n_frames = 1 if media_type == "image" else 1 + d[2] % 32
+    return width, height, n_frames
+
+
+def _fake_embedding(digest: bytes) -> np.ndarray:
+    """Unit-norm FEATURE_DIM float32 vector from the content digest —
+    content-determined, so exact-duplicate payloads embed identically."""
+    v = np.frombuffer(digest[: FEATURE_DIM * 4], dtype="<u4").astype(np.float32)
+    v = (v / np.float32(2**32)) - np.float32(0.5)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def frame_sample_offsets(n_frames: int, max_samples: int = 8) -> np.ndarray:
+    """Deterministic frame-sampling plan: evenly spaced frame indices,
+    at most ``max_samples`` — the video analogue of batched decode."""
+    k = min(n_frames, max_samples)
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    return np.linspace(0, n_frames - 1, k).astype(np.int64)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: (url, media_type, payload) -> MEDIA_FEATURES.
+
+    ``real=True`` is the integration point for actual codecs (Pillow /
+    pyav); it raises ``NotImplementedError`` in this container. Rows with
+    null payloads are dropped (broken-row tolerance, same policy as the
+    text pipeline's ``status`` column).
+    """
+
+    def __init__(self, real: bool = False) -> None:
+        if real:
+            raise NotImplementedError(
+                "real media decoding needs Pillow/pyav, not shipped in this "
+                "container — run with real=False for the deterministic stub"
+            )
+        self.real = real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, mtypes, nbytes, shas = [], [], [], []
+        widths, heights, frames, embs = [], [], [], []
+        for url, mt, payload in zip(
+            batch["url"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if payload is None:
+                continue
+            digest = hashlib.sha256(payload).digest()
+            w, h, nf = _fake_decode(payload, mt or "image")
+            urls.append(url)
+            mtypes.append(mt or "image")
+            nbytes.append(len(payload))
+            shas.append(digest.hex())
+            widths.append(w)
+            heights.append(h)
+            frames.append(len(frame_sample_offsets(nf)))
+            embs.append(_fake_embedding(digest))
+        emb_arr = (
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(embs) if embs else
+                         np.empty(0, dtype=np.float32), type=pa.float32()),
+                FEATURE_DIM,
+            )
+        )
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "media_type": pa.array(mtypes, type=pa.string()),
+                "n_bytes": pa.array(nbytes, type=pa.int64()),
+                "payload_sha256": pa.array(shas, type=pa.string()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
+                "n_frames": pa.array(frames, type=pa.int64()),
+                "embedding": emb_arr,
+            }
+        )
+
+
+def extract_media_features(
+    media: ray.data.Dataset,
+    concurrency: int | tuple = 4,
+    media_batch_size: int = 64,
+    real: bool = False,
+) -> ray.data.Dataset:
+    """Media table -> features table via the actor pool. Small batches:
+    payload bytes x batch x concurrency must fit the worker heap."""
+    return media.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"real": real},
+        batch_format="pyarrow",
+        batch_size=media_batch_size,
+        concurrency=concurrency,
+    )

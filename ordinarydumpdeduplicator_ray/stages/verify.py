@@ -9,8 +9,8 @@ Pairs are verified against the signatures they were generated from:
   stay rejected by a wide margin.
 - simhash pairs: exact Hamming distance <= ``simhash_max_hamming``.
 
-Signature columns reach the pairs via two hash-shuffle joins against
-narrow projections of the signatures table (url -> packed minhash /
+Signature columns reach the pairs via two hash-shuffle joins against a
+narrow projection of the signatures table (url -> packed minhash +
 simhash) — the scalable alternative to carrying 1 KiB signatures through
 every band-explode row (32x write amplification avoided).
 """
@@ -51,68 +51,68 @@ def _attach(
     )
 
 
-def verify_minhash_pairs(
+def verify_pairs(
     pairs: ray.data.Dataset,
     signatures: ray.data.Dataset,
     config: DedupConfig,
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """(url_a, url_b) -> edges(url_a, url_b, source='minhash', jaccard)
-    for pairs whose estimated Jaccard clears the verify threshold."""
+    """Merged verification for candidates from BOTH bucket families
+    (minhash bands + simhash blocks in one candidate pass): attach
+    (minhash, simhash) per side in two joins instead of four, then emit
+    a 'minhash' edge when the Jaccard estimate clears the threshold and
+    a 'simhash' edge when the Hamming ball admits the pair. Fully
+    vectorized — signature matrices are stacked per batch, no per-pair
+    Python in the comparison."""
     thr = config.jaccard_threshold - config.verify_margin
-    base = [("url_a", pa.string()), ("url_b", pa.string())]
-    with_a = _attach(pairs, signatures, "a", {"minhash": "mh_a"}, num_partitions,
-                     pa.schema(base + [("mh_a", pa.binary())]))
-    with_ab = _attach(with_a, signatures, "b", {"minhash": "mh_b"}, num_partitions,
-                      pa.schema(base + [("mh_a", pa.binary()), ("mh_b", pa.binary())]))
-
-    def verify(t: pa.Table) -> pa.Table:
-        mh_a, mh_b = t["mh_a"].to_pylist(), t["mh_b"].to_pylist()
-        keep_idx, jac = [], []
-        for i, (a, b) in enumerate(zip(mh_a, mh_b)):
-            if a is None or b is None:
-                continue
-            est = float(
-                np.mean(np.frombuffer(a, dtype="<u8") == np.frombuffer(b, dtype="<u8"))
-            )
-            if est >= thr:
-                keep_idx.append(i)
-                jac.append(est)
-        kept = t.select(["url_a", "url_b"]).take(keep_idx)
-        return kept.append_column("source", pa.array(["minhash"] * len(keep_idx))) \
-                   .append_column("jaccard", pa.array(jac, type=pa.float64()))
-
-    return with_ab.map_batches(verify, batch_format="pyarrow")
-
-
-def verify_simhash_pairs(
-    pairs: ray.data.Dataset,
-    signatures: ray.data.Dataset,
-    config: DedupConfig,
-    num_partitions: int = 16,
-) -> ray.data.Dataset:
-    """(url_a, url_b) -> edges for pairs within the Hamming ball; the
-    ``jaccard`` column carries 1 - hamming/bits (a similarity proxy)."""
     max_h = config.simhash_max_hamming
     base = [("url_a", pa.string()), ("url_b", pa.string())]
-    with_a = _attach(pairs, signatures, "a", {"simhash": "sh_a"}, num_partitions,
-                     pa.schema(base + [("sh_a", pa.uint64())]))
-    with_ab = _attach(with_a, signatures, "b", {"simhash": "sh_b"}, num_partitions,
-                      pa.schema(base + [("sh_a", pa.uint64()), ("sh_b", pa.uint64())]))
+    with_a = _attach(
+        pairs, signatures, "a", {"minhash": "mh_a", "simhash": "sh_a"},
+        num_partitions,
+        pa.schema(base + [("mh_a", pa.binary()), ("sh_a", pa.uint64())]),
+    )
+    with_ab = _attach(
+        with_a, signatures, "b", {"minhash": "mh_b", "simhash": "sh_b"},
+        num_partitions,
+        pa.schema(base + [("mh_a", pa.binary()), ("sh_a", pa.uint64()),
+                          ("mh_b", pa.binary()), ("sh_b", pa.uint64())]),
+    )
+    empty = pa.schema(
+        base + [("source", pa.string()), ("jaccard", pa.float64())]
+    ).empty_table()
 
     def verify(t: pa.Table) -> pa.Table:
-        sh_a = np.array([v if v is not None else 0 for v in t["sh_a"].to_pylist()], dtype=np.uint64)
-        sh_b = np.array([v if v is not None else 0 for v in t["sh_b"].to_pylist()], dtype=np.uint64)
-        valid = np.array(
-            [a is not None and b is not None
-             for a, b in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())]
+        if len(t) == 0:
+            return empty
+        mh_a, mh_b = t["mh_a"].to_pylist(), t["mh_b"].to_pylist()
+        k = config.num_perm
+        zero = b"\x00" * (8 * k)
+        a_mat = np.frombuffer(b"".join(x or zero for x in mh_a), dtype="<u8").reshape(-1, k)
+        b_mat = np.frombuffer(b"".join(x or zero for x in mh_b), dtype="<u8").reshape(-1, k)
+        mh_valid = np.array([x is not None for x in mh_a]) & np.array(
+            [x is not None for x in mh_b]
         )
+        est = (a_mat == b_mat).mean(axis=1)
+        mh_keep = mh_valid & (est >= thr)
+
+        sh_a_l, sh_b_l = t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
+        sh_valid = np.array([x is not None for x in sh_a_l]) & np.array(
+            [x is not None for x in sh_b_l]
+        )
+        sh_a = np.array([x or 0 for x in sh_a_l], dtype=np.uint64)
+        sh_b = np.array([x or 0 for x in sh_b_l], dtype=np.uint64)
         hd = hamming_distance(sh_a, sh_b)
-        keep = valid & (hd <= max_h)
-        idx = np.nonzero(keep)[0].tolist()
-        kept = t.select(["url_a", "url_b"]).take(idx)
-        sim = 1.0 - hd[keep].astype(np.float64) / 64.0
-        return kept.append_column("source", pa.array(["simhash"] * len(idx))) \
-                   .append_column("jaccard", pa.array(sim, type=pa.float64()))
+        sh_keep = sh_valid & (hd <= max_h)
+
+        urls = t.select(["url_a", "url_b"])
+        out_mh = urls.take(np.nonzero(mh_keep)[0]) \
+            .append_column("source", pa.array(["minhash"] * int(mh_keep.sum()))) \
+            .append_column("jaccard", pa.array(est[mh_keep], type=pa.float64()))
+        sim = 1.0 - hd[sh_keep].astype(np.float64) / 64.0
+        out_sh = urls.take(np.nonzero(sh_keep)[0]) \
+            .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()))) \
+            .append_column("jaccard", pa.array(sim, type=pa.float64()))
+        return pa.concat_tables([out_mh, out_sh])
 
     return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -80,6 +80,7 @@ def compare(name, ray_tbl, sql_tbl) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional: restrict to these query names
 
     import duckdb
     import ray
@@ -104,6 +105,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             ray_res = to_arrow(fn(sf_dir))

@@ -1,0 +1,250 @@
+"""Operator-level tests: multimodal plumbing, LSH-bucketed ANN,
+substring spans end-to-end, checkpoint resume (SURVEY.md §5 items 5-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMultimodal:
+    def _media(self):
+        return pa.table(
+            {
+                "url": pa.array(["m://a", "m://b", "m://c", "m://d"], type=pa.string()),
+                "media_type": pa.array(["image", "video", "audio", "image"], type=pa.string()),
+                "payload": pa.array([b"aaaa", b"bbbb", b"cccc", None], type=pa.binary()),
+            }
+        )
+
+    def test_features_deterministic_and_null_dropped(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.multimodal import extract_media_features
+
+        out1 = extract_media_features(
+            ray.data.from_arrow(self._media()), concurrency=1, media_batch_size=2
+        ).take_all()
+        out2 = extract_media_features(
+            ray.data.from_arrow(self._media()), concurrency=1, media_batch_size=4
+        ).take_all()
+        assert len(out1) == 3  # null payload dropped
+        k = lambda rows: sorted((r["url"], r["payload_sha256"], r["width"], r["height"], r["n_frames"]) for r in rows)
+        assert k(out1) == k(out2)  # batch-size independent
+
+    def test_image_single_frame_video_sampled(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.multimodal import extract_media_features
+
+        rows = extract_media_features(
+            ray.data.from_arrow(self._media()), concurrency=1
+        ).take_all()
+        by_url = {r["url"]: r for r in rows}
+        assert by_url["m://a"]["n_frames"] == 1
+        assert 1 <= by_url["m://b"]["n_frames"] <= 8
+
+    def test_embedding_unit_norm_and_content_determined(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.multimodal import extract_media_features
+
+        media = pa.table(
+            {
+                "url": pa.array(["m://x", "m://y"], type=pa.string()),
+                "media_type": pa.array(["image", "image"], type=pa.string()),
+                "payload": pa.array([b"same-bytes", b"same-bytes"], type=pa.binary()),
+            }
+        )
+        rows = extract_media_features(ray.data.from_arrow(media), concurrency=1).take_all()
+        e0, e1 = np.array(rows[0]["embedding"]), np.array(rows[1]["embedding"])
+        assert np.allclose(e0, e1)  # same content -> same embedding
+        assert abs(np.linalg.norm(e0) - 1.0) < 1e-5
+
+    def test_real_decode_is_explicit_stub(self):
+        from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
+
+        with pytest.raises(NotImplementedError):
+            MediaFeatureActor(real=True)
+
+    def test_frame_sample_offsets(self):
+        from ordinarydumpdeduplicator_ray.stages.multimodal import frame_sample_offsets
+
+        assert frame_sample_offsets(1).tolist() == [0]
+        offs = frame_sample_offsets(100, max_samples=8)
+        assert len(offs) == 8 and offs[0] == 0 and offs[-1] == 99
+        assert (np.diff(offs) > 0).all()
+
+
+class TestLshKnn:
+    def test_lsh_recall_vs_brute_force(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        exact = q.knn_cosine_vec0(SF, k=10)
+        approx = q.knn_cosine_lsh_vec0(SF, k=10)
+        exact_ids = set(exact["vec_id"].to_pylist())
+        approx_ids = set(approx["vec_id"].to_pylist())
+        # multi-probe hamming<=6 of 16 bits: high recall expected
+        assert len(exact_ids & approx_ids) >= 7
+        # approx scores must be exact cosines for the ids it returns
+        exact_by_id = dict(zip(exact["vec_id"].to_pylist(), exact["cos_sim"].to_pylist()))
+        for vid, cs in zip(approx["vec_id"].to_pylist(), approx["cos_sim"].to_pylist()):
+            if vid in exact_by_id:
+                assert abs(cs - exact_by_id[vid]) < 1e-9
+
+
+class TestSpans:
+    def test_shared_run_found_with_exact_offsets(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.spans import find_substring_spans
+
+        shared = " ".join(f"shared{i}" for i in range(60))
+        a_prefix = " ".join(f"alpha{i}" for i in range(40))
+        b_suffix = " ".join(f"beta{i}" for i in range(40))
+        pages = pa.table(
+            {
+                "url": pa.array(["u://a", "u://b", "u://c"], type=pa.string()),
+                "html": pa.nulls(3, type=pa.binary()),
+                "text": pa.array(
+                    [f"{a_prefix} {shared}", f"{shared} {b_suffix}",
+                     "unrelated " * 80],
+                    type=pa.string(),
+                ),
+            }
+        )
+        cfg = DedupConfig(sig_concurrency=1, batch_size=64)
+        spans = find_substring_spans(ray.data.from_arrow(pages), cfg, 4).take_all()
+        assert len(spans) == 1
+        s = spans[0]
+        assert (s["url_a"], s["url_b"]) == ("u://a", "u://b")
+        assert s["n_words"] == 60
+        assert (s["a_start"], s["a_end"]) == (40, 100)
+        assert (s["b_start"], s["b_end"]) == (0, 60)
+
+    def test_exact_dups_excluded(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.spans import find_substring_spans
+
+        text = " ".join(f"w{i}" for i in range(80))
+        pages = pa.table(
+            {
+                "url": pa.array(["u://a", "u://b"], type=pa.string()),
+                "html": pa.nulls(2, type=pa.binary()),
+                "text": pa.array([text, text], type=pa.string()),
+            }
+        )
+        cfg = DedupConfig(sig_concurrency=1, batch_size=64)
+        spans = find_substring_spans(ray.data.from_arrow(pages), cfg, 4).take_all()
+        assert spans == []
+
+
+class TestCheckpointResume:
+    def test_resume_identical_and_skips_stages(self, ray_session, tmp_path):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+        from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+        from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
+
+        import pyarrow.parquet as pq
+
+        pages, _ = generate_pages(120, seed=3)
+        pages_dir = str(tmp_path / "pages")
+        import os
+        os.makedirs(pages_dir)
+        pq.write_table(pages, os.path.join(pages_dir, "part-0.parquet"))
+        cfg = DedupConfig(sig_concurrency=1, batch_size=64)
+        ck = str(tmp_path / "ck")
+
+        p1 = DedupPipeline(cfg, checkpoint_dir=ck, num_partitions=4)
+        o1 = p1.run(pages_dir)
+        c1 = sorted((r["url"], r["component_id"]) for r in o1["components"].take_all())
+
+        mtimes = {
+            s: os.path.getmtime(ckpt.manifest_path(ck, s))
+            for s in ("signatures", "edges", "components")
+        }
+
+        p2 = DedupPipeline(cfg, checkpoint_dir=ck, num_partitions=4)
+        p2.register_input(pages_dir)
+        o2 = p2.find_duplicates()
+        c2 = sorted((r["url"], r["component_id"]) for r in o2["components"].take_all())
+        assert c1 == c2
+        for s, mt in mtimes.items():  # stages were skipped, not rewritten
+            assert os.path.getmtime(ckpt.manifest_path(ck, s)) == mt
+
+    def test_config_change_invalidates(self, ray_session, tmp_path):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+        from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+        from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
+
+        import os
+        import pyarrow.parquet as pq
+
+        pages, _ = generate_pages(60, seed=3)
+        pages_dir = str(tmp_path / "pages2")
+        os.makedirs(pages_dir)
+        pq.write_table(pages, os.path.join(pages_dir, "part-0.parquet"))
+        ck = str(tmp_path / "ck2")
+        cfg1 = DedupConfig(sig_concurrency=1, batch_size=64)
+        p1 = DedupPipeline(cfg1, checkpoint_dir=ck, num_partitions=4)
+        p1.register_input(pages_dir)
+        p1.run_scan()
+        fp = ckpt.input_fingerprint(pages_dir)
+        assert ckpt.stage_is_complete(ck, "signatures", cfg1.config_hash(), fp)
+        # different semantic config -> stage must NOT be treated complete
+        cfg2 = DedupConfig(sig_concurrency=1, batch_size=64, shingle_size=7)
+        assert not ckpt.stage_is_complete(ck, "signatures", cfg2.config_hash(), fp)
+
+
+class TestSaltedHotBuckets:
+    def test_hot_bucket_stays_connected_across_salts(self, ray_session):
+        """A bucket far above max_group_pairs must still yield ONE
+        connected component over its emitted pairs (salting splits the
+        reducer load but the minima chain preserves connectivity)."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+        from ordinarydumpdeduplicator_ray.state.unionfind import UnionFind
+
+        n = 300
+        urls = [f"u://hot/{i:05d}" for i in range(n)]
+        bucket_rows = pa.table(
+            {
+                "bucket": pa.array([7] * n, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+        cfg = DedupConfig(max_group_pairs=64, salt_buckets=8)
+        pairs = candidate_pairs(
+            ray.data.from_arrow(bucket_rows), cfg, num_partitions=4
+        ).take_all()
+        # O(n) emission, not C(n,2)
+        assert len(pairs) < 3 * n
+        uf = UnionFind()
+        for p in pairs:
+            uf.union(p["url_a"], p["url_b"])
+        roots = {uf.find(u) for u in urls}
+        assert len(roots) == 1
+
+    def test_cold_buckets_emit_all_pairs(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+        bucket_rows = pa.table(
+            {
+                "bucket": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+                "url": pa.array(["a", "b", "c", "d", "e", "f"], type=pa.string()),
+            }
+        )
+        cfg = DedupConfig(max_group_pairs=64)
+        pairs = candidate_pairs(
+            ray.data.from_arrow(bucket_rows), cfg, num_partitions=4
+        ).take_all()
+        got = sorted((p["url_a"], p["url_b"]) for p in pairs)
+        assert got == [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e")]
