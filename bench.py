@@ -60,9 +60,12 @@ def run_flagship(pages, num_cpus: int) -> tuple[float, int]:
 
     cfg = DedupConfig(
         sig_concurrency=int(os.environ.get("GRAFT_SIG_CONC", max(2, num_cpus // 2))),
-        batch_size=1024,
+        batch_size=512,
     )
-    nparts = int(os.environ.get("GRAFT_NPARTS", max(8, num_cpus)))
+    # measured sweet spot: ~cpus/2 shuffle partitions, capped — more
+    # partitions means more hash-shuffle aggregator actors per op, and
+    # the per-op spin-up dominates before partition parallelism pays off
+    nparts = int(os.environ.get("GRAFT_NPARTS", max(8, min(16, num_cpus // 2))))
     t0 = time.perf_counter()
     pipe = DedupPipeline(cfg, num_partitions=nparts)
     out = pipe.run(pages)

@@ -30,7 +30,7 @@ def minhash_flat(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    perm_chunk: int = 16,
+    perm_chunk: int = 4,
 ) -> np.ndarray:
     """MinHash signatures for a batch.
 
@@ -43,7 +43,11 @@ def minhash_flat(
         those out.
     a, b : permutation coefficients, shape (K,)
     perm_chunk : permutations processed per pass, bounding the temp
-        (chunk, total) matrix to ~chunk * total * 8 bytes.
+        (chunk, total) matrix to ~chunk * total * 8 bytes. MUST stay
+        small enough that the temp is cache-resident: chunk=16 on a
+        100k-shingle batch spills to DRAM and measures ~30x slower per
+        doc (and worse under actor-pool concurrency — memory bandwidth
+        is shared) than chunk=4.
 
     Returns (n_rows, K) uint64.
     """

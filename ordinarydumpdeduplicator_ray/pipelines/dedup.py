@@ -26,12 +26,12 @@ from ordinarydumpdeduplicator_ray.stages.actions import apply_actions, plan_dele
 from ordinarydumpdeduplicator_ray.stages.candidates import (
     candidate_pairs,
     explode_minhash_bands,
+    explode_sha_buckets,
     explode_simhash_blocks,
 )
 from ordinarydumpdeduplicator_ray.stages.groups import (
     component_groups,
     exact_groups,
-    exact_star_edges,
 )
 from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
@@ -115,19 +115,21 @@ class DedupPipeline:
         groups_exact = self._stage("groups_exact", lambda: exact_groups(sigs))
 
         def build_edges() -> ray.data.Dataset:
-            # one candidate pass over the UNION of bucket families
-            # (minhash band keys + simhash block keys live in disjoint
-            # key spaces modulo a ~2^-46 collision, and every candidate
-            # is verified anyway) — halves the shuffle count vs separate
-            # minhash/simhash passes, and one merged verify attaches
-            # both signatures in two joins instead of four.
-            e_exact = exact_star_edges(sigs, self.results.get("groups_exact"), np_)
+            # ONE candidate pass over the union of all three bucket
+            # families — content-sha (exact), minhash bands, simhash
+            # Manku tables. Family key spaces are 64-bit mixed hashes;
+            # a cross-family collision only merges two candidate buckets
+            # and every candidate is verified, so correctness is
+            # unaffected. The merged verifier attaches (sha, minhash,
+            # simhash) per side in two joins and emits exact / minhash /
+            # simhash edges from one pass — versus three separate
+            # candidate+verify pipelines (~3x the shuffle barriers).
             bands = explode_minhash_bands(sigs, cfg)
             blocks = explode_simhash_blocks(sigs, cfg)
-            buckets = bands.union(blocks).materialize()
+            shas = explode_sha_buckets(sigs)
+            buckets = bands.union(blocks).union(shas).materialize()
             pairs = candidate_pairs(buckets, cfg, np_)
-            e_near = verify_pairs(pairs, sigs, cfg, np_)
-            return e_exact.union(e_near)
+            return verify_pairs(pairs, sigs, cfg, np_)
 
         edges = self._stage("edges", build_edges)
 

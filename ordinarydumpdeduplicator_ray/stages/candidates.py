@@ -1,41 +1,64 @@
 """Candidate generation: LSH band explode, SimHash block explode, and
-skew-aware pair emission.
+skew-aware sorted-run pair emission.
 
 This generalizes the reference's exact-key grouping
 (``DataControllerSimple.GetDuplicates``, ``DataControllerSimple.cs:247-304``)
 to similarity bucket keys (SURVEY.md §2.4 "LSH candidate generation").
 
-Skew design (north rule: explicit hot-key handling): bucket keys on web
-data are Zipfian (boilerplate). Pair emission therefore splits buckets by
-size using a vectorized count aggregate:
+Pair-emission design (ONE shuffle, skew-safe):
 
-- **cold buckets** (2 <= n <= ``max_group_pairs``): a hash-shuffle
-  self-join emits all C(n,2) pairs — fully vectorized (Acero), blowup
-  bounded by the cap squared;
-- **hot buckets** (n > cap): explicitly SALTED (north rule) — each hot
-  bucket splits into ``salt_buckets`` sub-buckets by url hash so no
-  single reducer ever holds a full boilerplate cluster; each sub-bucket
-  emits O(n) star-to-canonical + sorted-chain pairs, and a second (tiny)
-  pass chains the per-sub-bucket minimum urls so the cluster stays
-  connected across salts.
+1. ``sort(["bucket", "url"])`` — the only all-to-all move. After it,
+   each bucket's rows are globally contiguous; a bucket either sits
+   entirely inside one sorted block or spans a chain of adjacent blocks.
+2. A map-only pass over whole sorted blocks emits, fully vectorized:
+   - **interior cold runs** (2 <= n <= ``max_group_pairs``): all C(n,2)
+     pairs (``np.triu_indices``);
+   - **interior hot runs** (n > cap): O(n) star-to-min + sorted-chain
+     pairs — the block boundary IS the salt: no reducer ever holds more
+     than one block of a boilerplate bucket (north rule's explicit
+     hot-key/skew handling, with range partitioning as the salt);
+   - **edge runs** (touching a block border, so possibly continuing in
+     the neighbor block): hot fragments emit their chain+star locally;
+     cold fragments defer to reconciliation. Every edge run also emits
+     one tiny summary row (first/last/count + the member list when
+     small).
+3. Driver-side reconciliation over the summary rows (at most two per
+   sorted block — independent of data size): buckets whose total count
+   is <= cap get their full C(n,2); larger ones get per-fragment chains
+   plus the boundary links ``last(frag_k) -> first(frag_k+1)``, which
+   reconstructs the bucket's full sorted chain exactly.
+4. Distinct across bands: one sort on (url_a, url_b) + block-local
+   vectorized de-duplication (a grouped aggregate here would pay
+   per-group Python overhead for ~one group per pair).
 
-No stage materializes all-pairs; everything streams through groupby /
-join shuffles keyed on the bucket key.
+No stage materializes all-pairs; hot-bucket emission is O(n).
 """
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
-
 from ordinarydumpdeduplicator_ray.config import DedupConfig
 from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows
 from ordinarydumpdeduplicator_ray.functions.simhash import simhash_block_keys
-from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+_SEP = "\x1f"
+
+_EMIT_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("fbucket", pa.int64()),
+        ("f_first", pa.string()),
+        ("f_last", pa.string()),
+        ("f_n", pa.int64()),
+        ("f_urls", pa.string()),   # _SEP-joined, "" for hot fragments
+    ]
+)
+
+_PAIRS_SCHEMA = pa.schema([("url_a", pa.string()), ("url_b", pa.string())])
 
 
 def _minhash_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -76,10 +99,12 @@ def explode_minhash_bands(signatures: ray.data.Dataset, config: DedupConfig) -> 
 
 
 def explode_simhash_blocks(signatures: ray.data.Dataset, config: DedupConfig) -> ray.data.Dataset:
-    """signatures -> (bucket, url) rows, one per (row, simhash block).
-    Pairs within Hamming distance <= blocks-1 share at least one block
-    (pigeonhole), so block-bucket grouping catches them all."""
+    """signatures -> (bucket, url) rows, one per (row, Manku table): keys
+    are 3-block combinations of a 6-block split (functions.simhash), so
+    every pair within the Hamming ball shares a table key and chance
+    collisions stay ~n^2 / 2^32 instead of n^2 / 2^17."""
     blocks = config.simhash_blocks
+    clean = config.simhash_clean_blocks
 
     def explode(batch: pa.Table) -> pa.Table:
         col = batch["simhash"].to_pylist()
@@ -89,33 +114,125 @@ def explode_simhash_blocks(signatures: ray.data.Dataset, config: DedupConfig) ->
                              "url": pa.array([], type=pa.string())})
         sims = np.array([col[i] for i in idx], dtype=np.uint64)
         urls = np.asarray(batch["url"].to_pylist(), dtype=object)[idx]
-        keys = simhash_block_keys(sims, blocks)
+        keys = simhash_block_keys(sims, blocks, clean)
         return pa.table(
             {
                 "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, blocks), type=pa.string()),
+                "url": pa.array(np.repeat(urls, keys.shape[1]), type=pa.string()),
             }
         )
 
     return signatures.map_batches(explode, batch_format="pyarrow")
 
 
-def _chain_star_pairs(group: pa.Table) -> pa.Table:
-    """O(n) pair emission for one hot bucket: star to min url + sorted
-    chain — preserves connectivity without C(n,2) blowup. Arrow in/out so
-    hot-path blocks union cleanly with the cold self-join's blocks."""
-    urls = np.sort(np.asarray(group["url"].to_pylist(), dtype=object))
-    if len(urls) < 2:
-        return pa.table({"url_a": pa.array([], type=pa.string()),
-                         "url_b": pa.array([], type=pa.string())})
-    star_a = np.repeat(urls[0], len(urls) - 1)
-    star_b = urls[1:]
-    chain_a = urls[1:-1]
-    chain_b = urls[2:]
+def _all_pairs(run: np.ndarray, out_a: list, out_b: list) -> None:
+    i, j = np.triu_indices(len(run), k=1)
+    out_a.append(run[i])
+    out_b.append(run[j])
+
+
+def _chain_star(run: np.ndarray, out_a: list, out_b: list) -> None:
+    """O(n) emission for one (fragment of a) hot bucket, already url-
+    sorted: star to the fragment's min + the sorted chain."""
+    out_a.append(np.repeat(run[0], len(run) - 1))
+    out_b.append(run[1:])
+    out_a.append(run[1:-1])
+    out_b.append(run[2:])
+
+
+def _emit_table(out_a: list, out_b: list, frags: list) -> pa.Table:
+    n_pairs = sum(len(a) for a in out_a)
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=object)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=object)
+    n_frags = len(frags)
     return pa.table(
         {
-            "url_a": pa.array(np.concatenate([star_a, chain_a]), type=pa.string()),
-            "url_b": pa.array(np.concatenate([star_b, chain_b]), type=pa.string()),
+            "url_a": pa.array(list(a) + [None] * n_frags, type=pa.string()),
+            "url_b": pa.array(list(b) + [None] * n_frags, type=pa.string()),
+            "fbucket": pa.array([None] * n_pairs + [f[0] for f in frags], type=pa.int64()),
+            "f_first": pa.array([None] * n_pairs + [f[1] for f in frags], type=pa.string()),
+            "f_last": pa.array([None] * n_pairs + [f[2] for f in frags], type=pa.string()),
+            "f_n": pa.array([None] * n_pairs + [f[3] for f in frags], type=pa.int64()),
+            "f_urls": pa.array([None] * n_pairs + [f[4] for f in frags], type=pa.string()),
+        }
+    )
+
+
+def _make_block_emitter(cap: int):
+    def emit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _EMIT_SCHEMA.empty_table()
+        buckets = np.asarray(t["bucket"].combine_chunks().to_numpy(zero_copy_only=False))
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        starts = np.concatenate([[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        lens = ends - starts
+        out_a: list = []
+        out_b: list = []
+        frags: list = []
+        # only multi-member runs and the two edge runs matter; singleton
+        # interior runs (the vast majority) are skipped wholesale
+        interesting = np.flatnonzero((lens >= 2))
+        edge_idx = {0, len(starts) - 1}
+        for ri in set(interesting.tolist()) | edge_idx:
+            s, e, m = int(starts[ri]), int(ends[ri]), int(lens[ri])
+            run = urls[s:e]
+            if ri not in edge_idx:
+                if m <= cap:
+                    _all_pairs(run, out_a, out_b)
+                else:
+                    _chain_star(run, out_a, out_b)
+                continue
+            # edge run: may continue in a neighboring sorted block
+            if m > cap:
+                _chain_star(run, out_a, out_b)
+                joined = ""
+            else:
+                joined = _SEP.join(run)   # cold fragment: defer, ship members
+            frags.append((int(buckets[s]), str(run[0]), str(run[-1]), m, joined))
+        return _emit_table(out_a, out_b, frags)
+
+    return emit
+
+
+def _reconcile_fragments(frag_rows: list[dict], cap: int) -> pa.Table:
+    """Driver-side pass over the per-block edge-run summaries (at most
+    two per sorted block): stitch fragments of the same bucket back
+    together deterministically."""
+    by_bucket: dict[int, list] = {}
+    for r in frag_rows:
+        by_bucket.setdefault(r["fbucket"], []).append(r)
+    out_a: list = []
+    out_b: list = []
+    for frs in by_bucket.values():
+        frs.sort(key=lambda r: r["f_first"])   # global url order
+        total = sum(r["f_n"] for r in frs)
+        if total < 2:
+            continue
+        if total <= cap:
+            # every fragment is cold (f_n <= total <= cap) -> members known
+            members = np.asarray(
+                [u for r in frs for u in r["f_urls"].split(_SEP)], dtype=object
+            )
+            _all_pairs(members, out_a, out_b)
+            continue
+        # hot overall: cold fragments emitted nothing locally -> give them
+        # their chain+star now; then add the boundary links, which turn
+        # the per-fragment chains into the bucket's full sorted chain
+        for r in frs:
+            if r["f_n"] <= cap and r["f_n"] >= 2:
+                _chain_star(np.asarray(r["f_urls"].split(_SEP), dtype=object),
+                            out_a, out_b)
+        for prev, nxt in zip(frs, frs[1:]):
+            out_a.append(np.asarray([prev["f_last"]], dtype=object))
+            out_b.append(np.asarray([nxt["f_first"]], dtype=object))
+    if not out_a:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "url_a": pa.array(np.concatenate(out_a), type=pa.string()),
+            "url_b": pa.array(np.concatenate(out_b), type=pa.string()),
         }
     )
 
@@ -126,63 +243,80 @@ def candidate_pairs(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """(bucket, url) rows -> distinct candidate (url_a, url_b) pairs,
-    url_a < url_b. See module docstring for the cold/hot split."""
+    url_a < url_b. See module docstring for the sorted-run design."""
     cap = config.max_group_pairs
+    sorted_rows = bucket_rows.sort(["bucket", "url"]).materialize()
+    emitted = sorted_rows.map_batches(
+        _make_block_emitter(cap), batch_format="pyarrow", batch_size=None
+    ).materialize()
 
-    counts = bucket_rows.groupby("bucket").aggregate(Count(alias_name="n")).materialize()
-    dup_keys = counts.filter(expr=f"n >= 2 and n <= {cap}").drop_columns(["n"])
-    hot_keys = counts.filter(expr=f"n > {cap}").drop_columns(["n"]).materialize()
+    def pair_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_valid(t["url_a"]))
+        return keep.select(["url_a", "url_b"])
 
-    bucket_url = pa.schema([("bucket", pa.int64()), ("url", pa.string())])
-    # cold: semi-join rows onto small dup buckets, then self-join
-    cold_rows = inner_join(bucket_rows, dup_keys, on=("bucket",),
-                           num_partitions=num_partitions, empty_schema=bucket_url)
-    left = cold_rows.map_batches(
-        lambda t: pa.table({"bucket": t["bucket"], "url_a": t["url"]}),
-        batch_format="pyarrow",
-    )
-    right = cold_rows.map_batches(
-        lambda t: pa.table({"bucket": t["bucket"], "url_b": t["url"]}),
-        batch_format="pyarrow",
-    )
-    pairs = inner_join(
-        left, right, on=("bucket",), num_partitions=num_partitions,
-        empty_schema=pa.schema([("bucket", pa.int64()), ("url_a", pa.string()),
-                                ("url_b", pa.string())]),
-    ).filter(expr="url_a < url_b").drop_columns(["bucket"])
+    def frag_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_null(t["url_a"]))
+        return keep.select(["fbucket", "f_first", "f_last", "f_n", "f_urls"])
 
-    # hot: few giant buckets -> salt into sub-buckets, O(n) chain+star
-    # per sub-bucket, then link sub-bucket minima (connectivity)
-    if hot_keys.count() > 0:
-        n_salts = config.salt_buckets
-        hot_rows = inner_join(bucket_rows, hot_keys, on=("bucket",),
-                              num_partitions=num_partitions, empty_schema=bucket_url)
+    pairs = emitted.map_batches(pair_rows, batch_format="pyarrow")
+    frags = emitted.map_batches(frag_rows, batch_format="pyarrow").take_all()
+    if frags:
+        pairs = pairs.union(ray.data.from_arrow(_reconcile_fragments(frags, cap)))
 
-        def add_salt(t: pa.Table) -> pa.Table:
-            salts = np.asarray(
-                [zlib.crc32(u.encode()) % n_salts for u in t["url"].to_pylist()],
-                dtype=np.int64,
-            )
-            return t.append_column("salt", pa.array(salts, type=pa.int64()))
+    # canonical order + distinct across bands (vectorized count aggregate)
+    def canon(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        swap = pc.greater(t["url_a"], t["url_b"])
+        a = pc.if_else(swap, t["url_b"], t["url_a"])
+        b = pc.if_else(swap, t["url_a"], t["url_b"])
+        keep = pc.less(a, b)
+        return pa.table({"url_a": a, "url_b": b}).filter(keep)
 
-        salted = hot_rows.map_batches(add_salt, batch_format="pyarrow")
-        pairs_sub = salted.groupby(["bucket", "salt"]).map_groups(
-            _chain_star_pairs, batch_format="pyarrow"
-        )
-        minima = salted.groupby(["bucket", "salt"]).aggregate(
-            Min("url", alias_name="url")
-        )
-        pairs_link = minima.groupby("bucket").map_groups(
-            _chain_star_pairs, batch_format="pyarrow"
-        )
-        pairs = pairs.union(pairs_sub).union(pairs_link)
-
-    pairs = pairs.materialize()
+    pairs = pairs.map_batches(canon, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         return pairs
-    # distinct across buckets/bands — vectorized count aggregate, not map_groups
+    # distinct across bands: sort brings all copies of a pair together,
+    # then each block drops its local duplicates vectorized. (A groupby
+    # aggregate here pays per-group Python overhead for ~one group per
+    # pair — orders of magnitude slower.) A pair whose copies straddle a
+    # block border can survive once per border — at most one duplicate
+    # row per sorted block, harmless downstream (identical edges).
+    def local_unique(t: pa.Table) -> pa.Table:
+        if len(t) < 2:
+            return t
+        a = np.asarray(t["url_a"].to_pylist(), dtype=object)
+        b = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return t.filter(pa.array(keep))
+
     return (
-        pairs.groupby(["url_a", "url_b"])
-        .aggregate(Count(alias_name="n_buckets"))
-        .drop_columns(["n_buckets"])
+        pairs.sort(["url_a", "url_b"])
+        .map_batches(local_unique, batch_format="pyarrow", batch_size=None)
     )
+
+
+def explode_sha_buckets(signatures: ray.data.Dataset) -> ray.data.Dataset:
+    """signatures -> (bucket, url) rows keyed on the content hash (first
+    8 bytes of text_sha256), one per valid row. Feeds exact-duplicate
+    pairs through the same sorted-run machinery as the similarity
+    families — the merged verifier re-checks full-sha equality, so a
+    64-bit truncation collision can never produce a false exact edge."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        shas = batch["text_sha256"].to_pylist()
+        urls = batch["url"].to_pylist()
+        keys, out_urls = [], []
+        for sha, url in zip(shas, urls):
+            if sha is None:
+                continue
+            keys.append(int.from_bytes(sha[:8], "little", signed=True))
+            out_urls.append(url)
+        return pa.table(
+            {
+                "bucket": pa.array(keys, type=pa.int64()),
+                "url": pa.array(out_urls, type=pa.string()),
+            }
+        )
+
+    return signatures.map_batches(explode, batch_format="pyarrow")

@@ -36,13 +36,13 @@ def _sizes(t: pa.Table, copies: str = "n_copies", size: str = "n_bytes") -> pa.T
 def exact_groups(signatures: ray.data.Dataset) -> ray.data.Dataset:
     """signatures -> exact duplicate groups (n_copies > 1), keyed by the
     hex text_sha256. Empty rows form their own group (EmptyBlobInfo
-    semantics); broken rows are excluded before grouping."""
+    semantics); broken rows are excluded before grouping. Grouping runs
+    as a sorted-run aggregate (stages/grouped.py) — one sort, vectorized
+    per-run partials, driver-side merge of block-edge runs."""
+    from ordinarydumpdeduplicator_ray.stages.grouped import exact_group_aggregates
+
     valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
-    agg = valid.groupby("text_sha256").aggregate(
-        Count(alias_name="n_copies"),
-        Min("url", alias_name="canonical_url"),
-        Min("n_bytes", alias_name="n_bytes"),  # identical content => identical size
-    )
+    agg = exact_group_aggregates(valid)
     dups = agg.filter(expr="n_copies > 1")
 
     def finish(t: pa.Table) -> pa.Table:

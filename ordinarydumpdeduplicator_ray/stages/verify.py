@@ -60,23 +60,27 @@ def verify_pairs(
     """Merged verification for candidates from BOTH bucket families
     (minhash bands + simhash blocks in one candidate pass): attach
     (minhash, simhash) per side in two joins instead of four, then emit
-    a 'minhash' edge when the Jaccard estimate clears the threshold and
-    a 'simhash' edge when the Hamming ball admits the pair. Fully
+    an 'exact' edge when the full content hashes agree, a 'minhash' edge
+    when the Jaccard estimate clears the threshold and a 'simhash' edge
+    when the Hamming ball admits the pair. Fully
     vectorized — signature matrices are stacked per batch, no per-pair
     Python in the comparison."""
     thr = config.jaccard_threshold - config.verify_margin
     max_h = config.simhash_max_hamming
     base = [("url_a", pa.string()), ("url_b", pa.string())]
+    a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary())]
+    b_cols = [("mh_b", pa.binary()), ("sh_b", pa.uint64()), ("sha_b", pa.binary())]
     with_a = _attach(
-        pairs, signatures, "a", {"minhash": "mh_a", "simhash": "sh_a"},
+        pairs, signatures, "a",
+        {"minhash": "mh_a", "simhash": "sh_a", "text_sha256": "sha_a"},
         num_partitions,
-        pa.schema(base + [("mh_a", pa.binary()), ("sh_a", pa.uint64())]),
+        pa.schema(base + a_cols),
     )
     with_ab = _attach(
-        with_a, signatures, "b", {"minhash": "mh_b", "simhash": "sh_b"},
+        with_a, signatures, "b",
+        {"minhash": "mh_b", "simhash": "sh_b", "text_sha256": "sha_b"},
         num_partitions,
-        pa.schema(base + [("mh_a", pa.binary()), ("sh_a", pa.uint64()),
-                          ("mh_b", pa.binary()), ("sh_b", pa.uint64())]),
+        pa.schema(base + a_cols + b_cols),
     )
     empty = pa.schema(
         base + [("source", pa.string()), ("jaccard", pa.float64())]
@@ -105,7 +109,15 @@ def verify_pairs(
         hd = hamming_distance(sh_a, sh_b)
         sh_keep = sh_valid & (hd <= max_h)
 
+        sha_a, sha_b = t["sha_a"].to_pylist(), t["sha_b"].to_pylist()
+        ex_keep = np.array(
+            [x is not None and x == y for x, y in zip(sha_a, sha_b)]
+        )
+
         urls = t.select(["url_a", "url_b"])
+        out_ex = urls.take(np.nonzero(ex_keep)[0]) \
+            .append_column("source", pa.array(["exact"] * int(ex_keep.sum()))) \
+            .append_column("jaccard", pa.array([1.0] * int(ex_keep.sum()), type=pa.float64()))
         out_mh = urls.take(np.nonzero(mh_keep)[0]) \
             .append_column("source", pa.array(["minhash"] * int(mh_keep.sum()))) \
             .append_column("jaccard", pa.array(est[mh_keep], type=pa.float64()))
@@ -113,6 +125,6 @@ def verify_pairs(
         out_sh = urls.take(np.nonzero(sh_keep)[0]) \
             .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()))) \
             .append_column("jaccard", pa.array(sim, type=pa.float64()))
-        return pa.concat_tables([out_mh, out_sh])
+        return pa.concat_tables([out_ex, out_mh, out_sh])
 
     return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -150,12 +150,20 @@ class TestSimHash:
         assert hamming_distance(sh[0:1], sh[2:3])[0] < hamming_distance(sh[0:1], sh[3:4])[0]
 
     def test_block_keys_cover_hamming_ball(self):
-        # distance 3 < 4 blocks -> at least one identical block
-        a = np.uint64(0b1111000011110000)
-        b = a ^ np.uint64((1 << 0) | (1 << 20) | (1 << 63))
-        ka = simhash_block_keys(np.array([a]), 4)[0]
-        kb = simhash_block_keys(np.array([b]), 4)[0]
-        assert (ka == kb).any()
+        # Manku guarantee: any <=3 bit flips leave >=3 of 6 blocks clean,
+        # so at least one 3-block table key must match. Exhaustive-ish
+        # check over seeded random flip triples.
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            a = np.uint64(rng.integers(0, 2**63, dtype=np.uint64))
+            flips = rng.choice(64, size=rng.integers(1, 4), replace=False)
+            b = a
+            for f in flips:
+                b = b ^ np.uint64(1 << int(f))
+            ka = simhash_block_keys(np.array([a]), 6, 3)[0]
+            kb = simhash_block_keys(np.array([b]), 6, 3)[0]
+            assert (ka == kb).any(), f"missed pair at flips {flips}"
+        # and distance 4 pairs are NOT guaranteed (but may collide)
 
     def test_empty_zero(self):
         sh = simhash_flat(np.empty(0, dtype=np.uint64), np.array([0, 0], dtype=np.int64))

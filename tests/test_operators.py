@@ -219,7 +219,7 @@ class TestSaltedHotBuckets:
                 "url": pa.array(urls, type=pa.string()),
             }
         )
-        cfg = DedupConfig(max_group_pairs=64, salt_buckets=8)
+        cfg = DedupConfig(max_group_pairs=64)
         pairs = candidate_pairs(
             ray.data.from_arrow(bucket_rows), cfg, num_partitions=4
         ).take_all()
