@@ -28,7 +28,7 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "30000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "480000"))
 
 
 def _init_ray(num_cpus: int) -> None:
