@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_vec0": q.knn_cosine_vec0,
         "embedding_near_dup": q.embedding_near_dup_pairs,
         "top_dup_groups": q.top_dup_groups,
+        "dup_rollup_levels": q.dup_rollup_levels,
         "group_flags": q.group_flags,
         "user_session_stats": q.user_session_stats,
         # --- rows-only (non-SQL-expressible operators) ------------------
@@ -194,6 +195,23 @@ SELECT group_key, n_copies, n_bytes,
 FROM g
 ORDER BY dup_data_size DESC, group_key
 LIMIT 10
+""",
+        "dup_rollup_levels": f"""
+WITH {_PAGES_HOST_CTE},
+g AS (
+  SELECT url, source, text,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+),
+d AS (SELECT url, source, strlen(text) AS nb FROM g WHERE n > 1 AND url <> canon)
+SELECT 1 AS level, 'https://' || source || '.example' AS prefix,
+       count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
+FROM d GROUP BY source
+UNION ALL
+SELECT 2 AS level, url AS prefix,
+       count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
+FROM d GROUP BY url
 """,
         "group_flags": f"""
 WITH {_PAGES_CTE},

@@ -676,3 +676,51 @@ def user_session_stats(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
         )
 
     return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical prefix rollup (DuplicateReport.cs:114-203 analogue):
+    duplicate footprint aggregated at every url-prefix level — level 1 =
+    host, level 2 = the full page path. The reference builds a recursive
+    directory tree from this; relationally it is one groupby per prefix
+    level, and the (small) aggregated result can be assembled into any
+    tree driver-side."""
+    extracted = _extracted(dup_corpus(sf_dir, with_source_host=True)).materialize()
+    actions = _exact_actions(extracted)
+    sizes = extracted.map_batches(
+        lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
+    )
+    dups = actions.filter(expr="action != 'keep'")
+    joined = inner_join(
+        dups, sizes, on=("url",), num_partitions=NUM_PARTITIONS,
+        empty_schema=pa.schema([
+            ("url", pa.string()), ("action", pa.string()),
+            ("group_key", pa.string()), ("n_bytes", pa.int64()),
+        ]),
+    )
+
+    def explode_levels(t: pa.Table) -> pa.Table:
+        from urllib.parse import urlparse
+
+        levels, prefixes, nbs = [], [], []
+        for url, nb in zip(t["url"].to_pylist(), t["n_bytes"].to_pylist()):
+            p = urlparse(url)
+            levels.append(1)
+            prefixes.append(f"{p.scheme}://{p.netloc}")
+            nbs.append(nb)
+            levels.append(2)
+            prefixes.append(url)
+            nbs.append(nb)
+        return pa.table(
+            {
+                "level": pa.array(levels, type=pa.int64()),
+                "prefix": pa.array(prefixes, type=pa.string()),
+                "n_bytes": pa.array(nbs, type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(explode_levels, batch_format="pyarrow")
+        .groupby(["level", "prefix"])
+        .aggregate(Count(alias_name="n_dup_pages"), Sum("n_bytes", alias_name="dup_bytes"))
+    )

@@ -245,3 +245,21 @@ class TestCombine:
         k1 = combine_hash_rows(m, salt=1)
         assert k0[0] == k0[1]
         assert (k0 != k1).all()
+
+
+class TestFormat:
+    def test_human_size(self):
+        from ordinarydumpdeduplicator_ray.functions.format import human_size
+
+        assert human_size(0) == "0 B"
+        assert human_size(1023) == "1023 B"
+        assert human_size(1024) == "1.0 KiB"
+        assert human_size(1536) == "1.5 KiB"
+        assert human_size(1024 ** 2 * 3 // 2) == "1.5 MiB"
+        assert human_size(1024 ** 4) == "1.0 TiB"
+
+    def test_human_duration(self):
+        from ordinarydumpdeduplicator_ray.functions.format import human_duration
+
+        assert human_duration(0) == "00:00:00.00"
+        assert human_duration(3723.5) == "01:02:03.50"
