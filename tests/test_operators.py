@@ -248,3 +248,40 @@ class TestSaltedHotBuckets:
         ).take_all()
         got = sorted((p["url_a"], p["url_b"]) for p in pairs)
         assert got == [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e")]
+
+
+class TestLabelPropagation:
+    def test_matches_driver_union_find(self, ray_session):
+        """The distributed components path must agree with the
+        driver-side union-find on the same edges."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import (
+            components_from_edges,
+            label_propagation,
+        )
+
+        edges = pa.table(
+            {
+                "url_a": pa.array(
+                    ["a", "b", "x", "m", "m", "p"], type=pa.string()
+                ),
+                "url_b": pa.array(
+                    ["b", "c", "y", "n", "o", "q"], type=pa.string()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(edges)
+        uf = sorted(
+            (r["url"], r["component_id"])
+            for r in components_from_edges(ds).to_pylist()
+        )
+        lp = sorted(
+            (r["url"], r["component_id"])
+            for r in label_propagation(ds).take_all()
+        )
+        assert uf == lp
+        # components: {a,b,c}, {x,y}, {m,n,o}, {p,q}
+        comp = dict(uf)
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["x"] == comp["y"] == "x"
+        assert comp["m"] == comp["n"] == comp["o"] == "m"
