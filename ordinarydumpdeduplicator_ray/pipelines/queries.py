@@ -724,3 +724,32 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
         .groupby(["level", "prefix"])
         .aggregate(Count(alias_name="n_dup_pages"), Sum("n_bytes", alias_name="dup_bytes"))
     )
+
+
+def page_locations(sf_dir: str) -> ray.data.Dataset:
+    """Longest-prefix location resolution (J2/J3:
+    DataControllerSimple.GetDataLocations / MakeDuplicatesSet,
+    DataControllerSimple.cs:105-159,425-438): map every page url to its
+    owning registered data location. The locations list is tiny, so it
+    is broadcast once (ray.put) and matched inside map_batches —
+    a shuffle join here would move the whole pages table for a
+    lookup against a handful of prefixes."""
+    import ray
+
+    locations = ["testdata://documents/0000", "testdata://documents/"]
+    loc_ref = ray.put(sorted(locations, key=len, reverse=True))
+
+    class Resolver:
+        def __init__(self):
+            self.locations = ray.get(loc_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            loc = pa.nulls(len(t), type=pa.string())
+            for prefix in self.locations:  # longest first
+                hit = pc.and_(pc.starts_with(t["url"], prefix), pc.is_null(loc))
+                loc = pc.if_else(hit, pa.scalar(prefix), loc)
+            return pa.table({"url": t["url"], "location": loc})
+
+    return dup_corpus(sf_dir).map_batches(
+        Resolver, batch_format="pyarrow", batch_size=4096, concurrency=2
+    )
