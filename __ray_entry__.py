@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_locations": q.page_locations,
         # --- rows-only (non-SQL-expressible operators) ------------------
         "near_dup_components": q.near_dup_components,
+        "near_dup_components_distributed": q.near_dup_components_distributed,
+        "all_dup_groups": q.all_dup_groups,
         "near_dup_groups": q.near_dup_groups,
         "minhash_edges": q.minhash_edges,
         "simhash_edges": q.simhash_edges,

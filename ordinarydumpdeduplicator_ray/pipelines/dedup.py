@@ -37,7 +37,7 @@ from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
 from ordinarydumpdeduplicator_ray.stages.verify import verify_pairs
 from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
-from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges
+from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges, label_propagation
 
 
 class DedupPipeline:
@@ -52,6 +52,10 @@ class DedupPipeline:
         self.config = config or DedupConfig()
         self.checkpoint_dir = checkpoint_dir
         self.num_partitions = num_partitions
+        # edges-count threshold for driver-side union-find vs
+        # distributed label propagation (both produce identical labels —
+        # tests/test_operators.py::TestLabelPropagation)
+        self.max_driver_edges = 50_000_000
         self._input: str | ray.data.Dataset | None = None
         self._fingerprint: str | None = None
         self.results: dict[str, ray.data.Dataset] = {}
@@ -134,7 +138,15 @@ class DedupPipeline:
         edges = self._stage("edges", build_edges)
 
         def build_components() -> ray.data.Dataset:
-            return ray.data.from_arrow(components_from_edges(edges))
+            # driver-side weighted union-find while the (deduplicated)
+            # edge list fits comfortably on the driver; the distributed
+            # min-label-propagation path takes over beyond that — at
+            # 10^12 docs the edges table is itself huge, but each
+            # iteration is a vectorized join+groupby with no driver
+            # state (state/unionfind.py).
+            if edges.count() <= self.max_driver_edges:
+                return ray.data.from_arrow(components_from_edges(edges))
+            return label_propagation(edges)
 
         components = self._stage("components", build_components)
         groups_near = self._stage(

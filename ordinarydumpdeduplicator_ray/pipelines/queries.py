@@ -753,3 +753,52 @@ def page_locations(sf_dir: str) -> ray.data.Dataset:
     return dup_corpus(sf_dir).map_batches(
         Resolver, batch_format="pyarrow", batch_size=4096, concurrency=2
     )
+
+
+def near_dup_components_distributed(sf_dir: str) -> ray.data.Dataset:
+    """Connected components via distributed min-label propagation over
+    the flagship's edges — the scale path used automatically when the
+    edge list outgrows the driver (DedupPipeline.max_driver_edges).
+    Must agree with the driver-side union-find labels."""
+    from ordinarydumpdeduplicator_ray.state.unionfind import label_propagation
+
+    return label_propagation(_flagship(sf_dir)["edges"])
+
+
+def all_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """Union of the exact-group set and the near-dup group set, distinct
+    by group identity with the near-dup (superset) entry winning — J5
+    (DuplicatesProcessor.GetFilesToReport union semantics,
+    DuplicatesProcessor.cs:322-335)."""
+    out = _flagship(sf_dir)
+    exact = out["groups_exact"].map_batches(
+        lambda t: pa.table(
+            {
+                "canonical_url": t["canonical_url"],
+                "n_copies": t["n_copies"],
+                "n_bytes": t["n_bytes"],
+                "kind": pa.array(["exact"] * len(t), type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    near = out["groups_near"].map_batches(
+        lambda t: pa.table(
+            {
+                "canonical_url": t["canonical_url"],
+                "n_copies": t["n_copies"],
+                "n_bytes": t["n_bytes"],
+                "kind": pa.array(["near"] * len(t), type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_near(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_pylist()
+        pick = kinds.index("near") if "near" in kinds else 0
+        return g.slice(pick, 1)
+
+    return near.union(exact).groupby("canonical_url").map_groups(
+        keep_near, batch_format="pyarrow"
+    )
