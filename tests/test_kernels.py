@@ -263,3 +263,75 @@ class TestFormat:
 
         assert human_duration(0) == "00:00:00.00"
         assert human_duration(3723.5) == "01:02:03.50"
+
+
+class TestMinhashProperties:
+    def test_flat_matches_per_row_reference(self):
+        """minhash_flat must equal the obvious per-row implementation
+        for random shingle sets (hypothesis-style seeded sweep)."""
+        from ordinarydumpdeduplicator_ray.functions.minhash import (
+            make_permutations,
+            minhash_flat,
+        )
+
+        rng = np.random.default_rng(11)
+        a, b = make_permutations(32, 42)
+        for trial in range(25):
+            sizes = rng.integers(0, 40, size=rng.integers(1, 8))
+            rows = [
+                rng.integers(0, 2**63, size=s, dtype=np.uint64) for s in sizes
+            ]
+            flat = (
+                np.concatenate(rows) if any(len(r) for r in rows)
+                else np.empty(0, dtype=np.uint64)
+            )
+            offsets = np.cumsum([0] + [len(r) for r in rows])[:-1].astype(np.int64)
+            got = minhash_flat(flat, offsets, a, b)
+            for i, row in enumerate(rows):
+                if len(row) == 0:
+                    assert (got[i] == np.iinfo(np.uint64).max).all()
+                    continue
+                with np.errstate(over="ignore"):
+                    expect = np.min(
+                        a[:, None] * row[None, :] + b[:, None], axis=1
+                    )
+                assert (got[i] == expect).all(), f"trial {trial} row {i}"
+
+    def test_chunk_size_does_not_change_result(self):
+        from ordinarydumpdeduplicator_ray.functions.minhash import (
+            make_permutations,
+            minhash_flat,
+        )
+
+        rng = np.random.default_rng(5)
+        flat = rng.integers(0, 2**63, size=300, dtype=np.uint64)
+        offsets = np.array([0, 100, 120, 120, 290], dtype=np.int64)
+        a, b = make_permutations(128, 42)
+        ref = minhash_flat(flat, offsets, a, b, perm_chunk=128)
+        for chunk in (1, 4, 16, 50):
+            assert (minhash_flat(flat, offsets, a, b, perm_chunk=chunk) == ref).all()
+
+
+class TestSimhashProperties:
+    def test_bitpass_matches_naive(self):
+        """The 8-bits-per-pass simhash must equal the naive full-matrix
+        computation."""
+        from ordinarydumpdeduplicator_ray.functions.simhash import simhash_flat
+
+        rng = np.random.default_rng(3)
+        rows = [rng.integers(0, 2**63, size=s, dtype=np.uint64)
+                for s in (0, 1, 7, 33)]
+        flat = np.concatenate([r for r in rows if len(r)])
+        offsets = np.cumsum([0] + [len(r) for r in rows])[:-1].astype(np.int64)
+        got = simhash_flat(flat, offsets)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, row in enumerate(rows):
+            if len(row) == 0:
+                assert got[i] == 0
+                continue
+            bits = ((row[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            expect = np.uint64(0)
+            for k in range(64):
+                if 2 * int(bits[k]) > len(row):
+                    expect |= np.uint64(1) << np.uint64(k)
+            assert got[i] == expect, f"row {i}"
