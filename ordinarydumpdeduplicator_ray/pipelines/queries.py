@@ -30,6 +30,20 @@ from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
 Q_CONFIG = DedupConfig(sig_concurrency=4, batch_size=512)
 NUM_PARTITIONS = 8
 
+
+def _qcfg() -> DedupConfig:
+    """Session-adaptive config: the signature actor pool must leave CPUs
+    for shuffle aggregators, or a small ray.init(num_cpus=4) session
+    stalls waiting for resources."""
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return DedupConfig(
+        sig_concurrency=max(2, min(8, cpus // 2)), batch_size=512
+    )
+
 # One flagship run serves near_dup_components / near_dup_groups /
 # minhash_edges / substring spans: results are materialized Datasets
 # pinned in the object store, so caching per corpus dir is safe and
@@ -42,7 +56,7 @@ def _flagship(sf_dir: str) -> dict:
 
     out = _PIPELINE_CACHE.get(sf_dir)
     if out is None:
-        pipe = DedupPipeline(Q_CONFIG, num_partitions=NUM_PARTITIONS)
+        pipe = DedupPipeline(_qcfg(), num_partitions=NUM_PARTITIONS)
         out = pipe.run(dup_corpus(sf_dir, near=True))
         _PIPELINE_CACHE[sf_dir] = out
     return out
@@ -498,7 +512,7 @@ def substring_spans(sf_dir: str) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.spans import find_substring_spans
 
     return find_substring_spans(
-        dup_corpus(sf_dir, near=True), Q_CONFIG, NUM_PARTITIONS
+        dup_corpus(sf_dir, near=True), _qcfg(), NUM_PARTITIONS
     )
 
 

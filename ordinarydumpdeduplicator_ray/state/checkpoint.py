@@ -87,9 +87,15 @@ def write_stage(
     os.rename(tmp_dir, data_dir)  # atomic completion marker for the data
 
     n_rows = 0
-    for f in os.listdir(data_dir):
+    partitions = []
+    for f in sorted(os.listdir(data_dir)):
         if f.endswith(".parquet"):
-            n_rows += pq.read_metadata(os.path.join(data_dir, f)).num_rows
+            rows = pq.read_metadata(os.path.join(data_dir, f)).num_rows
+            n_rows += rows
+            partitions.append(
+                {"file": f, "rows": rows,
+                 "bytes": os.path.getsize(os.path.join(data_dir, f))}
+            )
     man = {
         "stage": stage,
         "run_id": run_id or uuid.uuid4().hex,
@@ -99,6 +105,10 @@ def write_stage(
         "wall_sec": round(wall, 3),
         "complete": True,
         "finished_at": time.time(),
+        # per-partition lineage: which files constitute this stage's
+        # output, so a resume (or an auditor) can verify the checkpoint
+        # partition-by-partition rather than trusting the flag
+        "partitions": partitions,
     }
     with open(manifest_path(ckpt_dir, stage), "w") as f:
         json.dump(man, f, indent=1)
