@@ -41,6 +41,36 @@ pages AS (
 )
 """
 
+_PAGES_DEEP_CTE = """
+pages AS (
+  SELECT 'https://' || source || '.example/s' || (doc_id % 7) || '/d' || (doc_id % 50)
+         || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example/s' || (doc_id % 7) || '/d' || (doc_id % 50)
+         || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-copy' AS url, text
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+# the two deterministic crawl snapshots (queries._snapshot_pages)
+_SNAP_PREV_CTE = """
+snap_prev AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         TIMESTAMP '2025-01-01 00:00:00' AS warc_ts, text
+  FROM documents WHERE doc_id % 11 <> 0
+)
+"""
+
+_SNAP_CUR_CTE = """
+snap_cur AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         TIMESTAMP '2025-01-02 00:00:00' AS warc_ts,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+)
+"""
+
 _EMB_CTE = """
 emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -80,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_flags": q.group_flags,
         "user_session_stats": q.user_session_stats,
         "page_locations": q.page_locations,
+        "snapshot_diff": q.snapshot_diff,
+        "latest_page_versions": q.latest_page_versions,
         # --- rows-only (non-SQL-expressible operators) ------------------
         "near_dup_components": q.near_dup_components,
         "near_dup_components_distributed": q.near_dup_components_distributed,
@@ -200,21 +232,45 @@ ORDER BY dup_data_size DESC, group_key
 LIMIT 10
 """,
         "dup_rollup_levels": f"""
-WITH {_PAGES_HOST_CTE},
+WITH {_PAGES_DEEP_CTE},
 g AS (
-  SELECT url, source, text,
+  SELECT url, text,
          count(*) OVER (PARTITION BY text) AS n,
          min(url) OVER (PARTITION BY text) AS canon
   FROM pages
 ),
-d AS (SELECT url, source, strlen(text) AS nb FROM g WHERE n > 1 AND url <> canon)
-SELECT 1 AS level, 'https://' || source || '.example' AS prefix,
-       count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
-FROM d GROUP BY source
-UNION ALL
-SELECT 2 AS level, url AS prefix,
-       count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
-FROM d GROUP BY url
+d AS (SELECT url, strlen(text) AS nb FROM g WHERE n > 1 AND url <> canon),
+parts AS (
+  SELECT url, nb, str_split(substr(url, 9), '/') AS segs FROM d
+),
+lv AS (
+  SELECT url, nb, CAST(u.gs AS BIGINT) AS level,
+         'https://' || array_to_string(segs[1:u.gs], '/') AS prefix
+  FROM parts, unnest(range(1, len(segs) + 1)) AS u(gs)
+)
+SELECT level, prefix, count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
+FROM lv GROUP BY 1, 2
+""",
+        "snapshot_diff": f"""
+WITH {_SNAP_PREV_CTE},
+{_SNAP_CUR_CTE}
+SELECT coalesce(c.url, p.url) AS url,
+       CASE WHEN p.sha_prev IS NULL THEN 'new'
+            WHEN c.sha_cur IS NULL THEN 'removed'
+            WHEN c.sha_cur = p.sha_prev THEN 'unchanged'
+            ELSE 'modified' END AS change_status,
+       p.sha_prev, c.sha_cur
+FROM (SELECT url, sha256(text) AS sha_cur FROM snap_cur) c
+FULL OUTER JOIN (SELECT url, sha256(text) AS sha_prev FROM snap_prev) p
+ON c.url = p.url
+""",
+        "latest_page_versions": f"""
+WITH {_SNAP_PREV_CTE},
+{_SNAP_CUR_CTE},
+allv AS (SELECT * FROM snap_prev UNION ALL SELECT * FROM snap_cur)
+SELECT url, warc_ts, sha256(text) AS sha
+FROM allv
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
 """,
         "group_flags": f"""
 WITH {_PAGES_CTE},

@@ -51,10 +51,10 @@ def _consume(res) -> int:
     return 0
 
 
-def run_flagship(pages, num_cpus: int) -> tuple[float, int]:
+def run_flagship(pages, num_cpus: int) -> tuple[float, int, dict]:
     """Full near-dup pipeline (sha256 + minhash/LSH + simhash ->
     union-find -> groups + actions) over a materialized pages dataset.
-    Returns (wall_sec, n_groups)."""
+    Returns (wall_sec, n_groups, per_stage_metrics)."""
     from ordinarydumpdeduplicator_ray.config import DedupConfig
     from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
 
@@ -62,15 +62,12 @@ def run_flagship(pages, num_cpus: int) -> tuple[float, int]:
         sig_concurrency=int(os.environ.get("GRAFT_SIG_CONC", max(2, num_cpus // 2))),
         batch_size=512,
     )
-    # measured sweet spot: ~cpus/2 shuffle partitions, capped — more
-    # partitions means more hash-shuffle aggregator actors per op, and
-    # the per-op spin-up dominates before partition parallelism pays off
-    nparts = int(os.environ.get("GRAFT_NPARTS", max(8, min(16, num_cpus // 2))))
+    nparts = int(os.environ.get("GRAFT_NPARTS", max(8, num_cpus // 2)))
     t0 = time.perf_counter()
     pipe = DedupPipeline(cfg, num_partitions=nparts)
     out = pipe.run(pages)
     n_groups = out["groups_near"].count()
-    return time.perf_counter() - t0, n_groups
+    return time.perf_counter() - t0, n_groups, pipe.metrics
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
@@ -106,7 +103,7 @@ def main_bench(sf_dir: str, num_cpus: int) -> dict:
     pages = q.dup_corpus(sf_dir, near=True).materialize()
     n_docs = pages.count()
 
-    wall, n_groups = run_flagship(pages, num_cpus)
+    wall, n_groups, _stages = run_flagship(pages, num_cpus)
     timings = {"near_dup_full": round(wall, 3)}
     timings.update(bench_queries(sf_dir))
 
@@ -140,13 +137,14 @@ def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
 
     pages = read_pages(pages_dir).materialize()
     n_docs = pages.count()
-    wall, n_groups = run_flagship(pages, num_cpus)
+    wall, n_groups, stages = run_flagship(pages, num_cpus)
     return {
         "num_cpus": num_cpus,
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
         "near_dup_groups": n_groups,
+        "stages": {k: v["wall_sec"] for k, v in stages.items()},
     }
 
 
@@ -181,6 +179,8 @@ def main_scaling(rows: int) -> dict:
         "docs_per_sec_8cpu": rate8,
         "docs_per_sec_32cpu": rate32,
         "scaling_efficiency": round(eff, 3),
+        "stages_8cpu": runs[8].get("stages", {}),
+        "stages_32cpu": runs[32].get("stages", {}),
     }
 
 

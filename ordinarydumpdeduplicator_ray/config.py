@@ -41,10 +41,14 @@ class DedupConfig:
 
     # --- verification / clustering --------------------------------------
     jaccard_threshold: float = 0.8     # duplicate definition (oracle + verify)
-    verify_margin: float = 0.1         # verify with est-jaccard >= thr - margin
+    verify_margin: float = 0.1         # uncertainty band around the threshold
     # pairs with estimated jaccard inside [thr - margin, thr + margin] are
-    # re-verified exactly on shingle sets (joined texts); outside it the
-    # 128-perm estimate is > 4 sigma from the threshold either way.
+    # re-verified exactly on shingle sets (stages/verify.py
+    # exact_jaccard_recheck — texts join back per side) when the verifier
+    # is given the pages table, as the flagship pipeline does; outside it
+    # the 128-perm estimate is > 4 sigma from the threshold either way.
+    # Without pages (bare verify_pairs call), acceptance falls back to
+    # est >= thr - margin, documented there.
 
     # --- substring spans (suffix array) ----------------------------------
     span_min_words: int = 30           # minimal common run length, in words
@@ -80,11 +84,21 @@ class DedupConfig:
                 "simhash banding guarantee needs blocks - clean >= max_hamming"
             )
 
+    # execution-only knobs: tuning them must NOT invalidate checkpoints
+    # (queries derive sig_concurrency from the session CPU count, so
+    # hashing them would make resumes machine-dependent)
+    _EXEC_FIELDS = ("batch_size", "sig_concurrency")
+
     def config_hash(self) -> str:
-        """Stable fingerprint of every semantic parameter — stamped into
-        checkpoint lineage manifests so a resume never mixes configs."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
-        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+        """Stable fingerprint of every SEMANTIC parameter — stamped into
+        checkpoint lineage manifests so a resume never mixes configs.
+        Execution-only fields (batch size, actor-pool size) are excluded:
+        they change scheduling, never results."""
+        payload = {k: v for k, v in asdict(self).items()
+                   if k not in self._EXEC_FIELDS}
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -31,8 +31,13 @@ from ordinarydumpdeduplicator_ray.stages.candidates import (
 )
 from ordinarydumpdeduplicator_ray.stages.groups import (
     component_groups,
-    exact_groups,
+    finalize_exact_groups,
 )
+from ordinarydumpdeduplicator_ray.stages.grouped import (
+    exact_group_index,
+    representative_signatures,
+)
+from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
 from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
 from ordinarydumpdeduplicator_ray.stages.verify import verify_pairs
@@ -116,24 +121,42 @@ class DedupPipeline:
         cfg, np_ = self.config, self.num_partitions
         sigs = self.results.get("signatures") or self.run_scan()
 
-        groups_exact = self._stage("groups_exact", lambda: exact_groups(sigs))
+        # ONE sort of the signatures by content hash yields both the
+        # exact-group aggregates AND the per-distinct-text representative
+        # sketches (stages/grouped.py): only representatives enter LSH
+        # band / SimHash block explosion, so exact copies (the dominant
+        # duplication mode on web crawls) never multiply through the
+        # 50+ similarity bucket families — they reach their component
+        # through the content-sha family alone.
+        index = self._stage(
+            "exact_index",
+            lambda: exact_group_index(
+                sigs.filter(expr=f"status != '{STATUS_BROKEN}'"),
+                sort_partitions=2 * np_,
+            ),
+        )
+        groups_exact = self._stage(
+            "groups_exact", lambda: finalize_exact_groups(index)
+        )
 
         def build_edges() -> ray.data.Dataset:
             # ONE candidate pass over the union of all three bucket
-            # families — content-sha (exact), minhash bands, simhash
-            # Manku tables. Family key spaces are 64-bit mixed hashes;
-            # a cross-family collision only merges two candidate buckets
-            # and every candidate is verified, so correctness is
-            # unaffected. The merged verifier attaches (sha, minhash,
-            # simhash) per side in two joins and emits exact / minhash /
-            # simhash edges from one pass — versus three separate
-            # candidate+verify pipelines (~3x the shuffle barriers).
-            bands = explode_minhash_bands(sigs, cfg)
-            blocks = explode_simhash_blocks(sigs, cfg)
+            # families — content-sha (exact, all members), minhash bands
+            # and simhash Manku tables (representatives only). Family key
+            # spaces are 64-bit mixed hashes; a cross-family collision
+            # only merges two candidate buckets and every candidate is
+            # verified, so correctness is unaffected. The merged verifier
+            # attaches (sha, minhash, simhash) per side in two joins and
+            # emits exact / minhash / simhash edges from one pass.
+            reps = representative_signatures(index)
+            bands = explode_minhash_bands(reps, cfg)
+            blocks = explode_simhash_blocks(reps, cfg)
             shas = explode_sha_buckets(sigs)
-            buckets = bands.union(blocks).union(shas).materialize()
+            buckets = bands.union(blocks).union(shas)
             pairs = candidate_pairs(buckets, cfg, np_)
-            return verify_pairs(pairs, sigs, cfg, np_)
+            # pages passed through => margin-band pairs are re-verified
+            # EXACTLY on shingle sets (config.py contract)
+            return verify_pairs(pairs, sigs, cfg, np_, pages=self._pages())
 
         edges = self._stage("edges", build_edges)
 

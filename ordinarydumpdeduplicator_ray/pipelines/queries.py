@@ -28,7 +28,17 @@ from ordinarydumpdeduplicator_ray.stages.join import inner_join
 from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
 
 Q_CONFIG = DedupConfig(sig_concurrency=4, batch_size=512)
-NUM_PARTITIONS = 8
+
+
+def _nparts() -> int:
+    """CPU-proportional shuffle partition count (pinning it flat makes
+    added cores idle through every join/sort at higher parallelism)."""
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(4, cpus // 2)
 
 
 def _qcfg() -> DedupConfig:
@@ -56,7 +66,7 @@ def _flagship(sf_dir: str) -> dict:
 
     out = _PIPELINE_CACHE.get(sf_dir)
     if out is None:
-        pipe = DedupPipeline(_qcfg(), num_partitions=NUM_PARTITIONS)
+        pipe = DedupPipeline(_qcfg(), num_partitions=_nparts())
         out = pipe.run(dup_corpus(sf_dir, near=True))
         _PIPELINE_CACHE[sf_dir] = out
     return out
@@ -75,11 +85,19 @@ def _doc_url(doc_id_arr: pa.ChunkedArray | pa.Array, suffix: str = "") -> pa.Arr
     )
 
 
-def dup_corpus(sf_dir: str, near: bool = False, with_source_host: bool = False) -> ray.data.Dataset:
+def dup_corpus(
+    sf_dir: str,
+    near: bool = False,
+    with_source_host: bool = False,
+    deep_paths: bool = False,
+) -> ray.data.Dataset:
     """documents -> pages-shaped corpus with injected duplicates:
 
     - every row, url ``testdata://documents/{doc_id:08d}`` (or
-      ``https://{source}.example/{doc_id:08d}`` with ``with_source_host``)
+      ``https://{source}.example/{doc_id:08d}`` with ``with_source_host``,
+      or ``https://{source}.example/s{doc_id%7}/d{doc_id%50}/{doc_id:08d}``
+      with ``deep_paths`` — multi-segment paths for the hierarchical
+      prefix rollup)
     - exact copy of every doc_id % 3 == 0 row under url suffix ``-copy``
     - with ``near``: near copy of every doc_id % 5 == 0 row with the last
       ``max(1, n_words // 25)`` words dropped, suffix ``-near``
@@ -93,6 +111,8 @@ def dup_corpus(sf_dir: str, near: bool = False, with_source_host: bool = False) 
         srcs = t["source"].to_pylist()
 
         def url_for(i, d, s, suffix=""):
+            if deep_paths:
+                return f"https://{s}.example/s{d % 7}/d{d % 50}/{d:08d}{suffix}"
             if with_source_host:
                 return f"https://{s}.example/{d:08d}{suffix}"
             return f"testdata://documents/{d:08d}{suffix}"
@@ -123,6 +143,47 @@ def _extracted(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(extract_batch, batch_format="pyarrow")
 
 
+_SNAP_PREV_US = 1735689600_000_000   # 2025-01-01T00:00:00Z
+_SNAP_CUR_US = 1735776000_000_000    # 2025-01-02T00:00:00Z
+
+
+def _snapshot_pages(sf_dir: str, which: str) -> ray.data.Dataset:
+    """Two deterministic crawl snapshots derived from documents:
+
+    - ``prev``: doc_id % 11 != 0, original text, warc_ts 2025-01-01
+    - ``cur``:  doc_id % 13 != 0, text + ' updated' when doc_id % 7 == 0,
+      warc_ts 2025-01-02
+
+    So vs prev, cur has new urls (%11==0, %13!=0), removed urls
+    (%13==0, %11!=0), modified (%7==0 in both) and unchanged rows —
+    the same derivation expressed in SQL in the oracle."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    keep_mod, ts_us = (11, _SNAP_PREV_US) if which == "prev" else (13, _SNAP_CUR_US)
+    edit = which == "cur"
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        texts = t["text"].to_pylist()
+        mask = ids % keep_mod != 0
+        urls, out_texts = [], []
+        for d, txt, m in zip(ids, texts, mask):
+            if not m:
+                continue
+            urls.append(f"testdata://documents/{d:08d}")
+            out_texts.append(txt + " updated" if edit and d % 7 == 0 else txt)
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array([ts_us] * n, type=pa.timestamp("us")),
+                "html": pa.nulls(n, type=pa.binary()),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SQL-oracled queries
 # ---------------------------------------------------------------------------
@@ -145,7 +206,7 @@ def _exact_actions(extracted: ray.data.Dataset) -> ray.data.Dataset:
         lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
     )
     joined = inner_join(
-        members, canon, on=("text_sha256",), num_partitions=NUM_PARTITIONS,
+        members, canon, on=("text_sha256",), num_partitions=_nparts(),
         empty_schema=pa.schema([("url", pa.string()), ("text_sha256", pa.binary()),
                                 ("canonical_url", pa.string())]),
     )
@@ -173,7 +234,7 @@ def dup_rollup_by_source(sf_dir: str) -> ray.data.Dataset:
     actions = _exact_actions(extracted)
     from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 
-    return host_dup_rollup(actions, extracted, NUM_PARTITIONS).drop_columns([])
+    return host_dup_rollup(actions, extracted, _nparts()).drop_columns([])
 
 
 def corpus_stats(sf_dir: str) -> pa.Table:
@@ -236,26 +297,16 @@ def token_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
 
 def last_event_per_user(sf_dir: str) -> ray.data.Dataset:
     """Grouped top-1 — the reference's GetLastFileState / latest-
-    inspection selection (DataControllerSimple.cs:228-236,190-208)."""
-    import pandas as pd
+    inspection selection (DataControllerSimple.cs:228-236,190-208).
+    Sorted-run implementation (stages/windows.py): one sort, vectorized
+    per-block top-1, O(blocks) driver merge — no per-group Python."""
+    from ordinarydumpdeduplicator_ray.stages.windows import last_event_per_user as impl
 
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_type", "event_id"],
     )
-
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=False).head(1)
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].values,
-                "last_ts": g["ts"].values,
-                "last_event_type": g["event_type"].values,
-                "last_event_id": g["event_id"].values,
-            }
-        )
-
-    return ev.groupby("user_id").map_groups(top1, batch_format="pandas")
+    return impl(ev)
 
 
 def lang_counts(sf_dir: str) -> ray.data.Dataset:
@@ -373,54 +424,23 @@ def _embeddings_with_dups(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(inject, batch_format="pyarrow")
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.99) -> pa.Table:
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.99) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
-    cos >= threshold) over the dup-injected embeddings: block-wise matmul
-    against a broadcast normalized matrix — O(n^2 / P) per task, no
-    Python loops."""
-    import ray
-
-    ds = _embeddings_with_dups(sf_dir)
-    all_tbl = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    round(cos, 6) >= threshold) over the dup-injected embeddings:
+    banded sign-LSH bucket keys -> skew-capped sorted-run candidate
+    pairs -> exact cosine re-rank via two hash joins
+    (stages/embeddings.py). No driver-side materialization, no
+    full-matrix broadcast; returns a streaming Dataset."""
+    from ordinarydumpdeduplicator_ray.stages.embeddings import (
+        embedding_near_dup_pairs as impl,
     )
-    all_ids = np.asarray(all_tbl["vec_id"].to_pylist(), dtype=np.int64)
-    all_mat = np.asarray(all_tbl["embedding"].to_pylist(), dtype=np.float64)
-    all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, all_mat))
 
-    class BlockScanner:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cos = mat @ self.mat.T  # (batch, n_all)
-            cos = np.round(cos, 6)
-            bi, aj = np.nonzero(cos >= threshold)
-            va, vb = ids[bi], self.ids[aj]
-            keep = va < vb
-            return pa.table(
-                {
-                    "vec_a": pa.array(va[keep], type=pa.int64()),
-                    "vec_b": pa.array(vb[keep], type=pa.int64()),
-                    "cos_sim": pa.array(cos[bi, aj][keep], type=pa.float64()),
-                }
-            )
-
-    out = _embeddings_with_dups(sf_dir).map_batches(
-        BlockScanner, batch_format="pyarrow", batch_size=1024, concurrency=2
-    )
-    rows = out.take_all()
-    rows.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
-    return pa.table(
-        {
-            "vec_a": pa.array([r["vec_a"] for r in rows], type=pa.int64()),
-            "vec_b": pa.array([r["vec_b"] for r in rows], type=pa.int64()),
-            "cos_sim": pa.array([r["cos_sim"] for r in rows], type=pa.float64()),
-        }
+    return impl(
+        _embeddings_with_dups(sf_dir),
+        threshold=threshold,
+        seed=Q_CONFIG.seed,
+        num_partitions=_nparts(),
+        config=_qcfg(),
     )
 
 
@@ -489,7 +509,11 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     docs = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     class Fingerprinter:
-        def __init__(self):
+        def __init__(self, seed: int = 0):
+            # explicit ctor kwarg so Ray's schema-dedup hashing sees a
+            # hashable constructor payload (round-1 bench logs were full
+            # of "Failed to hash the schemas" warnings without it)
+            self.seed = seed
             self.hasher = TokenHasher()
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -501,7 +525,8 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
                 {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
             )
 
-    return docs.map_batches(Fingerprinter, batch_format="pyarrow", batch_size=512,
+    return docs.map_batches(Fingerprinter, fn_constructor_kwargs={"seed": 0},
+                            batch_format="pyarrow", batch_size=512,
                             concurrency=2)
 
 
@@ -512,13 +537,16 @@ def substring_spans(sf_dir: str) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.spans import find_substring_spans
 
     return find_substring_spans(
-        dup_corpus(sf_dir, near=True), _qcfg(), NUM_PARTITIONS
+        dup_corpus(sf_dir, near=True), _qcfg(), _nparts()
     )
 
 
 def simhash_edges(sf_dir: str) -> ray.data.Dataset:
     """Verified near-dup edges discovered via SimHash Hamming-ball
-    banding (pigeonhole over 4x16-bit blocks)."""
+    banding: Manku-style 6-block split keyed on every 3-block
+    combination (C(6,3) = 20 tables, ~32-bit keys — catches hamming <= 3
+    without the 16-bit key-space saturation of naive 4x16 banding;
+    functions/simhash.py)."""
     return _flagship(sf_dir)["edges"].filter(expr="source == 'simhash'")
 
 
@@ -665,48 +693,34 @@ def group_flags(sf_dir: str) -> ray.data.Dataset:
 def user_session_stats(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Windowed sessionization per user (30-min inactivity gap): a
     streaming-window custom operator the Dataset API lacks, expressed as
-    sort-within-group + vectorized gap detection in ``map_groups``.
-    Partitioning assumption: one user's events fit one group (true at any
-    realistic fan-out; a single user's event count is bounded)."""
-    gap_us = gap_minutes * 60 * 1_000_000
+    one global (user_id, ts) sort + vectorized gap detection over whole
+    sorted blocks (stages/windows.py) — block-border fragments of a
+    user's run carry session partials and merge exactly on the driver
+    (O(blocks), no per-group Python)."""
+    from ordinarydumpdeduplicator_ray.stages.windows import sessionize_events
+
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
     )
-
-    def sessionize(g: pa.Table) -> pa.Table:
-        ts = np.sort(np.asarray(g["ts"].cast(pa.int64()).to_pylist(), dtype=np.int64))
-        gaps = np.diff(ts) > gap_us
-        n_sessions = 1 + int(gaps.sum())
-        # events per session: split sizes from gap boundaries
-        bounds = np.flatnonzero(gaps) + 1
-        sizes = np.diff(np.concatenate([[0], bounds, [len(ts)]]))
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], type=pa.int64()),
-                "n_events": pa.array([len(ts)], type=pa.int64()),
-                "n_sessions": pa.array([n_sessions], type=pa.int64()),
-                "max_session_events": pa.array([int(sizes.max())], type=pa.int64()),
-            }
-        )
-
-    return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return sessionize_events(ev, gap_minutes)
 
 
 def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
-    """Hierarchical prefix rollup (DuplicateReport.cs:114-203 analogue):
-    duplicate footprint aggregated at every url-prefix level — level 1 =
-    host, level 2 = the full page path. The reference builds a recursive
-    directory tree from this; relationally it is one groupby per prefix
-    level, and the (small) aggregated result can be assembled into any
-    tree driver-side."""
-    extracted = _extracted(dup_corpus(sf_dir, with_source_host=True)).materialize()
+    """Hierarchical prefix rollup (DuplicateReport.cs:114-203,
+    ``GroupDuplicatesByDirectories`` walking EVERY ancestor directory):
+    duplicate footprint aggregated at every url path-segment prefix —
+    level 1 = host, level k = host + first k-1 path segments, down to the
+    full url. One explode (url -> all its prefixes) + one groupby; the
+    reference's recursive directory tree is assembled driver-side from
+    the (small) aggregated result."""
+    extracted = _extracted(dup_corpus(sf_dir, deep_paths=True)).materialize()
     actions = _exact_actions(extracted)
     sizes = extracted.map_batches(
         lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
     )
     dups = actions.filter(expr="action != 'keep'")
     joined = inner_join(
-        dups, sizes, on=("url",), num_partitions=NUM_PARTITIONS,
+        dups, sizes, on=("url",), num_partitions=_nparts(),
         empty_schema=pa.schema([
             ("url", pa.string()), ("action", pa.string()),
             ("group_key", pa.string()), ("n_bytes", pa.int64()),
@@ -714,17 +728,22 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
     )
 
     def explode_levels(t: pa.Table) -> pa.Table:
-        from urllib.parse import urlparse
-
+        # url -> every path-segment prefix: level k = scheme://host plus
+        # the first k-1 path segments (runs over dup rows only)
         levels, prefixes, nbs = [], [], []
         for url, nb in zip(t["url"].to_pylist(), t["n_bytes"].to_pylist()):
-            p = urlparse(url)
+            scheme_end = url.index("://") + 3
+            rest = url[scheme_end:]
+            segs = rest.split("/")
+            acc = url[:scheme_end] + segs[0]
             levels.append(1)
-            prefixes.append(f"{p.scheme}://{p.netloc}")
+            prefixes.append(acc)
             nbs.append(nb)
-            levels.append(2)
-            prefixes.append(url)
-            nbs.append(nb)
+            for k, seg in enumerate(segs[1:], start=2):
+                acc = acc + "/" + seg
+                levels.append(k)
+                prefixes.append(acc)
+                nbs.append(nb)
         return pa.table(
             {
                 "level": pa.array(levels, type=pa.int64()),
@@ -738,6 +757,44 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
         .groupby(["level", "prefix"])
         .aggregate(Count(alias_name="n_dup_pages"), Sum("n_bytes", alias_name="dup_bytes"))
     )
+
+
+def snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """Multi-snapshot FileState versioning (Common/FileState.cs:7-28,
+    FileStatus.cs:5-14): diff the current crawl snapshot against the
+    previous one, per-url status new/unchanged/modified/removed."""
+    from ordinarydumpdeduplicator_ray.stages.snapshot import snapshot_diff as impl
+
+    return impl(
+        _snapshot_pages(sf_dir, "cur"),
+        _snapshot_pages(sf_dir, "prev"),
+        num_partitions=_nparts(),
+    )
+
+
+def latest_page_versions(sf_dir: str) -> ray.data.Dataset:
+    """Scope-to-latest-inspection (DataControllerSimple.cs:190-208):
+    union of both snapshots -> the latest version per url (sorted-run
+    top-1 on warc_ts), with the content sha — the table dedup would run
+    on after a re-crawl."""
+    from ordinarydumpdeduplicator_ray.stages.snapshot import latest_pages
+
+    both = _snapshot_pages(sf_dir, "prev").union(_snapshot_pages(sf_dir, "cur"))
+    latest = latest_pages(both, ts_col="warc_ts")
+
+    def project(t: pa.Table) -> pa.Table:
+        e = extract_batch(t)
+        shas = [s.hex() if s is not None else None
+                for s in e["text_sha256"].to_pylist()]
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return latest.map_batches(project, batch_format="pyarrow")
 
 
 def page_locations(sf_dir: str) -> ray.data.Dataset:
@@ -808,11 +865,19 @@ def all_dup_groups(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
-    def keep_near(g: pa.Table) -> pa.Table:
-        kinds = g["kind"].to_pylist()
-        pick = kinds.index("near") if "near" in kinds else 0
-        return g.slice(pick, 1)
+    # near wins on key collision: anti-join exact against near's keys
+    # (left-outer + null filter), then union — no per-group Python.
+    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
 
-    return near.union(exact).groupby("canonical_url").map_groups(
-        keep_near, batch_format="pyarrow"
+    near_keys = near.map_batches(
+        lambda t: pa.table({"canonical_url": t["canonical_url"],
+                            "in_near": pa.array([True] * len(t))}),
+        batch_format="pyarrow",
     )
+    exact_only = left_outer_join(
+        exact, near_keys, on=("canonical_url",), num_partitions=_nparts(),
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["in_near"])).drop_columns(["in_near"]),
+        batch_format="pyarrow",
+    )
+    return near.union(exact_only)

@@ -79,6 +79,23 @@ def plan_deletion(
     return joined.map_batches(upgrade, batch_format="pyarrow")
 
 
+def quarantine_report(
+    kept: ray.data.Dataset, quarantined: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Re-read the quarantine table alongside the kept table and
+    re-derive the exact duplicates report over their union — the
+    reference's isolated-dir re-scan merged into the report
+    (``DataControllerSimple.cs:309-361``, ``DuplicatesProcessor.cs:89-93``):
+    isolation moves rows, it never loses them, so the re-derived report
+    must equal the pre-isolation report (pytest-asserted round trip)."""
+    from ordinarydumpdeduplicator_ray.stages.groups import exact_groups
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
+    pages = kept.union(quarantined)
+    extracted = pages.map_batches(extract_batch, batch_format="pyarrow")
+    return exact_groups(extracted)
+
+
 def apply_actions(
     pages: ray.data.Dataset,
     actions: ray.data.Dataset,

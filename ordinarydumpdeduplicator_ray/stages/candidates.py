@@ -245,7 +245,13 @@ def candidate_pairs(
     """(bucket, url) rows -> distinct candidate (url_a, url_b) pairs,
     url_a < url_b. See module docstring for the sorted-run design."""
     cap = config.max_group_pairs
-    sorted_rows = bucket_rows.sort(["bucket", "url"]).materialize()
+    # coalesce before sorting: upstream explodes emit one small block per
+    # actor batch, and Ray's sort pays O(blocks^2) partition metadata +
+    # per-task overhead — hundreds of 512-row blocks measurably dominate
+    # the sort wall. CPU-proportional block count keeps the reduce side
+    # parallel without the tiny-block tax.
+    sort_parts = max(2 * num_partitions, 8)
+    sorted_rows = bucket_rows.repartition(sort_parts).sort(["bucket", "url"]).materialize()
     emitted = sorted_rows.map_batches(
         _make_block_emitter(cap), batch_format="pyarrow", batch_size=None
     ).materialize()
@@ -303,7 +309,8 @@ def candidate_pairs(
         return t.filter(pa.array(keep)).drop_columns(["pk"])
 
     return (
-        pairs.map_batches(add_pair_key, batch_format="pyarrow")
+        pairs.repartition(sort_parts)
+        .map_batches(add_pair_key, batch_format="pyarrow")
         .sort("pk")
         .map_batches(local_unique, batch_format="pyarrow", batch_size=None)
     )

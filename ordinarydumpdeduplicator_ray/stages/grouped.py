@@ -10,7 +10,14 @@ finalizes interior runs vectorized (``np.add.reduceat`` /
 to a tiny driver-side merge.
 
 Used for the reference's core grouping (group FileStates by BlobInfo,
-``DataControllerSimple.cs:247-304``) over ``text_sha256``.
+``DataControllerSimple.cs:247-304``) over ``text_sha256`` — fused with
+**representative extraction**: the same sort also yields, per distinct
+content hash, the canonical (min-url) member's MinHash/SimHash sketches.
+Only those representatives enter LSH band / SimHash block explosion
+downstream (near-dup detection runs on distinct texts; exact copies
+reach the same component through the content-sha candidate family), so a
+corpus with heavy exact duplication — the common web-crawl case — never
+multiplies its dup clusters through 50+ bucket families.
 """
 
 from __future__ import annotations
@@ -20,24 +27,27 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-_PARTIAL_FIELDS = [
-    ("key", pa.binary()),
-    ("n", pa.int64()),
-    ("min_url", pa.string()),
-    ("min_nb", pa.int64()),
+_INDEX_FIELDS = [
+    ("text_sha256", pa.binary()),
+    ("n_copies", pa.int64()),
+    ("canonical_url", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("minhash", pa.binary()),
+    ("simhash", pa.uint64()),
     ("is_edge", pa.bool_()),
 ]
-_PARTIAL_SCHEMA = pa.schema(_PARTIAL_FIELDS)
+_INDEX_SCHEMA = pa.schema(_INDEX_FIELDS)
 
 
 def _block_partials(t: pa.Table) -> pa.Table:
-    """One sorted block of (text_sha256, url, n_bytes) -> one partial row
-    per run. Rows are sorted by (key, url), so min url = run head."""
+    """One sorted block of (text_sha256, url, n_bytes, minhash, simhash)
+    -> one partial row per run. Rows are sorted by (key, url), so the
+    run head IS the canonical (min-url) member and carries the group's
+    representative sketches."""
     n = len(t)
     if n == 0:
-        return _PARTIAL_SCHEMA.empty_table()
+        return _INDEX_SCHEMA.empty_table()
     keys = t["text_sha256"].to_pylist()
-    urls = t["url"].to_pylist()
     nbs = np.asarray(t["n_bytes"].combine_chunks().to_numpy(zero_copy_only=False))
     change = np.fromiter(
         (keys[i] != keys[i - 1] for i in range(1, n)), dtype=bool, count=n - 1
@@ -46,28 +56,49 @@ def _block_partials(t: pa.Table) -> pa.Table:
     ends = np.concatenate([starts[1:], [n]])
     counts = ends - starts
     min_nb = np.minimum.reduceat(nbs, starts)
+    heads = t.take(starts)
     is_edge = np.zeros(len(starts), dtype=bool)
     is_edge[0] = True
     is_edge[-1] = True
     return pa.table(
         {
-            "key": pa.array([keys[s] for s in starts], type=pa.binary()),
-            "n": pa.array(counts, type=pa.int64()),
-            "min_url": pa.array([urls[s] for s in starts], type=pa.string()),
-            "min_nb": pa.array(min_nb, type=pa.int64()),
+            "text_sha256": heads["text_sha256"],
+            "n_copies": pa.array(counts, type=pa.int64()),
+            "canonical_url": heads["url"],
+            "n_bytes": pa.array(min_nb, type=pa.int64()),
+            "minhash": heads["minhash"],
+            "simhash": heads["simhash"],
             "is_edge": pa.array(is_edge),
         }
     )
 
 
-def exact_group_aggregates(valid_signatures: ray.data.Dataset) -> ray.data.Dataset:
-    """(url, text_sha256, n_bytes) rows -> one row per content group:
-    (text_sha256, n_copies, canonical_url, n_bytes). ONE sort + map +
-    driver merge of <= 2 partials per sorted block."""
-    proj = valid_signatures.map_batches(
-        lambda t: t.select(["text_sha256", "url", "n_bytes"]),
-        batch_format="pyarrow",
-    )
+def exact_group_index(
+    valid_signatures: ray.data.Dataset, sort_partitions: int = 0
+) -> ray.data.Dataset:
+    """signatures -> one row per distinct content hash: (text_sha256,
+    n_copies, canonical_url, n_bytes, minhash, simhash) where the
+    sketches are the canonical member's (= the group representative for
+    near-dup bucketing). ONE sort + vectorized block pass + driver merge
+    of <= 2 partials per sorted block."""
+    def project(t: pa.Table) -> pa.Table:
+        # callers without sketch columns (plain extracted tables) still
+        # group — the sketches ride along as nulls
+        mh = t["minhash"] if "minhash" in t.column_names else pa.nulls(len(t), pa.binary())
+        sh = t["simhash"] if "simhash" in t.column_names else pa.nulls(len(t), pa.uint64())
+        return pa.table(
+            {
+                "text_sha256": t["text_sha256"],
+                "url": t["url"],
+                "n_bytes": t["n_bytes"],
+                "minhash": mh,
+                "simhash": sh,
+            }
+        )
+
+    proj = valid_signatures.map_batches(project, batch_format="pyarrow")
+    if sort_partitions:
+        proj = proj.repartition(sort_partitions)
     srt = proj.sort(["text_sha256", "url"]).materialize()
     partials = srt.map_batches(
         _block_partials, batch_format="pyarrow", batch_size=None
@@ -82,34 +113,60 @@ def exact_group_aggregates(valid_signatures: ray.data.Dataset) -> ray.data.Datas
         batch_format="pyarrow",
     ).take_all()
 
-    merged: dict[bytes, list] = {}
+    # merge fragments of runs that straddle block borders; fragments
+    # arrive in (key, url) order per block, so the min-url head is the
+    # fragment whose canonical_url is smallest
+    merged: dict[bytes, dict] = {}
     for r in edge_rows:
-        cur = merged.get(r["key"])
+        cur = merged.get(r["text_sha256"])
         if cur is None:
-            merged[r["key"]] = [r["n"], r["min_url"], r["min_nb"]]
+            merged[r["text_sha256"]] = dict(r)
         else:
-            cur[0] += r["n"]
-            cur[1] = min(cur[1], r["min_url"])
-            cur[2] = min(cur[2], r["min_nb"])
-    edge_tbl = pa.table(
-        {
-            "key": pa.array(list(merged.keys()), type=pa.binary()),
-            "n": pa.array([v[0] for v in merged.values()], type=pa.int64()),
-            "min_url": pa.array([v[1] for v in merged.values()], type=pa.string()),
-            "min_nb": pa.array([v[2] for v in merged.values()], type=pa.int64()),
-        }
-    )
-    out = interior
-    if edge_tbl.num_rows:
-        out = out.union(ray.data.from_arrow(edge_tbl))
-    return out.map_batches(
+            cur["n_copies"] += r["n_copies"]
+            cur["n_bytes"] = min(cur["n_bytes"], r["n_bytes"])
+            if r["canonical_url"] < cur["canonical_url"]:
+                cur["canonical_url"] = r["canonical_url"]
+                cur["minhash"] = r["minhash"]
+                cur["simhash"] = r["simhash"]
+    if merged:
+        vals = list(merged.values())
+        edge_tbl = pa.table(
+            {
+                "text_sha256": pa.array([v["text_sha256"] for v in vals], type=pa.binary()),
+                "n_copies": pa.array([v["n_copies"] for v in vals], type=pa.int64()),
+                "canonical_url": pa.array([v["canonical_url"] for v in vals], type=pa.string()),
+                "n_bytes": pa.array([v["n_bytes"] for v in vals], type=pa.int64()),
+                "minhash": pa.array([v["minhash"] for v in vals], type=pa.binary()),
+                "simhash": pa.array([v["simhash"] for v in vals], type=pa.uint64()),
+            }
+        )
+        return interior.union(ray.data.from_arrow(edge_tbl))
+    return interior
+
+
+def representative_signatures(index: ray.data.Dataset) -> ray.data.Dataset:
+    """exact_group_index -> signatures-shaped (url, minhash, simhash)
+    rows, ONE per distinct text: the inputs to LSH band / SimHash block
+    explosion."""
+    return index.map_batches(
         lambda t: pa.table(
             {
-                "text_sha256": t["key"],
-                "n_copies": t["n"],
-                "canonical_url": t["min_url"],
-                "n_bytes": t["min_nb"],
+                "url": t["canonical_url"],
+                "minhash": t["minhash"],
+                "simhash": t["simhash"],
             }
         ),
+        batch_format="pyarrow",
+    )
+
+
+def exact_group_aggregates(
+    valid_signatures: ray.data.Dataset, sort_partitions: int = 0
+) -> ray.data.Dataset:
+    """(url, text_sha256, n_bytes) rows -> one row per content group:
+    (text_sha256, n_copies, canonical_url, n_bytes). Thin wrapper over
+    the fused index (kept for callers that don't need the sketches)."""
+    return exact_group_index(valid_signatures, sort_partitions).map_batches(
+        lambda t: t.select(["text_sha256", "n_copies", "canonical_url", "n_bytes"]),
         batch_format="pyarrow",
     )

@@ -9,14 +9,12 @@ dup_data_size = size * (copies - 1). Canonical copy = min url
 (deterministic; replaces the reference's filesystem-location oracle,
 ``DuplicatesProcessor.cs:275-295``).
 
-Everything is vectorized builtin aggregates (Count/Min/Sum) — no
-per-group Python in the main path; the optional ``urls`` list (GUI-style
-full member listing) is a separate pass over dup groups only.
+Everything is vectorized (sorted-run aggregate / builtin Count/Min/Sum)
+— no per-group Python in the main path.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -33,16 +31,10 @@ def _sizes(t: pa.Table, copies: str = "n_copies", size: str = "n_bytes") -> pa.T
     return t.append_column("dup_data_size", pc.cast(dup_sz, pa.int64()))
 
 
-def exact_groups(signatures: ray.data.Dataset) -> ray.data.Dataset:
-    """signatures -> exact duplicate groups (n_copies > 1), keyed by the
-    hex text_sha256. Empty rows form their own group (EmptyBlobInfo
-    semantics); broken rows are excluded before grouping. Grouping runs
-    as a sorted-run aggregate (stages/grouped.py) — one sort, vectorized
-    per-run partials, driver-side merge of block-edge runs."""
-    from ordinarydumpdeduplicator_ray.stages.grouped import exact_group_aggregates
-
-    valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
-    agg = exact_group_aggregates(valid)
+def finalize_exact_groups(agg: ray.data.Dataset) -> ray.data.Dataset:
+    """Group-index rows (text_sha256, n_copies, canonical_url, n_bytes,
+    ...) -> the duplicate-groups report table (n_copies > 1, hex key,
+    SameContentFilesInfo size arithmetic)."""
     dups = agg.filter(expr="n_copies > 1")
 
     def finish(t: pa.Table) -> pa.Table:
@@ -60,61 +52,18 @@ def exact_groups(signatures: ray.data.Dataset) -> ray.data.Dataset:
     return dups.map_batches(finish, batch_format="pyarrow")
 
 
-def exact_star_edges(
-    signatures: ray.data.Dataset,
-    groups: ray.data.Dataset | None = None,
-    num_partitions: int = 16,
+def exact_groups(
+    signatures: ray.data.Dataset, sort_partitions: int = 0
 ) -> ray.data.Dataset:
-    """Edges connecting every member of an exact group to its canonical
-    copy — O(n) per group (star), feeding union-find alongside the
-    near-dup edges. jaccard = 1.0 by definition."""
-    # re-derive the (text_sha256 -> canonical) map if not supplied
-    if groups is None:
-        valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
-        agg = valid.groupby("text_sha256").aggregate(
-            Count(alias_name="n_copies"), Min("url", alias_name="canonical_url")
-        )
-        canon = agg.filter(expr="n_copies > 1").drop_columns(["n_copies"])
-    else:
-        # groups carries hex keys; rebuild binary keys for the join
-        def unhex(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "text_sha256": pa.array(
-                        [bytes.fromhex(k) for k in t["group_key"].to_pylist()],
-                        type=pa.binary(),
-                    ),
-                    "canonical_url": t["canonical_url"],
-                }
-            )
+    """signatures -> exact duplicate groups (n_copies > 1), keyed by the
+    hex text_sha256. Empty rows form their own group (EmptyBlobInfo
+    semantics); broken rows are excluded before grouping. Grouping runs
+    as a sorted-run aggregate (stages/grouped.py) — one sort, vectorized
+    per-run partials, driver-side merge of block-edge runs."""
+    from ordinarydumpdeduplicator_ray.stages.grouped import exact_group_aggregates
 
-        canon = groups.map_batches(unhex, batch_format="pyarrow")
-
-    members = signatures.filter(expr=f"status != '{STATUS_BROKEN}'").map_batches(
-        lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
-    )
-    joined = inner_join(
-        members, canon, on=("text_sha256",), num_partitions=num_partitions,
-        empty_schema=pa.schema(
-            [("url", pa.string()), ("text_sha256", pa.binary()),
-             ("canonical_url", pa.string())]
-        ),
-    )
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        mask = pc.not_equal(t["url"], t["canonical_url"])
-        t = t.filter(mask)
-        n = len(t)
-        return pa.table(
-            {
-                "url_a": t["canonical_url"],  # canonical = min url => url_a < url_b
-                "url_b": t["url"],
-                "source": pa.array(["exact"] * n, type=pa.string()),
-                "jaccard": pa.array([1.0] * n, type=pa.float64()),
-            }
-        )
-
-    return joined.map_batches(to_edges, batch_format="pyarrow")
+    valid = signatures.filter(expr=f"status != '{STATUS_BROKEN}'")
+    return finalize_exact_groups(exact_group_aggregates(valid, sort_partitions))
 
 
 def component_groups(
@@ -159,17 +108,3 @@ def component_groups(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
-
-
-def collect_group_urls(
-    members: ray.data.Dataset, key: str, batch_format: str = "pandas"
-) -> ray.data.Dataset:
-    """Optional GUI-style member listing: (key, url) rows -> one row per
-    group with sorted ``urls`` list. Run only on already-filtered dup
-    groups (small) — per-group Python is acceptable there."""
-
-    def to_list(g: pd.DataFrame) -> pd.DataFrame:
-        urls = sorted(g["url"].tolist())
-        return pd.DataFrame({key: [g[key].iloc[0]], "urls": [urls], "n_copies": [len(urls)]})
-
-    return members.groupby(key).map_groups(to_list, batch_format=batch_format)

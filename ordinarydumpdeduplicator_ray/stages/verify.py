@@ -4,9 +4,11 @@ Pairs are verified against the signatures they were generated from:
 
 - minhash pairs: estimated Jaccard = agreeing-permutation fraction; with
   K=128 the estimate is ~4 sigma tight at +-0.1 around the 0.8 threshold,
-  so accepting ``est >= threshold - verify_margin`` loses < 1e-4 of true
-  pairs (recall target 0.99) while shared-substring pairs (J ~ 0.15)
-  stay rejected by a wide margin.
+  so estimates outside ``threshold +- verify_margin`` decide directly
+  (error < 1e-4) while shared-substring pairs (J ~ 0.15) stay rejected by
+  a wide margin. Estimates INSIDE the band are re-verified exactly on
+  unique-shingle sets when the caller supplies the pages table
+  (``exact_jaccard_recheck``) — the flagship pipeline always does.
 - simhash pairs: exact Hamming distance <= ``simhash_max_hamming``.
 
 Signature columns reach the pairs via two hash-shuffle joins against a
@@ -56,6 +58,7 @@ def verify_pairs(
     signatures: ray.data.Dataset,
     config: DedupConfig,
     num_partitions: int = 16,
+    pages: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Merged verification for candidates from BOTH bucket families
     (minhash bands + simhash blocks in one candidate pass): attach
@@ -64,8 +67,18 @@ def verify_pairs(
     when the Jaccard estimate clears the threshold and a 'simhash' edge
     when the Hamming ball admits the pair. Fully
     vectorized — signature matrices are stacked per batch, no per-pair
-    Python in the comparison."""
+    Python in the comparison.
+
+    With ``pages``, pairs whose Jaccard ESTIMATE falls inside the
+    ``[thr - margin, thr + margin]`` uncertainty band are re-verified
+    EXACTLY on their shingle sets (config.py contract): texts join back
+    per side and the true unique-shingle Jaccard decides, so an
+    estimate-flattered pair (true J well below the threshold) can no
+    longer seed a transitive union-find merge. Without ``pages`` the
+    legacy estimate-only acceptance (est >= thr - margin) applies."""
     thr = config.jaccard_threshold - config.verify_margin
+    thr_hi = config.jaccard_threshold + config.verify_margin
+    recheck = pages is not None
     max_h = config.simhash_max_hamming
     base = [("url_a", pa.string()), ("url_b", pa.string())]
     a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary())]
@@ -114,17 +127,133 @@ def verify_pairs(
             [x is not None and x == y for x, y in zip(sha_a, sha_b)]
         )
 
+        if recheck:
+            # estimate clears the band -> accept; inside the band ->
+            # 'minhash_margin' rows for the exact shingle re-check below.
+            # Exact-sha pairs skip the re-check (est == 1 by identity).
+            mh_sure = mh_keep & (est >= thr_hi)
+            mh_band = mh_keep & ~mh_sure & ~ex_keep
+        else:
+            mh_sure = mh_keep
+            mh_band = np.zeros(len(mh_keep), dtype=bool)
+
         urls = t.select(["url_a", "url_b"])
         out_ex = urls.take(np.nonzero(ex_keep)[0]) \
-            .append_column("source", pa.array(["exact"] * int(ex_keep.sum()))) \
+            .append_column("source", pa.array(["exact"] * int(ex_keep.sum()), type=pa.string())) \
             .append_column("jaccard", pa.array([1.0] * int(ex_keep.sum()), type=pa.float64()))
-        out_mh = urls.take(np.nonzero(mh_keep)[0]) \
-            .append_column("source", pa.array(["minhash"] * int(mh_keep.sum()))) \
-            .append_column("jaccard", pa.array(est[mh_keep], type=pa.float64()))
+        out_mh = urls.take(np.nonzero(mh_sure)[0]) \
+            .append_column("source", pa.array(["minhash"] * int(mh_sure.sum()), type=pa.string())) \
+            .append_column("jaccard", pa.array(est[mh_sure], type=pa.float64()))
+        out_band = urls.take(np.nonzero(mh_band)[0]) \
+            .append_column("source", pa.array(["minhash_margin"] * int(mh_band.sum()), type=pa.string())) \
+            .append_column("jaccard", pa.array(est[mh_band], type=pa.float64()))
         sim = 1.0 - hd[sh_keep].astype(np.float64) / 64.0
         out_sh = urls.take(np.nonzero(sh_keep)[0]) \
-            .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()))) \
+            .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()), type=pa.string())) \
             .append_column("jaccard", pa.array(sim, type=pa.float64()))
-        return pa.concat_tables([out_ex, out_mh, out_sh])
+        return pa.concat_tables([out_ex, out_mh, out_band, out_sh])
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    edges = with_ab.map_batches(verify, batch_format="pyarrow")
+    if not recheck:
+        return edges
+    edges = edges.materialize()
+    pending = edges.filter(expr="source == 'minhash_margin'")
+    accepted = edges.filter(expr="source != 'minhash_margin'")
+    resolved = exact_jaccard_recheck(pending, pages, config, num_partitions)
+    return accepted.union(resolved)
+
+
+class _ShingleRecheck:
+    """Actor: exact unique-shingle Jaccard for the margin-band pairs.
+    Token-hash cache + config in ``__init__``; per batch, each distinct
+    text is tokenized/shingled once (batch-local cache) and pair Jaccards
+    come from sorted-array intersections."""
+
+    def __init__(self, config: DedupConfig) -> None:
+        from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
+
+        self.config = config
+        self.hasher = TokenHasher()
+
+    def _shingles(self, text: str | None, cache: dict) -> np.ndarray | None:
+        from ordinarydumpdeduplicator_ray.functions.hashing import shingle_hashes
+        from ordinarydumpdeduplicator_ray.functions.text import tokenize
+
+        if text is None:
+            return None
+        s = cache.get(text)
+        if s is None:
+            toks = tokenize(text, self.config.lowercase)
+            s = shingle_hashes(self.hasher.hash_tokens(toks), self.config.shingle_size) \
+                if toks else np.empty(0, dtype=np.uint64)
+            cache[text] = s
+        return s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        thr = self.config.jaccard_threshold
+        cache: dict = {}
+        keep = np.zeros(len(t), dtype=bool)
+        jac = np.zeros(len(t), dtype=np.float64)
+        ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            a = self._shingles(x, cache)
+            b = self._shingles(y, cache)
+            if a is None or b is None or not len(a) or not len(b):
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j = inter / union if union else 0.0
+            jac[i] = j
+            keep[i] = j >= thr
+        out = t.select(["url_a", "url_b"]).filter(pa.array(keep))
+        n = len(out)
+        return out.append_column("source", pa.array(["minhash"] * n, type=pa.string())) \
+                  .append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
+
+
+def exact_jaccard_recheck(
+    pending: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    config: DedupConfig,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Margin-band pairs -> 'minhash' edges kept iff the TRUE unique-
+    shingle Jaccard >= threshold. Texts attach via two hash joins against
+    the extracted pages (the band is a narrow est window, so this table
+    is a small fraction of all pairs)."""
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
+    def url_text(t: pa.Table) -> pa.Table:
+        e = extract_batch(t)
+        return pa.table({"url": e["url"], "text": e["text"]})
+
+    texts = pages.map_batches(url_text, batch_format="pyarrow")
+    base = [("url_a", pa.string()), ("url_b", pa.string()),
+            ("source", pa.string()), ("jaccard", pa.float64())]
+    with_a = inner_join(
+        pending,
+        texts.map_batches(
+            lambda t: pa.table({"url_a": t["url"], "text_a": t["text"]}),
+            batch_format="pyarrow",
+        ),
+        on=("url_a",),
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(base + [("text_a", pa.string())]),
+    )
+    with_ab = inner_join(
+        with_a,
+        texts.map_batches(
+            lambda t: pa.table({"url_b": t["url"], "text_b": t["text"]}),
+            batch_format="pyarrow",
+        ),
+        on=("url_b",),
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(base + [("text_a", pa.string()), ("text_b", pa.string())]),
+    )
+    return with_ab.map_batches(
+        _ShingleRecheck,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=config.sig_concurrency if isinstance(config.sig_concurrency, int) else 4,
+    )

@@ -128,10 +128,15 @@ def input_fingerprint(path_or_ds) -> str:
         return f"ephemeral-{uuid.uuid4().hex}"
     h = hashlib.sha256()
     if os.path.isdir(path_or_ds):
-        names = sorted(os.listdir(path_or_ds))
-        for n in names:
-            st = os.stat(os.path.join(path_or_ds, n))
-            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns}".encode())
+        # full recursive walk: a sharded layout (pages/ subdirs) must
+        # change the fingerprint when any nested file changes, or a
+        # resume would silently reuse stale checkpoints
+        for root, dirs, files in sorted(os.walk(path_or_ds)):
+            dirs.sort()
+            rel_root = os.path.relpath(root, path_or_ds)
+            for n in sorted(files):
+                st = os.stat(os.path.join(root, n))
+                h.update(f"{rel_root}/{n}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif os.path.exists(path_or_ds):
         st = os.stat(path_or_ds)
         h.update(f"{os.path.basename(path_or_ds)}:{st.st_size}:{st.st_mtime_ns}".encode())

@@ -76,16 +76,69 @@ def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
     )
 
 
-def label_propagation(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.Dataset:
-    """Distributed alternative: iterated min-label propagation.
+def _labels_checksum(labels: ray.data.Dataset) -> int:
+    """Order-independent fingerprint of the (url, label) assignment:
+    sum of per-row 64-bit mixes. ONE cheap reduce — no shuffle, no join.
+    Labels only ever decrease monotonically here, so two successive
+    iterations have equal assignments iff their checksums match (a
+    checksum collision between DIFFERENT assignments would need a
+    2^-64 accident AND could at worst stop one round early of a
+    fixpoint that the monotone decrease guarantees is near)."""
+    import numpy as np
+    import pandas.util as pdu
 
-    labels(url, label) start as url; each round joins labels across edges
-    and keeps the per-url min of (own, neighbors'); converges in
-    O(component diameter) rounds (star/chain pair emission keeps
-    diameters small). Each round is a vectorized groupby Min — no
-    driver-side state.
+    def mix(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        hu = pdu.hash_array(np.asarray(t["url"].to_pylist(), dtype=object))
+        hl = pdu.hash_array(np.asarray(t["label"].to_pylist(), dtype=object))
+        with np.errstate(over="ignore"):
+            h = (hu * np.uint64(0x9E3779B97F4A7C15)) ^ hl
+            s = np.uint64(h.sum())
+        return pa.table({"h": pa.array([np.int64(s.astype(np.int64))], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = labels.map_batches(mix, batch_format="pyarrow").aggregate(Sum("h", alias_name="s"))
+    return int(agg["s"] or 0)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    max_iters: int = 50,
+    num_partitions: int = 16,
+    doubling_every: int = 2,
+    rounds_per_sync: int = 1,
+) -> ray.data.Dataset:
+    """Distributed alternative: iterated min-label propagation with
+    periodic pointer doubling.
+
+    labels(url, label) start as min(self, neighbors); each round joins
+    labels across edges and keeps the per-url min — 2 shuffles per round
+    (the propagate join + the groupby Min; convergence is detected by an
+    order-independent checksum reduce instead of a third join). Every
+    ``doubling_every``-th round additionally propagates label-of-label
+    (one extra join keyed on the current label), which contracts label
+    chains geometrically — a path component of diameter d converges in
+    O(log d) doubling rounds instead of O(d) plain rounds
+    (tests/test_round2_ops.py stress-tests a 128-url chain).
+
+    Non-convergence within ``max_iters`` raises RuntimeError (silent
+    wrong labels are never returned); converged labels are exact —
+    cross-checked against driver union-find in tests.
     """
+    import ray as _ray
     from ray.data.aggregate import Min
+
+    from ordinarydumpdeduplicator_ray.stages.join import _drop_empty_blocks
+
+    # hash-shuffle aggregator pools larger than the CPU count starve the
+    # lazy map tasks feeding them (observed deadlock at 16 partitions on
+    # a 4-CPU session); cap by the session's CPUs
+    if _ray.is_initialized():
+        num_partitions = max(
+            2, min(num_partitions, int(_ray.cluster_resources().get("CPU", num_partitions)))
+        )
 
     # undirected incidence: both directions
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -97,6 +150,11 @@ def label_propagation(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.
         )
 
     incidence = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if incidence.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema([("url", pa.string()), ("component_id", pa.string())]).empty_table()
+        )
+    incidence = _drop_empty_blocks(incidence)
     # initial label of every url = min neighbor vs self
     labels = incidence.map_batches(
         lambda t: pa.table({"url": t["url"], "label": t["nbr"]}), batch_format="pyarrow"
@@ -104,47 +162,79 @@ def label_propagation(edges: ray.data.Dataset, max_iters: int = 50) -> ray.data.
         incidence.map_batches(
             lambda t: pa.table({"url": t["url"], "label": t["url"]}), batch_format="pyarrow"
         )
-    ).groupby("url").aggregate(Min("label", alias_name="label"))
+    ).groupby("url").aggregate(Min("label", alias_name="label")).materialize()
 
-    for _ in range(max_iters):
-        labels = labels.materialize()
-        # propagate: neighbor's label reaches url through the edge
-        nbr_labels = inner_join(
-            incidence,
-            labels.map_batches(
-                lambda t: pa.table({"nbr": t["url"], "nbr_label": t["label"]}),
-                batch_format="pyarrow",
-            ),
-            on=("nbr",),
-            num_partitions=16,
-        ).map_batches(
-            lambda t: pa.table({"url": t["url"], "label": t["nbr_label"]}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            labels.union(nbr_labels)
-            .groupby("url")
-            .aggregate(Min("label", alias_name="label"))
-        )
-        new_labels = new_labels.materialize()
-        # converged when no label changed: compare via anti-join-free count
-        changed = (
-            inner_join(
-                labels.map_batches(
-                    lambda t: pa.table({"url": t["url"], "old": t["label"]}),
-                    batch_format="pyarrow",
-                ),
-                new_labels,
-                on=("url",),
-                num_partitions=16,
-            )
-            .filter(expr="old != label")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+    checksum = _labels_checksum(labels)
+    converged = False
+    it = 0
+    while it < max_iters:
+        # one fused streaming execution per sync: the propagate join (and
+        # the doubling join) feed the groupby lazily, so a round costs
+        # ONE materialize + one checksum reduce — separate materialize
+        # rounds per join measurably dominate at low data volumes.
+        # (groupby hash-aggregate emits schema-less empty blocks that
+        # poison downstream Acero joins, hence the metadata-only
+        # _drop_empty_blocks on the previous round's output.)
+        # rounds_per_sync > 1 chains several rounds lazily into the same
+        # execution (saving the intermediate barriers) — opt-in only:
+        # safe when every hash partition is guaranteed non-empty
+        # (intermediate groupby outputs feed joins without the
+        # empty-block scrub).
+        lazy = labels
+        for _ in range(min(rounds_per_sync, max_iters - it)):
+            lazy = _one_round(lazy if lazy is not labels else _drop_empty_blocks(labels),
+                              incidence, it, num_partitions, doubling_every)
+            it += 1
+        labels = lazy.materialize()
+        new_checksum = _labels_checksum(labels)
+        if new_checksum == checksum:
+            converged = True
             break
+        checksum = new_checksum
+    if not converged:
+        raise RuntimeError(
+            f"label_propagation did not converge within {max_iters} iterations "
+            "— component diameter exceeds the doubling budget; raise max_iters"
+        )
     return labels.map_batches(
         lambda t: pa.table({"url": t["url"], "component_id": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+def _one_round(clean, incidence, it, num_partitions, doubling_every):
+    from ray.data.aggregate import Min
+
+    nbr_labels = incidence.join(
+            clean.map_batches(
+                lambda t: pa.table({"nbr": t["url"], "nbr_label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+        ).map_batches(
+            lambda t: pa.table({"url": t["url"], "label": t["nbr_label"]}),
+            batch_format="pyarrow",
+        )
+    candidates = clean.union(nbr_labels)
+    if doubling_every and (it + 1) % doubling_every == 0:
+        # pointer doubling: url's label jumps to its label's label
+        lol = clean.map_batches(
+            lambda t: pa.table({"url": t["url"], "mid": t["label"]}),
+            batch_format="pyarrow",
+        ).join(
+            clean.map_batches(
+                lambda t: pa.table({"mid": t["url"], "mid_label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("mid",),
+        ).map_batches(
+            lambda t: pa.table({"url": t["url"], "label": t["mid_label"]}),
+            batch_format="pyarrow",
+        )
+        candidates = candidates.union(lol)
+    # per-url min over (self, neighbors[, label-of-label])
+    return candidates.groupby("url").aggregate(Min("label", alias_name="label"))

@@ -1,0 +1,265 @@
+"""Round-2 operators: sorted-run windows, snapshot versioning, bucketed
+embedding near-dup, quarantine round trip, label-propagation doubling."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table(seed: int = 3, n_users: int = 40, max_ev: int = 30) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    uid, ts, eid, etype = [], [], [], []
+    t0 = 1_700_000_000_000_000
+    next_eid = 0
+    for u in range(n_users):
+        n = int(rng.integers(1, max_ev))
+        # gaps mix minutes and hours so sessions split nontrivially
+        gaps = rng.choice([60, 600, 1_900, 7_200], size=n) * 1_000_000
+        cur = t0 + int(rng.integers(0, 1000)) * 1_000_000
+        for g in gaps:
+            cur += int(g)
+            uid.append(u)
+            ts.append(cur)
+            eid.append(next_eid)
+            etype.append(["view", "click", "buy"][next_eid % 3])
+            next_eid += 1
+    return pa.table(
+        {
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "event_type": pa.array(etype, type=pa.string()),
+        }
+    )
+
+
+class TestWindows:
+    def test_last_event_per_user_matches_naive(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.windows import last_event_per_user
+
+        tbl = _events_table()
+        # many small blocks so user runs straddle sorted-block borders
+        got = last_event_per_user(
+            ray.data.from_arrow(tbl).repartition(7)
+        ).take_all()
+        want = {}
+        for r in tbl.to_pylist():
+            cur = want.get(r["user_id"])
+            key = (r["ts"], r["event_id"])
+            if cur is None or key > (cur["ts"], cur["event_id"]):
+                want[r["user_id"]] = r
+        assert len(got) == len(want)
+        for g in got:
+            w = want[g["user_id"]]
+            assert g["last_ts"] == w["ts"]
+            assert g["last_event_id"] == w["event_id"]
+            assert g["last_event_type"] == w["event_type"]
+
+    def test_sessionize_matches_naive(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.windows import sessionize_events
+
+        gap_us = 30 * 60 * 1_000_000
+        tbl = _events_table(seed=11)
+        got = {
+            r["user_id"]: r
+            for r in sessionize_events(
+                ray.data.from_arrow(tbl).repartition(9), gap_minutes=30
+            ).take_all()
+        }
+        by_user = defaultdict(list)
+        for r in tbl.to_pylist():
+            by_user[r["user_id"]].append(r["ts"].timestamp() * 1e6)
+        assert set(got) == set(by_user)
+        for u, tss in by_user.items():
+            tss.sort()
+            sizes, cur = [], 1
+            for a, b in zip(tss, tss[1:]):
+                if b - a > gap_us:
+                    sizes.append(cur)
+                    cur = 1
+                else:
+                    cur += 1
+            sizes.append(cur)
+            assert got[u]["n_events"] == len(tss), u
+            assert got[u]["n_sessions"] == len(sizes), u
+            assert got[u]["max_session_events"] == max(sizes), u
+
+
+class TestSnapshotDiff:
+    def _pages(self, rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "warc_ts": pa.array([1] * len(rows), type=pa.timestamp("us")),
+                "html": pa.nulls(len(rows), type=pa.binary()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+
+    def test_statuses(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.snapshot import snapshot_diff
+
+        prev = self._pages([("u1", "alpha"), ("u2", "beta"), ("u3", "gamma")])
+        cur = self._pages([("u1", "alpha"), ("u2", "beta CHANGED"), ("u4", "delta")])
+        got = {
+            r["url"]: r["change_status"]
+            for r in snapshot_diff(
+                ray.data.from_arrow(cur), ray.data.from_arrow(prev), 4
+            ).take_all()
+        }
+        assert got == {
+            "u1": "unchanged",
+            "u2": "modified",
+            "u3": "removed",
+            "u4": "new",
+        }
+
+    def test_latest_pages(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.snapshot import latest_pages
+
+        rows = []
+        for u in range(30):
+            for v in range(1 + u % 3):
+                rows.append((f"u{u:03d}", 100 + v, f"text {u} v{v}"))
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], type=pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "html": pa.nulls(len(rows), type=pa.binary()),
+                "text": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        got = {
+            r["url"]: r["text"]
+            for r in latest_pages(ray.data.from_arrow(tbl).repartition(5)).take_all()
+        }
+        assert len(got) == 30
+        for u in range(30):
+            assert got[f"u{u:03d}"] == f"text {u} v{u % 3}"
+
+
+class TestEmbeddingNearDup:
+    def test_finds_exact_scaled_pairs_only(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.embeddings import (
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((60, 16))
+        ids = list(range(60))
+        vecs = [base[i] for i in range(60)]
+        # scaled copies: cosine exactly 1.0
+        for i in range(0, 60, 5):
+            ids.append(1000 + i)
+            vecs.append(base[i] * 3.0)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          type=pa.list_(pa.float64())),
+                }
+            )
+        )
+        got = {(r["vec_a"], r["vec_b"]) for r in
+               embedding_near_dup_pairs(ds, threshold=0.99, num_partitions=4,
+                                        concurrency=2).take_all()}
+        # brute-force oracle
+        mat = np.asarray(vecs)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(mat @ mat.T, 6)
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= 0.99:
+                    a, b = sorted((ids[i], ids[j]))
+                    want.add((a, b))
+        assert got == want
+        assert len(want) >= 12
+
+
+class TestQuarantineRoundTrip:
+    def test_report_survives_isolation(self, ray_session, tiny_corpus, tmp_path):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+        from ordinarydumpdeduplicator_ray.stages.actions import quarantine_report
+
+        pages, _ = tiny_corpus
+        pipe = DedupPipeline(DedupConfig(sig_concurrency=2, batch_size=256),
+                             num_partitions=4)
+        pipe.run(ray.data.from_arrow(pages))
+        before = {
+            (r["group_key"], r["n_copies"])
+            for r in pipe.results["groups_exact"].take_all()
+        }
+        kept, quarantined = pipe.apply_actions()
+        kdir, qdir = str(tmp_path / "kept"), str(tmp_path / "quarantine")
+        kept.write_parquet(kdir)
+        quarantined.write_parquet(qdir)
+        # second run: re-read both tables from disk, re-derive the report
+        report = quarantine_report(
+            ray.data.read_parquet(kdir), ray.data.read_parquet(qdir)
+        )
+        after = {(r["group_key"], r["n_copies"]) for r in report.take_all()}
+        assert after == before
+        assert before, "fixture must contain duplicate groups"
+
+
+class TestLabelPropagationDoubling:
+    def test_long_chain_converges_logarithmically(self, ray_session):
+        """A 128-url chain has diameter 127 — plain min-label propagation
+        needs ~127 rounds; with pointer doubling every round the reach
+        doubles per round, so it must converge within ~2*log2(128) + 4
+        rounds (O(log d)). num_partitions=2 keeps the per-round
+        aggregator-actor spin-up cheap at test scale."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import label_propagation
+
+        n = 128
+        urls = [f"u{i:06d}" for i in range(n)]
+        edges = pa.table(
+            {
+                "url_a": pa.array(urls[:-1], type=pa.string()),
+                "url_b": pa.array(urls[1:], type=pa.string()),
+            }
+        )
+        labels = {
+            r["url"]: r["component_id"]
+            for r in label_propagation(
+                ray.data.from_arrow(edges), max_iters=2 * 7 + 4,
+                num_partitions=2, doubling_every=1,
+            ).take_all()
+        }
+        assert len(labels) == n
+        assert set(labels.values()) == {urls[0]}
+
+    def test_nonconvergence_raises(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import label_propagation
+
+        n = 64
+        urls = [f"u{i:06d}" for i in range(n)]
+        edges = pa.table(
+            {
+                "url_a": pa.array(urls[:-1], type=pa.string()),
+                "url_b": pa.array(urls[1:], type=pa.string()),
+            }
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            # doubling disabled + tiny budget: a 63-diameter chain cannot
+            # finish in 3 plain rounds — must raise, never return wrong
+            # labels silently
+            label_propagation(
+                ray.data.from_arrow(edges), max_iters=3, num_partitions=4,
+                doubling_every=0,
+            )
