@@ -120,11 +120,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_edges": q.minhash_edges,
         "simhash_edges": q.simhash_edges,
         "substring_spans": q.substring_spans,
-        "media_features": q.media_features,
+        "media_embeddings": q.media_embeddings,
         "knn_cosine_lsh": q.knn_cosine_lsh_vec0,
+        "doc_fingerprints": q.doc_fingerprints,
+        # --- moved to SQL-oracled in round 2 ----------------------------
+        "media_features": q.media_features,
         "lang_id": q.lang_id,
         "quality_scores": q.quality_scores,
-        "doc_fingerprints": q.doc_fingerprints,
     }
 
 
@@ -271,6 +273,73 @@ allv AS (SELECT * FROM snap_prev UNION ALL SELECT * FROM snap_cur)
 SELECT url, warc_ts, sha256(text) AS sha
 FROM allv
 QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
+""",
+        # functions/textstats.py detect_lang expressed relationally: the
+        # engine's exact heuristic (Cyrillic dominance over the first
+        # 2000 chars, else en/de stopword majority, ties -> 'und')
+        "lang_id": r"""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 2000) AS sample FROM documents
+),
+m AS (
+  SELECT doc_id, sample,
+         len(regexp_extract_all(sample, '[Ѐ-ӿ]')) AS n_cyr,
+         regexp_extract_all(lower(sample), '\w+') AS words
+  FROM s
+),
+c AS (
+  SELECT doc_id, sample, n_cyr, words,
+    len(list_filter(words, w -> list_contains(['the','and','of','to','a','in','is','that','it','for','with','was','on','are'], w))) AS en,
+    len(list_filter(words, w -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','zu','auf','für'], w))) AS de
+  FROM m
+)
+SELECT doc_id,
+  CASE WHEN length(sample) = 0 THEN 'und'
+       WHEN n_cyr * 3 > length(sample) THEN 'ru'
+       WHEN len(words) = 0 THEN 'und'
+       WHEN en = de THEN 'und'
+       WHEN en > de THEN 'en' ELSE 'de' END AS detected_lang
+FROM c
+""",
+        # functions/textstats.py quality_features + quality_score: fixed
+        # linear rule over (length, mean token length, punctuation and
+        # stopword ratios)
+        "quality_scores": r"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\w+') AS words,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, len(words) AS n_tokens,
+    CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) ELSE 0.0 END AS mean_len,
+    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a','in','is','that','it','for','with','was','on','are'], w))) AS DOUBLE) / len(words) ELSE 0.0 END AS stop_ratio
+  FROM f
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(round(
+    (CASE WHEN n_chars BETWEEN 200 AND 50000 THEN 0.35 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)
+    + (CASE WHEN mean_len BETWEEN 2.5 AND 9.0 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio > 0.0 AND punct_ratio <= 0.12 THEN 0.2 ELSE 0.0 END)
+    + (CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+FROM g
+""",
+        # stages/multimodal.py fake decode: every scalar feature is a
+        # deterministic function of sha256(payload) — byte slicing on the
+        # hex digest reproduces width/height/sampled-frame-count exactly
+        "media_features": """
+SELECT 'testdata://media/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+  ['image','audio','video'][doc_id % 3 + 1] AS media_type,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  lower(sha256(text)) AS payload_sha256,
+  CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS BIGINT) AS width,
+  CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+       ELSE LEAST(1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) % 32, 8) END AS BIGINT) AS n_frames
+FROM documents
 """,
         "group_flags": f"""
 WITH {_PAGES_CTE},

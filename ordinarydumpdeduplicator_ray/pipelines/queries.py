@@ -575,7 +575,38 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         )
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    return extract_media_features(media, concurrency=2, media_batch_size=128)
+    # scalar feature columns only — the decode metadata is sha-derived
+    # and SQL-oracled; the embedding column has its own rows-only query
+    return extract_media_features(media, concurrency=2, media_batch_size=128) \
+        .drop_columns(["embedding"])
+
+
+def media_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Content-determined unit-norm media embeddings (fixed-size
+    float32 list) — the non-SQL-expressible half of the media feature
+    stage (stages/multimodal.py)."""
+    from ordinarydumpdeduplicator_ray.stages.multimodal import extract_media_features
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"testdata://media/{d:08d}" for d in t["doc_id"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "media_type": pa.array(
+                    [("image", "audio", "video")[d % 3] for d in t["doc_id"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "payload": pc.cast(t["text"], pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return extract_media_features(media, concurrency=2, media_batch_size=128) \
+        .select_columns(["url", "embedding"])
 
 
 def knn_cosine_lsh_vec0(sf_dir: str, k: int = 10, nbits: int = 16,
