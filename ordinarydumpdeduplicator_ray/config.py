@@ -41,12 +41,16 @@ class DedupConfig:
 
     # --- verification / clustering --------------------------------------
     jaccard_threshold: float = 0.8     # duplicate definition (oracle + verify)
-    verify_margin: float = 0.1         # uncertainty band around the threshold
-    # pairs with estimated jaccard inside [thr - margin, thr + margin] are
-    # re-verified exactly on shingle sets (stages/verify.py
-    # exact_jaccard_recheck — texts join back per side) when the verifier
-    # is given the pages table, as the flagship pipeline does; outside it
-    # the 128-perm estimate is > 4 sigma from the threshold either way.
+    verify_margin: float = 0.1         # downward recall-rescue band width
+    # minhash decision (stages/verify.py, flagship passes pages):
+    #   est >= threshold          -> accept (unbiased estimator at face
+    #                                value; never admits an est-below-thr
+    #                                pair unchecked)
+    #   thr - margin <= est < thr -> re-verified EXACTLY on shingle sets
+    #                                (texts join back per side) — rescues
+    #                                true pairs whose 128-perm estimate
+    #                                dipped below the threshold (recall)
+    #   est < thr - margin        -> reject (> ~3 sigma below threshold)
     # Without pages (bare verify_pairs call), acceptance falls back to
     # est >= thr - margin, documented there.
 

@@ -156,7 +156,7 @@ class DedupPipeline:
             pairs = candidate_pairs(buckets, cfg, np_)
             # pages passed through => margin-band pairs are re-verified
             # EXACTLY on shingle sets (config.py contract)
-            return verify_pairs(pairs, sigs, cfg, np_, pages=self._pages())
+            return verify_pairs(pairs, sigs, cfg, pages=self._pages())
 
         edges = self._stage("edges", build_edges)
 
@@ -173,7 +173,7 @@ class DedupPipeline:
 
         components = self._stage("components", build_components)
         groups_near = self._stage(
-            "groups_near", lambda: component_groups(components, sigs, np_)
+            "groups_near", lambda: component_groups(components, sigs)
         )
         return {
             "signatures": sigs,
@@ -194,15 +194,15 @@ class DedupPipeline:
     # --- reference verb: DeleteDuplicates ---------------------------------
     def plan_deletion(self, delete_urls: ray.data.Dataset) -> ray.data.Dataset:
         actions = self.results.get("actions") or self.plan_isolation()
-        return plan_deletion(actions, delete_urls, self.num_partitions)
+        return plan_deletion(actions, delete_urls)
 
     def apply_actions(self) -> tuple[ray.data.Dataset, ray.data.Dataset]:
         actions = self.results.get("actions") or self.plan_isolation()
-        return apply_actions(self._pages(), actions, self.num_partitions)
+        return apply_actions(self._pages(), actions)
 
     def report_rollup(self) -> ray.data.Dataset:
         actions = self.results.get("actions") or self.plan_isolation()
-        return host_dup_rollup(actions, self.results["signatures"], self.num_partitions)
+        return host_dup_rollup(actions, self.results["signatures"])
 
     # --- one-call convenience ---------------------------------------------
     def run(self, pages: str | ray.data.Dataset) -> dict[str, ray.data.Dataset]:

@@ -206,7 +206,7 @@ def _exact_actions(extracted: ray.data.Dataset) -> ray.data.Dataset:
         lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
     )
     joined = inner_join(
-        members, canon, on=("text_sha256",), num_partitions=_nparts(),
+        members, canon, on=("text_sha256",),
         empty_schema=pa.schema([("url", pa.string()), ("text_sha256", pa.binary()),
                                 ("canonical_url", pa.string())]),
     )
@@ -234,7 +234,7 @@ def dup_rollup_by_source(sf_dir: str) -> ray.data.Dataset:
     actions = _exact_actions(extracted)
     from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
 
-    return host_dup_rollup(actions, extracted, _nparts()).drop_columns([])
+    return host_dup_rollup(actions, extracted).drop_columns([])
 
 
 def corpus_stats(sf_dir: str) -> pa.Table:
@@ -751,7 +751,7 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
     )
     dups = actions.filter(expr="action != 'keep'")
     joined = inner_join(
-        dups, sizes, on=("url",), num_partitions=_nparts(),
+        dups, sizes, on=("url",),
         empty_schema=pa.schema([
             ("url", pa.string()), ("action", pa.string()),
             ("group_key", pa.string()), ("n_bytes", pa.int64()),
@@ -906,7 +906,7 @@ def all_dup_groups(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     exact_only = left_outer_join(
-        exact, near_keys, on=("canonical_url",), num_partitions=_nparts(),
+        exact, near_keys, on=("canonical_url",),
     ).map_batches(
         lambda t: t.filter(pc.is_null(t["in_near"])).drop_columns(["in_near"]),
         batch_format="pyarrow",

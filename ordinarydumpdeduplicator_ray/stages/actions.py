@@ -37,7 +37,7 @@ def plan_isolation(components: ray.data.Dataset) -> ray.data.Dataset:
 def plan_deletion(
     actions: ray.data.Dataset,
     delete_urls: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Upgrade isolate -> delete for the requested urls, enforcing the
     reference's guard: a request for a url that is not currently
@@ -99,7 +99,7 @@ def quarantine_report(
 def apply_actions(
     pages: ray.data.Dataset,
     actions: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(kept_pages, quarantined_pages): the deduplicated output table and
     the quarantine table — a filter + join, never mutating inputs

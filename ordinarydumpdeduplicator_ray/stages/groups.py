@@ -69,24 +69,33 @@ def exact_groups(
 def component_groups(
     components: ray.data.Dataset,
     signatures: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """components (url, component_id) -> near-dup group aggregates.
 
     Near-dup members differ slightly in size, so (deviating from the
     exact-group arithmetic): n_bytes = max member size (representative),
     all_data_size = sum of member sizes, dup_data_size = sum - max
-    (bytes reclaimable keeping the largest copy)."""
-    sizes = signatures.map_batches(
-        lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
-    )
-    joined = inner_join(
-        components, sizes, on=("url",), num_partitions=num_partitions,
-        empty_schema=pa.schema(
-            [("url", pa.string()), ("component_id", pa.string()),
-             ("n_bytes", pa.int64())]
-        ),
-    )
+    (bytes reclaimable keeping the largest copy).
+
+    When the components table already carries ``n_bytes`` (driver
+    union-find over size-annotated edges), the sizes join is skipped
+    entirely; the join remains as the fallback for components from
+    label propagation."""
+    comp_schema = components.schema()
+    if comp_schema is not None and "n_bytes" in (comp_schema.names or []):
+        joined = components
+    else:
+        sizes = signatures.map_batches(
+            lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
+        )
+        joined = inner_join(
+            components, sizes, on=("url",), num_partitions=num_partitions,
+            empty_schema=pa.schema(
+                [("url", pa.string()), ("component_id", pa.string()),
+                 ("n_bytes", pa.int64())]
+            ),
+        )
     agg = joined.groupby("component_id").aggregate(
         Count(alias_name="n_copies"),
         Min("url", alias_name="canonical_url"),

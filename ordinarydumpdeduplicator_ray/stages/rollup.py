@@ -30,7 +30,7 @@ def add_host(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
 def host_dup_rollup(
     actions: ray.data.Dataset,
     signatures: ray.data.Dataset,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-host duplicate footprint: n_dup_pages (isolate/delete rows) and
     dup_bytes. Sorted descending by dup_bytes — the report-table ordering

@@ -33,7 +33,7 @@ def _attach(
     signatures: ray.data.Dataset,
     side: str,
     columns: dict[str, str],
-    num_partitions: int,
+    num_partitions: int | None,
     out_schema: pa.Schema,
 ) -> ray.data.Dataset:
     """Join ``columns`` of signatures onto pairs via ``url_{side}``.
@@ -57,7 +57,7 @@ def verify_pairs(
     pairs: ray.data.Dataset,
     signatures: ray.data.Dataset,
     config: DedupConfig,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     pages: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Merged verification for candidates from BOTH bucket families
@@ -69,34 +69,45 @@ def verify_pairs(
     vectorized — signature matrices are stacked per batch, no per-pair
     Python in the comparison.
 
-    With ``pages``, pairs whose Jaccard ESTIMATE falls inside the
-    ``[thr - margin, thr + margin]`` uncertainty band are re-verified
-    EXACTLY on their shingle sets (config.py contract): texts join back
-    per side and the true unique-shingle Jaccard decides, so an
-    estimate-flattered pair (true J well below the threshold) can no
-    longer seed a transitive union-find merge. Without ``pages`` the
-    legacy estimate-only acceptance (est >= thr - margin) applies."""
+    With ``pages``: estimates AT or ABOVE the threshold accept directly
+    (the unbiased-estimator decision at face value — a sub-threshold
+    pair needs an upward est excursion past thr to be falsely accepted,
+    strictly tighter than the legacy thr - margin acceptance that
+    worried ADVICE); estimates in the DOWNWARD tail
+    ``[thr - margin, thr)`` are re-verified EXACTLY on their shingle
+    sets (config.py contract), rescuing true pairs whose estimate dipped
+    below the threshold (recall) without ever letting an est-below-thr
+    pair through unchecked. Without ``pages``, acceptance falls back to
+    est >= thr - margin (legacy, documented in config.py)."""
     thr = config.jaccard_threshold - config.verify_margin
-    thr_hi = config.jaccard_threshold + config.verify_margin
+    thr_hi = config.jaccard_threshold
     recheck = pages is not None
     max_h = config.simhash_max_hamming
     base = [("url_a", pa.string()), ("url_b", pa.string())]
-    a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary())]
-    b_cols = [("mh_b", pa.binary()), ("sh_b", pa.uint64()), ("sha_b", pa.binary())]
+    a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary()),
+              ("nb_a", pa.int64())]
+    b_cols = [("mh_b", pa.binary()), ("sh_b", pa.uint64()), ("sha_b", pa.binary()),
+              ("nb_b", pa.int64())]
     with_a = _attach(
         pairs, signatures, "a",
-        {"minhash": "mh_a", "simhash": "sh_a", "text_sha256": "sha_a"},
+        {"minhash": "mh_a", "simhash": "sh_a", "text_sha256": "sha_a",
+         "n_bytes": "nb_a"},
         num_partitions,
         pa.schema(base + a_cols),
     )
     with_ab = _attach(
         with_a, signatures, "b",
-        {"minhash": "mh_b", "simhash": "sh_b", "text_sha256": "sha_b"},
+        {"minhash": "mh_b", "simhash": "sh_b", "text_sha256": "sha_b",
+         "n_bytes": "nb_b"},
         num_partitions,
         pa.schema(base + a_cols + b_cols),
     )
+    # edges carry each endpoint's n_bytes so the driver union-find can
+    # emit size-annotated components and the near-group aggregation
+    # needs NO join back to the signatures table
     empty = pa.schema(
-        base + [("source", pa.string()), ("jaccard", pa.float64())]
+        base + [("nb_a", pa.int64()), ("nb_b", pa.int64()),
+                ("source", pa.string()), ("jaccard", pa.float64())]
     ).empty_table()
 
     def verify(t: pa.Table) -> pa.Table:
@@ -128,16 +139,17 @@ def verify_pairs(
         )
 
         if recheck:
-            # estimate clears the band -> accept; inside the band ->
-            # 'minhash_margin' rows for the exact shingle re-check below.
-            # Exact-sha pairs skip the re-check (est == 1 by identity).
+            # est >= threshold -> accept at face value; downward tail
+            # [thr - margin, thr) -> 'minhash_margin' rows for the exact
+            # shingle re-check below (recall rescue). Exact-sha pairs
+            # skip the re-check (est == 1 by identity).
             mh_sure = mh_keep & (est >= thr_hi)
             mh_band = mh_keep & ~mh_sure & ~ex_keep
         else:
             mh_sure = mh_keep
             mh_band = np.zeros(len(mh_keep), dtype=bool)
 
-        urls = t.select(["url_a", "url_b"])
+        urls = t.select(["url_a", "url_b", "nb_a", "nb_b"])
         out_ex = urls.take(np.nonzero(ex_keep)[0]) \
             .append_column("source", pa.array(["exact"] * int(ex_keep.sum()), type=pa.string())) \
             .append_column("jaccard", pa.array([1.0] * int(ex_keep.sum()), type=pa.float64()))
@@ -157,8 +169,10 @@ def verify_pairs(
     if not recheck:
         return edges
     edges = edges.materialize()
-    pending = edges.filter(expr="source == 'minhash_margin'")
+    pending = edges.filter(expr="source == 'minhash_margin'").materialize()
     accepted = edges.filter(expr="source != 'minhash_margin'")
+    if pending.count() == 0:
+        return accepted
     resolved = exact_jaccard_recheck(pending, pages, config, num_partitions)
     return accepted.union(resolved)
 
@@ -174,6 +188,10 @@ class _ShingleRecheck:
 
         self.config = config
         self.hasher = TokenHasher()
+        # shingle sets cached ACROSS batches (cluster members recur in
+        # many pairs spread over batches); bounded to cap actor memory
+        self._cache: dict[str, np.ndarray] = {}
+        self._cache_cap = 200_000
 
     def _shingles(self, text: str | None, cache: dict) -> np.ndarray | None:
         from ordinarydumpdeduplicator_ray.functions.hashing import shingle_hashes
@@ -186,12 +204,13 @@ class _ShingleRecheck:
             toks = tokenize(text, self.config.lowercase)
             s = shingle_hashes(self.hasher.hash_tokens(toks), self.config.shingle_size) \
                 if toks else np.empty(0, dtype=np.uint64)
-            cache[text] = s
+            if len(cache) < self._cache_cap:
+                cache[text] = s
         return s
 
     def __call__(self, t: pa.Table) -> pa.Table:
         thr = self.config.jaccard_threshold
-        cache: dict = {}
+        cache = self._cache
         keep = np.zeros(len(t), dtype=bool)
         jac = np.zeros(len(t), dtype=np.float64)
         ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
@@ -205,7 +224,9 @@ class _ShingleRecheck:
             j = inter / union if union else 0.0
             jac[i] = j
             keep[i] = j >= thr
-        out = t.select(["url_a", "url_b"]).filter(pa.array(keep))
+        cols = ["url_a", "url_b"] + [c for c in ("nb_a", "nb_b")
+                                     if c in t.column_names]
+        out = t.select(cols).filter(pa.array(keep))
         n = len(out)
         return out.append_column("source", pa.array(["minhash"] * n, type=pa.string())) \
                   .append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
@@ -215,7 +236,7 @@ def exact_jaccard_recheck(
     pending: ray.data.Dataset,
     pages: ray.data.Dataset,
     config: DedupConfig,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Margin-band pairs -> 'minhash' edges kept iff the TRUE unique-
     shingle Jaccard >= threshold. Texts attach via two hash joins against
@@ -227,8 +248,12 @@ def exact_jaccard_recheck(
         e = extract_batch(t)
         return pa.table({"url": e["url"], "text": e["text"]})
 
-    texts = pages.map_batches(url_text, batch_format="pyarrow")
+    # materialize the extracted texts ONCE — both side joins reuse the
+    # same blocks (two independent lazy lineages would re-extract the
+    # whole corpus twice inside the join materializations)
+    texts = pages.map_batches(url_text, batch_format="pyarrow").materialize()
     base = [("url_a", pa.string()), ("url_b", pa.string()),
+            ("nb_a", pa.int64()), ("nb_b", pa.int64()),
             ("source", pa.string()), ("jaccard", pa.float64())]
     with_a = inner_join(
         pending,

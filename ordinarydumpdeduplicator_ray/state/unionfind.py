@@ -52,13 +52,31 @@ class UnionFind:
 
 
 def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
-    """edges Dataset -> components table (url, component_id), where
-    component_id = lexicographic min url of the component. Streaming
-    driver-side consumption; deterministic regardless of edge order."""
+    """edges Dataset -> components table (url, component_id[, n_bytes]),
+    where component_id = lexicographic min url of the component.
+    Streaming driver-side consumption; deterministic regardless of edge
+    order. When the edges carry per-endpoint sizes (``nb_a``/``nb_b``,
+    attached during verification), the output carries ``n_bytes`` per
+    member — the near-group aggregation then needs no join back to the
+    signatures table."""
     uf = UnionFind()
+    sizes: dict[str, int] = {}
+    have_nb = False
     for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()):
-            uf.union(a, b)
+        have_nb = "nb_a" in batch.column_names and "nb_b" in batch.column_names
+        if have_nb:
+            for a, b, na, nb in zip(
+                batch["url_a"].to_pylist(), batch["url_b"].to_pylist(),
+                batch["nb_a"].to_pylist(), batch["nb_b"].to_pylist(),
+            ):
+                uf.union(a, b)
+                if na is not None:
+                    sizes[a] = na
+                if nb is not None:
+                    sizes[b] = nb
+        else:
+            for a, b in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()):
+                uf.union(a, b)
     # root -> min url, then emit sorted for determinism
     min_url: dict[str, str] = {}
     for url in uf.parent:
@@ -68,12 +86,13 @@ def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
             min_url[r] = url
     urls = sorted(uf.parent)
     comp = [min_url[uf.find(u)] for u in urls]
-    return pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "component_id": pa.array(comp, type=pa.string()),
-        }
-    )
+    cols = {
+        "url": pa.array(urls, type=pa.string()),
+        "component_id": pa.array(comp, type=pa.string()),
+    }
+    if sizes:
+        cols["n_bytes"] = pa.array([sizes.get(u) for u in urls], type=pa.int64())
+    return pa.table(cols)
 
 
 def _labels_checksum(labels: ray.data.Dataset) -> int:
