@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_locations": q.page_locations,
         "snapshot_diff": q.snapshot_diff,
         "latest_page_versions": q.latest_page_versions,
+        "isolated_pages_view": q.isolated_pages_view,
+        "kept_pages_view": q.kept_pages_view,
         # --- rows-only (non-SQL-expressible operators) ------------------
         "near_dup_components": q.near_dup_components,
         "near_dup_components_distributed": q.near_dup_components_distributed,
@@ -273,6 +275,26 @@ allv AS (SELECT * FROM snap_prev UNION ALL SELECT * FROM snap_cur)
 SELECT url, warc_ts, sha256(text) AS sha
 FROM allv
 QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
+""",
+        "isolated_pages_view": f"""
+WITH {_PAGES_CTE},
+g AS (
+  SELECT url,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+)
+SELECT url, canon AS group_key FROM g WHERE n > 1 AND url <> canon
+""",
+        "kept_pages_view": f"""
+WITH {_PAGES_CTE},
+g AS (
+  SELECT url,
+         count(*) OVER (PARTITION BY text) AS n,
+         min(url) OVER (PARTITION BY text) AS canon
+  FROM pages
+)
+SELECT url FROM g WHERE n = 1 OR url = canon
 """,
         # functions/textstats.py detect_lang expressed relationally: the
         # engine's exact heuristic (Cyrillic dominance over the first

@@ -790,6 +790,36 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def isolated_pages_view(sf_dir: str) -> ray.data.Dataset:
+    """Report view variant: the isolated-duplicates-only listing
+    (DuplicatesViewController.cs:31-43 'view isolated' mode) — every
+    non-canonical member of a dup group with its group key."""
+    actions = dedup_actions(sf_dir)
+    return actions.filter(expr="action != 'keep'").map_batches(
+        lambda t: t.select(["url", "group_key"]), batch_format="pyarrow"
+    )
+
+
+def kept_pages_view(sf_dir: str) -> ray.data.Dataset:
+    """Report view variant: the hide-isolated listing
+    (DuplicatesViewController.cs:31-43 'hide isolated' mode) — the page
+    set with isolated duplicates suppressed: singletons plus each dup
+    group's canonical copy."""
+    pages = _extracted(dup_corpus(sf_dir)).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    )
+    iso = isolated_pages_view(sf_dir).map_batches(
+        lambda t: pa.table({"url": t["url"], "iso": pa.array([True] * len(t))}),
+        batch_format="pyarrow",
+    )
+    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
+
+    return left_outer_join(pages, iso, on=("url",)).map_batches(
+        lambda t: t.filter(pc.is_null(t["iso"])).select(["url"]),
+        batch_format="pyarrow",
+    )
+
+
 def snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     """Multi-snapshot FileState versioning (Common/FileState.cs:7-28,
     FileStatus.cs:5-14): diff the current crawl snapshot against the

@@ -28,6 +28,7 @@ def _worker(q: mp.Queue) -> None:
     n = ARRAY_MB * (1 << 20) // 8
     a = np.random.default_rng(0).random(n)
     b = np.empty_like(a)
+    np.copyto(b, a)   # warm-up: fault both arrays in before timing
     t0 = time.perf_counter()
     moved = 0
     while time.perf_counter() - t0 < DURATION_S:
