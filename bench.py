@@ -59,7 +59,10 @@ def run_flagship(pages, num_cpus: int) -> tuple[float, int, dict]:
     from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
 
     cfg = DedupConfig(
-        sig_concurrency=int(os.environ.get("GRAFT_SIG_CONC", max(2, num_cpus // 2))),
+        # extract_batch fuses INTO the signature actor pool (one fused
+        # operator), so the pool is the sole CPU consumer of the stage —
+        # size it to every core, not half of them.
+        sig_concurrency=int(os.environ.get("GRAFT_SIG_CONC", num_cpus)),
         batch_size=512,
     )
     nparts = int(os.environ.get("GRAFT_NPARTS", max(8, num_cpus // 2)))

@@ -66,6 +66,40 @@ def exact_groups(
     return finalize_exact_groups(exact_group_aggregates(valid, sort_partitions))
 
 
+def _component_groups_local(t: pa.Table) -> pa.Table:
+    """Vectorized single-pass equivalent of the component_groups
+    aggregate for a driver-resident (url, component_id, n_bytes) table:
+    lexsort by (component_id, url), run boundaries, ``reduceat``
+    aggregates. Same output as the distributed groupby path."""
+    import numpy as np
+
+    if len(t) == 0:
+        return pa.schema(
+            [("group_key", pa.string()), ("n_copies", pa.int64()),
+             ("n_bytes", pa.int64()), ("canonical_url", pa.string()),
+             ("all_data_size", pa.int64()), ("dup_data_size", pa.int64())]
+        ).empty_table()
+    cids = np.asarray(t["component_id"].to_pylist(), dtype=object)
+    urls = np.asarray(t["url"].to_pylist(), dtype=object)
+    sizes = np.asarray(t["n_bytes"].to_pylist(), dtype=np.int64)
+    order = np.lexsort((urls, cids))
+    cids, urls, sizes = cids[order], urls[order], sizes[order]
+    starts = np.concatenate([[0], np.flatnonzero(cids[1:] != cids[:-1]) + 1])
+    counts = np.diff(np.concatenate([starts, [len(cids)]]))
+    max_sz = np.maximum.reduceat(sizes, starts)
+    sum_sz = np.add.reduceat(sizes, starts)
+    return pa.table(
+        {
+            "group_key": pa.array(cids[starts], type=pa.string()),
+            "n_copies": pa.array(counts, type=pa.int64()),
+            "n_bytes": pa.array(max_sz, type=pa.int64()),
+            "canonical_url": pa.array(urls[starts], type=pa.string()),
+            "all_data_size": pa.array(sum_sz, type=pa.int64()),
+            "dup_data_size": pa.array(sum_sz - max_sz, type=pa.int64()),
+        }
+    )
+
+
 def component_groups(
     components: ray.data.Dataset,
     signatures: ray.data.Dataset,
@@ -85,6 +119,16 @@ def component_groups(
     comp_schema = components.schema()
     if comp_schema is not None and "n_bytes" in (comp_schema.names or []):
         joined = components
+        # the size-annotated components table comes from the driver
+        # union-find (<= max_driver_edges) — it is small and already on
+        # the driver's side of the fence. Ray's shuffle aggregate pays
+        # ~10 s of fixed hash-partition actor overhead for it at ANY
+        # parallelism; one vectorized sorted-run pass is milliseconds.
+        if joined.count() <= 5_000_000:
+            import pyarrow as _pa
+
+            tbl = _pa.concat_tables(joined.iter_batches(batch_format="pyarrow"))
+            return ray.data.from_arrow(_component_groups_local(tbl))
     else:
         sizes = signatures.map_batches(
             lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"

@@ -181,13 +181,18 @@ class _ShingleRecheck:
     """Actor: exact unique-shingle Jaccard for the margin-band pairs.
     Token-hash cache + config in ``__init__``; per batch, each distinct
     text is tokenized/shingled once (batch-local cache) and pair Jaccards
-    come from sorted-array intersections."""
+    come from sorted-array intersections.
 
-    def __init__(self, config: DedupConfig) -> None:
+    Texts arrive either as ``text_a``/``text_b`` columns (join path) or
+    via ``texts_ref`` — a broadcast url->text dict in the object store,
+    fetched once per actor (zero-copy plasma read)."""
+
+    def __init__(self, config: DedupConfig, texts_ref=None) -> None:
         from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
 
         self.config = config
         self.hasher = TokenHasher()
+        self.texts = ray.get(texts_ref) if texts_ref is not None else None
         # shingle sets cached ACROSS batches (cluster members recur in
         # many pairs spread over batches); bounded to cap actor memory
         self._cache: dict[str, np.ndarray] = {}
@@ -213,7 +218,12 @@ class _ShingleRecheck:
         cache = self._cache
         keep = np.zeros(len(t), dtype=bool)
         jac = np.zeros(len(t), dtype=np.float64)
-        ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        if self.texts is not None:
+            g = self.texts.get
+            ta = [g(u) for u in t["url_a"].to_pylist()]
+            tb = [g(u) for u in t["url_b"].to_pylist()]
+        else:
+            ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
         for i, (x, y) in enumerate(zip(ta, tb)):
             a = self._shingles(x, cache)
             b = self._shingles(y, cache)
@@ -232,6 +242,13 @@ class _ShingleRecheck:
                   .append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
 
 
+# above this, the broadcast path applies: the pending url set and its
+# texts ride the object store instead of two full-corpus shuffle joins.
+# 20M pairs x ~40B/url ~= 1.6 GB of driver set — beyond that, fall back
+# to the join path (which never holds more than a partition anywhere).
+_BROADCAST_PENDING_CAP = 20_000_000
+
+
 def exact_jaccard_recheck(
     pending: ray.data.Dataset,
     pages: ray.data.Dataset,
@@ -239,9 +256,64 @@ def exact_jaccard_recheck(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Margin-band pairs -> 'minhash' edges kept iff the TRUE unique-
-    shingle Jaccard >= threshold. Texts attach via two hash joins against
-    the extracted pages (the band is a narrow est window, so this table
-    is a small fraction of all pairs)."""
+    shingle Jaccard >= threshold.
+
+    Fast path (pending below ``_BROADCAST_PENDING_CAP``): collect the
+    band's url set on the driver, filter-and-extract ONLY those pages'
+    texts (map-only, no shuffle), broadcast the url->text dict via
+    ``ray.put`` and verify in an actor pool — zero shuffles and no
+    full-corpus re-extraction. The margin band is a narrow est window,
+    so this covers every realistic run; beyond the cap, texts attach via
+    two hash joins against the (fully re-extracted) pages instead."""
+    if pending.count() <= _BROADCAST_PENDING_CAP:
+        return _recheck_broadcast(pending, pages, config)
+    return _recheck_join(pending, pages, config, num_partitions)
+
+
+def _recheck_broadcast(
+    pending: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    config: DedupConfig,
+) -> ray.data.Dataset:
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
+    urls: set = set()
+    for b in pending.iter_batches(batch_format="pyarrow"):
+        urls.update(b["url_a"].to_pylist())
+        urls.update(b["url_b"].to_pylist())
+    url_ref = ray.put(pa.array(sorted(urls), type=pa.string()))
+
+    def filter_extract(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        wanted = ray.get(url_ref)  # zero-copy plasma read, cached per worker
+        t = t.filter(pc.is_in(t["url"], value_set=wanted))
+        if len(t) == 0:
+            return pa.schema([("url", pa.string()), ("text", pa.string())]).empty_table()
+        e = extract_batch(t)
+        return pa.table({"url": e["url"], "text": e["text"]})
+
+    texts: dict = {}
+    for b in pages.map_batches(filter_extract, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        texts.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+    return pending.map_batches(
+        _ShingleRecheck,
+        fn_constructor_kwargs={"config": config, "texts_ref": texts_ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=config.sig_concurrency if isinstance(config.sig_concurrency, int) else 4,
+    )
+
+
+def _recheck_join(
+    pending: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    config: DedupConfig,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
 
     def url_text(t: pa.Table) -> pa.Table:
