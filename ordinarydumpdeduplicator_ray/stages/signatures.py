@@ -146,20 +146,42 @@ class SignatureActor:
         return out
 
 
+# one SignatureActor per worker process, keyed by the semantic fields
+# that shape its state: signature maps run as TASKS on prestarted
+# workers (a fresh actor pool pays python + ray import per actor,
+# ~10s of spin-up), while the permutation matrix and the Zipf-friendly
+# token-hash cache still build once per process and persist across
+# batches — the same state reuse the actor pool gave, without the
+# spin-up or the fixed pool width.
+_SIG_STATE: dict = {}
+
+
+def _signature_batch(batch: pa.Table, config: DedupConfig, keep_text: bool) -> pa.Table:
+    key = (config.num_perm, config.seed, config.shingle_size,
+           config.lowercase, keep_text)
+    inst = _SIG_STATE.get(key)
+    if inst is None:
+        cls = SignatureActorKeepText if keep_text else SignatureActor
+        inst = cls(config)
+        _SIG_STATE.clear()
+        _SIG_STATE[key] = inst
+    return inst(batch)
+
+
 def compute_signatures(
     pages, config: DedupConfig | None = None, keep_text: bool = False
 ):
-    """pages Dataset -> signatures Dataset (extract stage as stateless
-    tasks, signature stage as an actor pool)."""
+    """pages Dataset -> signatures Dataset (extract + signature kernels
+    as fused stateless task maps; per-process kernel state via
+    ``_signature_batch``)."""
+    import functools
+
     cfg = config or DedupConfig()
     ds = pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
-    cls = SignatureActorKeepText if keep_text else SignatureActor
     return ds.map_batches(
-        cls,
-        fn_constructor_kwargs={"config": cfg},
+        functools.partial(_signature_batch, config=cfg, keep_text=keep_text),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.sig_concurrency,
     )
 
 

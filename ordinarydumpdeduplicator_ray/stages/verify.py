@@ -11,10 +11,21 @@ Pairs are verified against the signatures they were generated from:
   (``exact_jaccard_recheck``) — the flagship pipeline always does.
 - simhash pairs: exact Hamming distance <= ``simhash_max_hamming``.
 
-Signature columns reach the pairs via two hash-shuffle joins against a
-narrow projection of the signatures table (url -> packed minhash +
-simhash) — the scalable alternative to carrying 1 KiB signatures through
-every band-explode row (32x write amplification avoided).
+Signature columns reach the pairs one of two ways:
+
+- **Broadcast lookup** (default while the distinct pair-url set is under
+  ``_BROADCAST_VERIFY_URL_CAP``): the pair url set is collected on the
+  driver, signatures for ONLY those urls are filter-projected map-only
+  (no shuffle) into a packed lookup (sorted url array + dense minhash
+  matrix + simhash / sha-code / n_bytes vectors), ``ray.put`` once, and
+  each verify actor resolves both sides with one vectorized
+  ``pc.index_in`` + numpy row gather per batch. Zero shuffles; on a
+  real cluster the lookup lands in each node's plasma store once.
+- **Hash-shuffle joins** (fallback beyond the cap): two inner joins
+  attach the per-side columns — never holds more than a partition
+  anywhere, at the price of shuffling the pair table twice. Still the
+  scalable alternative to carrying 1 KiB signatures through every
+  band-explode row (32x write amplification avoided).
 """
 
 from __future__ import annotations
@@ -23,9 +34,23 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+import pyarrow.compute as pc
+
 from ordinarydumpdeduplicator_ray.config import DedupConfig
 from ordinarydumpdeduplicator_ray.functions.simhash import hamming_distance
 from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+_EDGE_SCHEMA = pa.schema(
+    [("url_a", pa.string()), ("url_b", pa.string()),
+     ("nb_a", pa.int64()), ("nb_b", pa.int64()),
+     ("source", pa.string()), ("jaccard", pa.float64())]
+)
+
+# distinct pair-participating urls above which the packed signature
+# lookup no longer broadcasts (2M urls ~= 2 GiB of minhash matrix in
+# plasma, read zero-copy once per node) and verification falls back to
+# the two shuffle joins.
+_BROADCAST_VERIFY_URL_CAP = 2_000_000
 
 
 def _attach(
@@ -53,6 +78,171 @@ def _attach(
     )
 
 
+def _emit_edges(
+    urls: pa.Table,
+    est: np.ndarray,
+    mh_keep: np.ndarray,
+    hd: np.ndarray,
+    sh_keep: np.ndarray,
+    ex_keep: np.ndarray,
+    config: DedupConfig,
+    recheck: bool,
+) -> pa.Table:
+    """Shared edge emission for both attach strategies. ``urls`` is the
+    (url_a, url_b, nb_a, nb_b) table aligned row-for-row with the flag /
+    score arrays.
+
+    With ``recheck``: estimates AT or ABOVE the threshold accept
+    directly (the unbiased-estimator decision at face value — a
+    sub-threshold pair needs an upward est excursion past thr to be
+    falsely accepted, strictly tighter than the legacy thr - margin
+    acceptance that worried ADVICE); estimates in the DOWNWARD tail
+    ``[thr - margin, thr)`` become 'minhash_margin' rows for the exact
+    shingle re-check (recall rescue) — never accepted unchecked.
+    Without ``recheck``, acceptance falls back to est >= thr - margin
+    (legacy, documented in config.py)."""
+    if recheck:
+        mh_sure = mh_keep & (est >= config.jaccard_threshold)
+        mh_band = mh_keep & ~mh_sure & ~ex_keep
+    else:
+        mh_sure = mh_keep
+        mh_band = np.zeros(len(mh_keep), dtype=bool)
+    out_ex = urls.take(np.nonzero(ex_keep)[0]) \
+        .append_column("source", pa.array(["exact"] * int(ex_keep.sum()), type=pa.string())) \
+        .append_column("jaccard", pa.array([1.0] * int(ex_keep.sum()), type=pa.float64()))
+    out_mh = urls.take(np.nonzero(mh_sure)[0]) \
+        .append_column("source", pa.array(["minhash"] * int(mh_sure.sum()), type=pa.string())) \
+        .append_column("jaccard", pa.array(est[mh_sure], type=pa.float64()))
+    out_band = urls.take(np.nonzero(mh_band)[0]) \
+        .append_column("source", pa.array(["minhash_margin"] * int(mh_band.sum()), type=pa.string())) \
+        .append_column("jaccard", pa.array(est[mh_band], type=pa.float64()))
+    sim = 1.0 - hd[sh_keep].astype(np.float64) / 64.0
+    out_sh = urls.take(np.nonzero(sh_keep)[0]) \
+        .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()), type=pa.string())) \
+        .append_column("jaccard", pa.array(sim, type=pa.float64()))
+    return pa.concat_tables([out_ex, out_mh, out_band, out_sh])
+
+
+def _collect_pair_urls(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
+    """Distinct urls referenced by the pairs (C++ ``pc.unique``, no
+    Python sets), or None once the set exceeds ``cap`` (caller falls
+    back to the shuffle-join attach). Chunks collapse through
+    ``pc.unique`` periodically so driver memory stays O(distinct)."""
+    chunks: list[pa.Array] = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        chunks.extend(b["url_a"].chunks)
+        chunks.extend(b["url_b"].chunks)
+        if len(chunks) >= 256:
+            chunks = [pc.unique(pa.chunked_array(chunks))]
+            if len(chunks[0]) > cap:
+                return None
+    if not chunks:
+        return pa.array([], type=pa.string())
+    uniq = pc.unique(pa.chunked_array(chunks))
+    return None if len(uniq) > cap else uniq
+
+
+def _build_sig_lookup(
+    signatures: ray.data.Dataset, pair_urls: pa.Array, config: DedupConfig
+):
+    """Filter-project signatures to the pair urls (map-only, no shuffle)
+    and pack them into a dense lookup: url Arrow array + minhash matrix
+    (n, k) uint64 + simhash / sha-dictionary-code / n_bytes vectors.
+    Returns a ``ray.put`` ref (numpy parts read zero-copy per node), or
+    None when nothing matched."""
+    url_ref = ray.put(pair_urls)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["url"], value_set=ray.get(url_ref)))
+        return t.select(["url", "minhash", "simhash", "text_sha256", "n_bytes"])
+
+    batches = [
+        b
+        for b in signatures.map_batches(project, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if not batches:
+        return None
+    tbl = pa.concat_tables(batches)
+    k = config.num_perm
+    zero = b"\x00" * (8 * k)
+    mh = tbl["minhash"].to_pylist()
+    mh_mat = np.frombuffer(b"".join(x or zero for x in mh), dtype="<u8").reshape(-1, k)
+    mh_valid = np.fromiter((x is not None for x in mh), dtype=bool, count=len(mh))
+    sh_col = tbl["simhash"].combine_chunks()
+    sh_valid = pc.is_valid(sh_col).to_numpy(zero_copy_only=False)
+    sh = pc.fill_null(sh_col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+    # dictionary codes make the exact-sha comparison an int compare;
+    # encoding AFTER combine_chunks keeps one global dictionary
+    sha_idx = pc.dictionary_encode(tbl["text_sha256"].combine_chunks()).indices
+    sha = pc.fill_null(sha_idx, pa.scalar(-1, type=sha_idx.type)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = pc.fill_null(tbl["n_bytes"].combine_chunks(), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.put(
+        {"urls": tbl["url"].combine_chunks(), "mh": mh_mat, "mh_valid": mh_valid,
+         "sh": sh, "sh_valid": sh_valid, "sha": sha, "nb": nb}
+    )
+
+
+# process-level cache of the last fetched broadcast object: broadcast
+# maps run as TASKS on prestarted workers (a fresh ACTOR pool pays
+# python + ray import per actor, measured ~10s of spin-up per pool),
+# and this cache makes the per-task ``ray.get`` + unpickle a one-time
+# cost per worker process
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    val = _BROADCAST_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = val
+    return val
+
+
+def _resolve_urls(col, value_set) -> np.ndarray:
+    """Vectorized url -> lookup-row index; -1 where absent."""
+    idx = pc.index_in(col, value_set=value_set)
+    return pc.fill_null(idx, pa.scalar(-1, type=idx.type)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _broadcast_verify_batch(
+    t: pa.Table, config: DedupConfig, lookup_ref, recheck: bool
+) -> pa.Table:
+    """Verify one pair batch against the broadcast signature lookup:
+    both sides resolve with ``pc.index_in`` (vectorized hash lookup) +
+    numpy row gathers — no joins, no per-pair Python."""
+    if len(t) == 0:
+        return _EDGE_SCHEMA.empty_table()
+    lk = _get_broadcast(lookup_ref)
+    ia = _resolve_urls(t["url_a"], lk["urls"])
+    ib = _resolve_urls(t["url_b"], lk["urls"])
+    found = (ia >= 0) & (ib >= 0)
+    ia0, ib0 = np.where(ia >= 0, ia, 0), np.where(ib >= 0, ib, 0)
+    mh, mh_valid = lk["mh"], lk["mh_valid"]
+    est = (mh[ia0] == mh[ib0]).mean(axis=1)
+    thr = config.jaccard_threshold - config.verify_margin
+    mh_keep = found & mh_valid[ia0] & mh_valid[ib0] & (est >= thr)
+    hd = hamming_distance(lk["sh"][ia0], lk["sh"][ib0])
+    sh_keep = (
+        found & lk["sh_valid"][ia0] & lk["sh_valid"][ib0]
+        & (hd <= config.simhash_max_hamming)
+    )
+    sha = lk["sha"]
+    ex_keep = found & (sha[ia0] >= 0) & (sha[ia0] == sha[ib0])
+    urls = pa.table(
+        {"url_a": t["url_a"], "url_b": t["url_b"],
+         "nb_a": pa.array(lk["nb"][ia0], type=pa.int64()),
+         "nb_b": pa.array(lk["nb"][ib0], type=pa.int64())}
+    )
+    return _emit_edges(urls, est, mh_keep, hd, sh_keep, ex_keep, config, recheck)
+
+
 def verify_pairs(
     pairs: ray.data.Dataset,
     signatures: ray.data.Dataset,
@@ -62,26 +252,60 @@ def verify_pairs(
 ) -> ray.data.Dataset:
     """Merged verification for candidates from BOTH bucket families
     (minhash bands + simhash blocks in one candidate pass): attach
-    (minhash, simhash) per side in two joins instead of four, then emit
-    an 'exact' edge when the full content hashes agree, a 'minhash' edge
-    when the Jaccard estimate clears the threshold and a 'simhash' edge
-    when the Hamming ball admits the pair. Fully
-    vectorized — signature matrices are stacked per batch, no per-pair
-    Python in the comparison.
+    (minhash, simhash, sha, n_bytes) per side — broadcast lookup below
+    ``_BROADCAST_VERIFY_URL_CAP`` distinct pair urls, two shuffle joins
+    beyond it (module docstring) — then emit an 'exact' edge when the
+    full content hashes agree, a 'minhash' edge when the Jaccard
+    estimate clears the threshold and a 'simhash' edge when the Hamming
+    ball admits the pair. Fully vectorized — signature matrices are
+    stacked per batch / pre-packed per actor, no per-pair Python.
 
-    With ``pages``: estimates AT or ABOVE the threshold accept directly
-    (the unbiased-estimator decision at face value — a sub-threshold
-    pair needs an upward est excursion past thr to be falsely accepted,
-    strictly tighter than the legacy thr - margin acceptance that
-    worried ADVICE); estimates in the DOWNWARD tail
-    ``[thr - margin, thr)`` are re-verified EXACTLY on their shingle
-    sets (config.py contract), rescuing true pairs whose estimate dipped
-    below the threshold (recall) without ever letting an est-below-thr
-    pair through unchecked. Without ``pages``, acceptance falls back to
-    est >= thr - margin (legacy, documented in config.py)."""
-    thr = config.jaccard_threshold - config.verify_margin
-    thr_hi = config.jaccard_threshold
+    With ``pages``, margin-band estimates are re-verified exactly on
+    shingle sets (see ``_emit_edges`` / config.py contract)."""
     recheck = pages is not None
+    # the url-set collection consumes the (lazy) pair lineage once and
+    # the verify map consumes it again — pin the blocks first
+    pairs = pairs.materialize()
+    pair_urls = _collect_pair_urls(pairs, _BROADCAST_VERIFY_URL_CAP)
+    if pair_urls is not None:
+        lookup_ref = _build_sig_lookup(signatures, pair_urls, config) \
+            if len(pair_urls) else None
+        if lookup_ref is None:
+            edges = ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
+        else:
+            import functools
+
+            edges = pairs.map_batches(
+                functools.partial(
+                    _broadcast_verify_batch, config=config,
+                    lookup_ref=lookup_ref, recheck=recheck,
+                ),
+                batch_format="pyarrow",
+                batch_size=8192,
+            )
+    else:
+        edges = _verify_join(pairs, signatures, config, num_partitions, recheck)
+    if not recheck:
+        return edges
+    edges = edges.materialize()
+    pending = edges.filter(expr="source == 'minhash_margin'").materialize()
+    accepted = edges.filter(expr="source != 'minhash_margin'")
+    if pending.count() == 0:
+        return accepted
+    resolved = exact_jaccard_recheck(pending, pages, config, num_partitions)
+    return accepted.union(resolved)
+
+
+def _verify_join(
+    pairs: ray.data.Dataset,
+    signatures: ray.data.Dataset,
+    config: DedupConfig,
+    num_partitions: int | None,
+    recheck: bool,
+) -> ray.data.Dataset:
+    """Shuffle-join attach fallback for pair-url sets too large to
+    broadcast; emits the same edge rows (incl. 'minhash_margin')."""
+    thr = config.jaccard_threshold - config.verify_margin
     max_h = config.simhash_max_hamming
     base = [("url_a", pa.string()), ("url_b", pa.string())]
     a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary()),
@@ -138,43 +362,12 @@ def verify_pairs(
             [x is not None and x == y for x, y in zip(sha_a, sha_b)]
         )
 
-        if recheck:
-            # est >= threshold -> accept at face value; downward tail
-            # [thr - margin, thr) -> 'minhash_margin' rows for the exact
-            # shingle re-check below (recall rescue). Exact-sha pairs
-            # skip the re-check (est == 1 by identity).
-            mh_sure = mh_keep & (est >= thr_hi)
-            mh_band = mh_keep & ~mh_sure & ~ex_keep
-        else:
-            mh_sure = mh_keep
-            mh_band = np.zeros(len(mh_keep), dtype=bool)
-
         urls = t.select(["url_a", "url_b", "nb_a", "nb_b"])
-        out_ex = urls.take(np.nonzero(ex_keep)[0]) \
-            .append_column("source", pa.array(["exact"] * int(ex_keep.sum()), type=pa.string())) \
-            .append_column("jaccard", pa.array([1.0] * int(ex_keep.sum()), type=pa.float64()))
-        out_mh = urls.take(np.nonzero(mh_sure)[0]) \
-            .append_column("source", pa.array(["minhash"] * int(mh_sure.sum()), type=pa.string())) \
-            .append_column("jaccard", pa.array(est[mh_sure], type=pa.float64()))
-        out_band = urls.take(np.nonzero(mh_band)[0]) \
-            .append_column("source", pa.array(["minhash_margin"] * int(mh_band.sum()), type=pa.string())) \
-            .append_column("jaccard", pa.array(est[mh_band], type=pa.float64()))
-        sim = 1.0 - hd[sh_keep].astype(np.float64) / 64.0
-        out_sh = urls.take(np.nonzero(sh_keep)[0]) \
-            .append_column("source", pa.array(["simhash"] * int(sh_keep.sum()), type=pa.string())) \
-            .append_column("jaccard", pa.array(sim, type=pa.float64()))
-        return pa.concat_tables([out_ex, out_mh, out_band, out_sh])
+        return _emit_edges(
+            urls, est, mh_keep, hd, sh_keep, ex_keep, config, recheck
+        )
 
-    edges = with_ab.map_batches(verify, batch_format="pyarrow")
-    if not recheck:
-        return edges
-    edges = edges.materialize()
-    pending = edges.filter(expr="source == 'minhash_margin'").materialize()
-    accepted = edges.filter(expr="source != 'minhash_margin'")
-    if pending.count() == 0:
-        return accepted
-    resolved = exact_jaccard_recheck(pending, pages, config, num_partitions)
-    return accepted.union(resolved)
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 class _ShingleRecheck:
@@ -299,13 +492,29 @@ def _recheck_broadcast(
     ):
         texts.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
     texts_ref = ray.put(texts)
+    import functools
+
     return pending.map_batches(
-        _ShingleRecheck,
-        fn_constructor_kwargs={"config": config, "texts_ref": texts_ref},
+        functools.partial(_recheck_batch, config=config, texts_ref=texts_ref),
         batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=config.sig_concurrency if isinstance(config.sig_concurrency, int) else 4,
+        batch_size=4096,
     )
+
+
+# one _ShingleRecheck instance per worker process (same
+# tasks-over-actors rationale as _BROADCAST_CACHE); its cross-batch
+# shingle cache persists across tasks in the process
+_RECHECK_STATE: dict = {}
+
+
+def _recheck_batch(t: pa.Table, config: DedupConfig, texts_ref) -> pa.Table:
+    key = texts_ref.hex()
+    inst = _RECHECK_STATE.get(key)
+    if inst is None:
+        inst = _ShingleRecheck(config, texts_ref)
+        _RECHECK_STATE.clear()
+        _RECHECK_STATE[key] = inst
+    return inst(t)
 
 
 def _recheck_join(
