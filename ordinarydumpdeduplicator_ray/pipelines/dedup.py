@@ -25,6 +25,7 @@ from ordinarydumpdeduplicator_ray.sources.pages import read_pages
 from ordinarydumpdeduplicator_ray.stages.actions import apply_actions, plan_deletion, plan_isolation
 from ordinarydumpdeduplicator_ray.stages.candidates import (
     candidate_pairs,
+    duplicate_bucket_keys,
     explode_minhash_bands,
     explode_sha_buckets,
     explode_simhash_blocks,
@@ -148,6 +149,13 @@ class DedupPipeline:
             # verified, so correctness is unaffected. The merged verifier
             # attaches (sha, minhash, simhash) per side in two joins and
             # emits exact / minhash / simhash edges from one pass.
+            # candidate_pairs applies the singleton-bucket pre-filter
+            # internally (materialize explode output once, distributed
+            # column sort of the keys, broadcast-filter). A fully fused
+            # variant that re-ran the explodes with the keep set inline
+            # (explode twice, no bucket materialization) measured SLOWER
+            # here: recomputing the minhash band kernels costs more than
+            # one object-store round trip of the bucket table.
             reps = representative_signatures(index)
             bands = explode_minhash_bands(reps, cfg)
             blocks = explode_simhash_blocks(reps, cfg)

@@ -72,37 +72,74 @@ def _minhash_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(idx, dtype=np.int64), mat
 
 
-def explode_minhash_bands(signatures: ray.data.Dataset, config: DedupConfig) -> ray.data.Dataset:
+_KEYS_ONLY_SCHEMA = pa.schema([("bucket", pa.int64())])
+_BUCKET_SCHEMA = pa.schema([("bucket", pa.int64()), ("url", pa.string())])
+
+
+def _bucket_table(
+    keys_i64: np.ndarray, urls: np.ndarray | None, keep
+) -> pa.Table:
+    """(bucket[, url]) table from flat int64 keys; with ``keep`` (a
+    sorted int64 numpy array of duplicate buckets, usually fetched from
+    a broadcast ref) rows outside it are dropped vectorized BEFORE any
+    string column is built."""
+    if keep is not None and len(keys_i64):
+        if len(keep) == 0:
+            mask = np.zeros(len(keys_i64), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keep, keys_i64), len(keep) - 1)
+            mask = keep[pos] == keys_i64
+        keys_i64 = keys_i64[mask]
+        urls = urls[mask] if urls is not None else None
+    cols = {"bucket": pa.array(keys_i64, type=pa.int64())}
+    if urls is not None:
+        cols["url"] = pa.array(urls, type=pa.string())
+    return pa.table(cols)
+
+
+def explode_minhash_bands(
+    signatures: ray.data.Dataset,
+    config: DedupConfig,
+    keys_only: bool = False,
+    keep_ref=None,
+) -> ray.data.Dataset:
     """signatures -> (bucket, url) rows, one per (row, band). bucket is a
-    64-bit mix of (band index, the band's r signature values)."""
+    64-bit mix of (band index, the band's r signature values).
+    ``keys_only`` emits just the bucket column (the singleton-filter key
+    pass); ``keep_ref`` filters rows to the broadcast duplicate-bucket
+    set inline, so singleton rows never materialize."""
     b, r = config.lsh_bands, config.lsh_rows
 
     def explode(batch: pa.Table) -> pa.Table:
         idx, mat = _minhash_matrix(batch)
         if len(idx) == 0:
-            return pa.table({"bucket": pa.array([], type=pa.int64()),
-                             "url": pa.array([], type=pa.string())})
-        urls = np.asarray(batch["url"].to_pylist(), dtype=object)[idx]
+            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
         keys = np.empty((len(idx), b), dtype=np.uint64)
         for band in range(b):
             keys[:, band] = combine_hash_rows(mat[:, band * r : (band + 1) * r], salt=band)
         # int64 bit-reinterpretation: groupby/aggregate round-trips through
         # pandas, where full-range uint64 degrades to pickled objects.
-        return pa.table(
-            {
-                "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, b), type=pa.string()),
-            }
-        )
+        flat = keys.reshape(-1).view(np.int64)
+        urls = None
+        if not keys_only:
+            urls = np.repeat(np.asarray(batch["url"].to_pylist(), dtype=object)[idx], b)
+        keep = ray.get(keep_ref) if keep_ref is not None else None
+        return _bucket_table(flat, urls, keep)
 
     return signatures.map_batches(explode, batch_format="pyarrow")
 
 
-def explode_simhash_blocks(signatures: ray.data.Dataset, config: DedupConfig) -> ray.data.Dataset:
+def explode_simhash_blocks(
+    signatures: ray.data.Dataset,
+    config: DedupConfig,
+    keys_only: bool = False,
+    keep_ref=None,
+) -> ray.data.Dataset:
     """signatures -> (bucket, url) rows, one per (row, Manku table): keys
     are 3-block combinations of a 6-block split (functions.simhash), so
     every pair within the Hamming ball shares a table key and chance
-    collisions stay ~n^2 / 2^32 instead of n^2 / 2^17."""
+    collisions stay ~n^2 / 2^32 instead of n^2 / 2^17.
+    ``keys_only`` / ``keep_ref`` as in ``explode_minhash_bands``."""
     blocks = config.simhash_blocks
     clean = config.simhash_clean_blocks
 
@@ -110,17 +147,18 @@ def explode_simhash_blocks(signatures: ray.data.Dataset, config: DedupConfig) ->
         col = batch["simhash"].to_pylist()
         idx = [i for i, v in enumerate(col) if v is not None]
         if not idx:
-            return pa.table({"bucket": pa.array([], type=pa.int64()),
-                             "url": pa.array([], type=pa.string())})
+            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
         sims = np.array([col[i] for i in idx], dtype=np.uint64)
-        urls = np.asarray(batch["url"].to_pylist(), dtype=object)[idx]
         keys = simhash_block_keys(sims, blocks, clean)
-        return pa.table(
-            {
-                "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, keys.shape[1]), type=pa.string()),
-            }
-        )
+        flat = keys.reshape(-1).view(np.int64)
+        urls = None
+        if not keys_only:
+            urls = np.repeat(
+                np.asarray(batch["url"].to_pylist(), dtype=object)[idx],
+                keys.shape[1],
+            )
+        keep = ray.get(keep_ref) if keep_ref is not None else None
+        return _bucket_table(flat, urls, keep)
 
     return signatures.map_batches(explode, batch_format="pyarrow")
 
@@ -237,33 +275,23 @@ def _reconcile_fragments(frag_rows: list[dict], cap: int) -> pa.Table:
     )
 
 
-def _prefilter_singleton_buckets(
-    buckets: ray.data.Dataset, num_partitions: int
-) -> ray.data.Dataset:
-    """Drop bucket rows whose bucket holds a single row BEFORE the
-    (bucket, url) all-to-all sort — they can never emit a pair.
-    Typically the large majority of LSH band rows (most docs have no
-    near-dup), so the expensive sort shrinks ~3-5x and the cheap one
-    that replaces it carries an 8-byte column instead of full rows.
+def duplicate_bucket_keys(cells: ray.data.Dataset, num_partitions: int):
+    """Bucket-key-only Dataset -> ``ray.put`` ref of the SORTED int64
+    array of buckets holding >= 2 rows — the only buckets that can emit
+    a pair.
 
-    Mechanism: project the bucket keys alone, distributed-sort that
-    single int64 column (cheap: no string payload), and emit each sorted
-    block's adjacent-equal keys — exactly the buckets with >= 2 rows.
-    Per-block dup lists are each sorted and blocks are range-ordered, so
-    their concatenation (plus block-border equals) is already globally
-    sorted: the driver only concatenates and masks adjacent equals —
-    no driver-side sort (this box sorts 21M int64 in ~40s; the
-    distributed column sort takes ~5s). The kept-bucket set (~the true
+    Distributed-sort the single int64 column (cheap: no string payload;
+    this box sorts 21M int64 driver-side in ~40s, the distributed
+    column sort takes ~5s) and emit each sorted block's adjacent-equal
+    keys. Per-block dup lists are each sorted and blocks are
+    range-ordered, so their concatenation (plus block-border equals) is
+    already globally sorted: the driver only concatenates and masks
+    adjacent equals — no driver-side sort. The result is ~the true
     number of duplicate buckets, orders of magnitude smaller than the
-    row count) broadcasts via ``ray.put`` and a map pass filters rows
-    with one vectorized ``searchsorted``. Exact — no hashing, no lost
-    candidates. At 100-TB scale the kept set is O(duplicate buckets);
+    row count. Exact — no hashing, no lost candidates. At 100-TB scale
     if even that outgrows the driver, the same filter runs as a
     broadcast-join per key range."""
     sort_parts = max(2 * num_partitions, 8)
-    cells = buckets.map_batches(
-        lambda t: t.select(["bucket"]), batch_format="pyarrow"
-    )
     srt = cells.repartition(sort_parts).sort("bucket").materialize()
 
     def block_dups(t: pa.Table) -> pa.Table:
@@ -282,10 +310,8 @@ def _prefilter_singleton_buckets(
     parts = srt.map_batches(
         block_dups, batch_format="pyarrow", batch_size=None
     ).take_all()
-    if not parts:
-        return buckets
     # interleave [block dups, border dup?] in block order -> sorted
-    pieces: list[np.ndarray] = []
+    pieces: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
     for k, r in enumerate(parts):
         pieces.append(np.frombuffer(r["d"], dtype=np.int64))
         if k + 1 < len(parts) and r["last"] == parts[k + 1]["first"]:
@@ -293,13 +319,25 @@ def _prefilter_singleton_buckets(
     keep = np.concatenate(pieces)
     if len(keep) > 1:
         keep = keep[np.concatenate([[True], keep[1:] != keep[:-1]])]
-    if len(keep) == 0:
+    return ray.put(keep)
+
+
+def _prefilter_singleton_buckets(
+    buckets: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Drop bucket rows whose bucket holds a single row BEFORE the
+    (bucket, url) all-to-all sort — they can never emit a pair.
+    Typically the large majority of LSH band rows (most docs have no
+    near-dup), so the expensive sort shrinks ~3-5x. Duplicate-bucket
+    detection via ``duplicate_bucket_keys``; the broadcast kept set
+    filters rows with one vectorized ``searchsorted`` per batch."""
+    keep_ref = duplicate_bucket_keys(
+        buckets.map_batches(lambda t: t.select(["bucket"]), batch_format="pyarrow"),
+        num_partitions,
+    )
+    if len(ray.get(keep_ref)) == 0:
         # no bucket anywhere has two rows: nothing can pair
-        return ray.data.from_arrow(
-            pa.table({"bucket": pa.array([], type=pa.int64()),
-                      "url": pa.array([], type=pa.string())})
-        )
-    keep_ref = ray.put(keep)
+        return ray.data.from_arrow(_BUCKET_SCHEMA.empty_table())
 
     def filt(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -316,14 +354,18 @@ def candidate_pairs(
     bucket_rows: ray.data.Dataset,
     config: DedupConfig,
     num_partitions: int = 16,
+    prefiltered: bool = False,
 ) -> ray.data.Dataset:
     """(bucket, url) rows -> distinct candidate (url_a, url_b) pairs,
-    url_a < url_b. See module docstring for the sorted-run design."""
+    url_a < url_b. See module docstring for the sorted-run design.
+    ``prefiltered``: the caller already dropped singleton buckets (e.g.
+    inline in the explodes via ``duplicate_bucket_keys``)."""
     cap = config.max_group_pairs
-    # the pre-filter consumes the bucket lineage twice (key sort +
-    # filter pass) — pin the explode output so it computes once
-    bucket_rows = bucket_rows.materialize()
-    bucket_rows = _prefilter_singleton_buckets(bucket_rows, num_partitions)
+    if not prefiltered:
+        # the pre-filter consumes the bucket lineage twice (key sort +
+        # filter pass) — pin the explode output so it computes once
+        bucket_rows = bucket_rows.materialize()
+        bucket_rows = _prefilter_singleton_buckets(bucket_rows, num_partitions)
     # coalesce before sorting: upstream explodes emit one small block per
     # actor batch, and Ray's sort pays O(blocks^2) partition metadata +
     # per-task overhead — hundreds of 512-row blocks measurably dominate
@@ -395,27 +437,33 @@ def candidate_pairs(
     )
 
 
-def explode_sha_buckets(signatures: ray.data.Dataset) -> ray.data.Dataset:
+def explode_sha_buckets(
+    signatures: ray.data.Dataset,
+    keys_only: bool = False,
+    keep_ref=None,
+) -> ray.data.Dataset:
     """signatures -> (bucket, url) rows keyed on the content hash (first
     8 bytes of text_sha256), one per valid row. Feeds exact-duplicate
     pairs through the same sorted-run machinery as the similarity
     families — the merged verifier re-checks full-sha equality, so a
-    64-bit truncation collision can never produce a false exact edge."""
+    64-bit truncation collision can never produce a false exact edge.
+    ``keys_only`` / ``keep_ref`` as in ``explode_minhash_bands``."""
 
     def explode(batch: pa.Table) -> pa.Table:
         shas = batch["text_sha256"].to_pylist()
-        urls = batch["url"].to_pylist()
-        keys, out_urls = [], []
-        for sha, url in zip(shas, urls):
-            if sha is None:
-                continue
-            keys.append(int.from_bytes(sha[:8], "little", signed=True))
-            out_urls.append(url)
-        return pa.table(
-            {
-                "bucket": pa.array(keys, type=pa.int64()),
-                "url": pa.array(out_urls, type=pa.string()),
-            }
-        )
+        pairs = [
+            (int.from_bytes(sha[:8], "little", signed=True), i)
+            for i, sha in enumerate(shas)
+            if sha is not None
+        ]
+        if not pairs:
+            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
+        keys = np.array([k for k, _ in pairs], dtype=np.int64)
+        urls = None
+        if not keys_only:
+            all_urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+            urls = all_urls[np.array([i for _, i in pairs], dtype=np.int64)]
+        keep = ray.get(keep_ref) if keep_ref is not None else None
+        return _bucket_table(keys, urls, keep)
 
     return signatures.map_batches(explode, batch_format="pyarrow")
