@@ -1,0 +1,190 @@
+"""Round-2 scaling machinery: singleton-bucket pre-filter, broadcast
+pair verification vs the shuffle-join fallback, and the explode modes.
+
+These guard the paths profiling showed matter at scale — the broadcast
+attach must stay value-identical to the join attach (it replaces it
+below the url cap), and the pre-filter must never drop a pairable row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _sorted_rows(ds, cols):
+    rows = [tuple(r[c] for c in cols) for r in ds.take_all()]
+    return sorted(rows)
+
+
+class TestSingletonPrefilter:
+    def test_duplicate_bucket_keys_exact(self, ray_session):
+        """Dup-key detection must be exact under many sorted blocks:
+        keys adjacent in key space land near range-partition borders."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            duplicate_bucket_keys,
+        )
+        import ray
+
+        rng = np.random.default_rng(7)
+        uniq = rng.choice(2**40, size=20_000, replace=False).astype(np.int64)
+        dup_keys = uniq[:1_500]
+        cells = np.concatenate([uniq, dup_keys, dup_keys[:300]])
+        rng.shuffle(cells)
+        ds = ray.data.from_arrow(
+            pa.table({"bucket": pa.array(cells, type=pa.int64())})
+        )
+        keep = ray.get(duplicate_bucket_keys(ds, num_partitions=8))
+        assert sorted(keep.tolist()) == sorted(np.unique(dup_keys).tolist())
+        # returned array is sorted (filter relies on searchsorted)
+        assert (np.diff(keep) > 0).all()
+
+    def test_prefilter_preserves_all_pairs(self, ray_session):
+        """candidate_pairs output over data with singletons must equal
+        the output with singletons already absent."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+        rng = np.random.default_rng(3)
+        # 40 dup buckets of size 2-5 + 2000 singleton buckets
+        buckets, urls = [], []
+        for g in range(40):
+            n = int(rng.integers(2, 6))
+            for i in range(n):
+                buckets.append(1000 + g)
+                urls.append(f"u://dup/{g}/{i}")
+        for s in range(2000):
+            buckets.append(10_000 + s)
+            urls.append(f"u://single/{s}")
+        t = pa.table({"bucket": pa.array(buckets, type=pa.int64()),
+                      "url": pa.array(urls, type=pa.string())})
+        cfg = DedupConfig(max_group_pairs=64)
+        with_singletons = candidate_pairs(
+            ray.data.from_arrow(t), cfg, num_partitions=4
+        )
+        dup_only = t.filter(pa.compute.less(t["bucket"], 10_000))
+        without = candidate_pairs(
+            ray.data.from_arrow(dup_only), cfg, num_partitions=4
+        )
+        assert _sorted_rows(with_singletons, ("url_a", "url_b")) == \
+            _sorted_rows(without, ("url_a", "url_b"))
+
+    def test_all_singletons_yield_no_pairs(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+        t = pa.table({"bucket": pa.array(range(500), type=pa.int64()),
+                      "url": pa.array([f"u://{i}" for i in range(500)],
+                                      type=pa.string())})
+        pairs = candidate_pairs(
+            ray.data.from_arrow(t), DedupConfig(), num_partitions=4
+        )
+        assert pairs.count() == 0
+
+
+class TestExplodeModes:
+    def _sigs(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+        from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+
+        pages, _ = generate_pages(60, seed=11)
+        cfg = DedupConfig(sig_concurrency=2)
+        return cfg, compute_signatures(
+            ray.data.from_arrow(pages), cfg
+        ).materialize()
+
+    def test_keys_only_matches_full_explode_keys(self, ray_session):
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            explode_minhash_bands,
+        )
+
+        cfg, sigs = self._sigs(ray_session)
+        full = explode_minhash_bands(sigs, cfg)
+        keys = explode_minhash_bands(sigs, cfg, keys_only=True)
+        assert keys.schema().names == ["bucket"]
+        assert sorted(r["bucket"] for r in full.take_all()) == \
+            sorted(r["bucket"] for r in keys.take_all())
+
+    def test_keep_ref_filters_inline(self, ray_session):
+        import ray
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            explode_sha_buckets,
+        )
+
+        cfg, sigs = self._sigs(ray_session)
+        full = explode_sha_buckets(sigs).take_all()
+        all_keys = np.array(sorted({r["bucket"] for r in full}), dtype=np.int64)
+        keep = all_keys[: len(all_keys) // 2]
+        filtered = explode_sha_buckets(
+            sigs, keep_ref=ray.put(keep)
+        ).take_all()
+        expect = sorted(
+            (r["bucket"], r["url"]) for r in full if r["bucket"] in set(keep.tolist())
+        )
+        assert sorted((r["bucket"], r["url"]) for r in filtered) == expect
+
+
+class TestVerifyAttachParity:
+    """The broadcast attach (default) and the shuffle-join fallback must
+    produce identical edges on the same pairs + signatures."""
+
+    @pytest.fixture()
+    def built(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
+        from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+        from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+        from ordinarydumpdeduplicator_ray.stages.grouped import (
+            exact_group_index,
+            representative_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            candidate_pairs,
+            explode_minhash_bands,
+            explode_sha_buckets,
+            explode_simhash_blocks,
+        )
+
+        pages, _ = generate_pages(150, seed=5)
+        cfg = DedupConfig(sig_concurrency=2)
+        sigs = compute_signatures(ray.data.from_arrow(pages), cfg).materialize()
+        index = exact_group_index(
+            sigs.filter(expr=f"status != '{STATUS_BROKEN}'"), sort_partitions=4
+        ).materialize()
+        reps = representative_signatures(index)
+        buckets = explode_minhash_bands(reps, cfg) \
+            .union(explode_simhash_blocks(reps, cfg)) \
+            .union(explode_sha_buckets(sigs))
+        pairs = candidate_pairs(buckets, cfg, num_partitions=4).materialize()
+        return cfg, sigs, pairs
+
+    EDGE_COLS = ("url_a", "url_b", "nb_a", "nb_b", "source")
+
+    def test_broadcast_equals_join_fallback(self, ray_session, built):
+        from ordinarydumpdeduplicator_ray.stages import verify as V
+
+        cfg, sigs, pairs = built
+        assert pairs.count() > 0
+        broadcast = V.verify_pairs(pairs, sigs, cfg, num_partitions=4)
+        joined = V._verify_join(pairs, sigs, cfg, num_partitions=4, recheck=False)
+        b_rows = _sorted_rows(broadcast, self.EDGE_COLS)
+        j_rows = _sorted_rows(joined, self.EDGE_COLS)
+        assert b_rows == j_rows
+
+    def test_url_cap_falls_back_to_join(self, ray_session, built, monkeypatch):
+        from ordinarydumpdeduplicator_ray.stages import verify as V
+
+        cfg, sigs, pairs = built
+        expected = _sorted_rows(
+            V.verify_pairs(pairs, sigs, cfg, num_partitions=4), self.EDGE_COLS
+        )
+        monkeypatch.setattr(V, "_BROADCAST_VERIFY_URL_CAP", 1)
+        capped = V.verify_pairs(pairs, sigs, cfg, num_partitions=4)
+        assert _sorted_rows(capped, self.EDGE_COLS) == expected
