@@ -142,6 +142,28 @@ def _collect_pair_urls(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
     return None if len(uniq) > cap else uniq
 
 
+def _packed_minhash(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Binary minhash column -> ((n, k) uint64 matrix, validity mask).
+    Zero-copy reinterpretation of the Arrow data buffer when the column
+    is null-free and uniformly 8k bytes (the normal case); per-row
+    join fallback otherwise (nulls = docs with no shingles)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n and col.null_count == 0:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+        )
+        if (np.diff(offs) == 8 * k).all():
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            mat = data[offs[0]:offs[-1]].view("<u8").reshape(n, k)
+            return mat, np.ones(n, dtype=bool)
+    vals = col.to_pylist()
+    zero = b"\x00" * (8 * k)
+    mat = np.frombuffer(b"".join(x or zero for x in vals), dtype="<u8").reshape(-1, k)
+    return mat, np.fromiter((x is not None for x in vals), dtype=bool, count=n)
+
+
 def _build_sig_lookup(
     signatures: ray.data.Dataset, pair_urls: pa.Array, config: DedupConfig
 ):
@@ -166,10 +188,7 @@ def _build_sig_lookup(
         return None
     tbl = pa.concat_tables(batches)
     k = config.num_perm
-    zero = b"\x00" * (8 * k)
-    mh = tbl["minhash"].to_pylist()
-    mh_mat = np.frombuffer(b"".join(x or zero for x in mh), dtype="<u8").reshape(-1, k)
-    mh_valid = np.fromiter((x is not None for x in mh), dtype=bool, count=len(mh))
+    mh_mat, mh_valid = _packed_minhash(tbl["minhash"], k)
     sh_col = tbl["simhash"].combine_chunks()
     sh_valid = pc.is_valid(sh_col).to_numpy(zero_copy_only=False)
     sh = pc.fill_null(sh_col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -337,14 +356,10 @@ def _verify_join(
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return empty
-        mh_a, mh_b = t["mh_a"].to_pylist(), t["mh_b"].to_pylist()
         k = config.num_perm
-        zero = b"\x00" * (8 * k)
-        a_mat = np.frombuffer(b"".join(x or zero for x in mh_a), dtype="<u8").reshape(-1, k)
-        b_mat = np.frombuffer(b"".join(x or zero for x in mh_b), dtype="<u8").reshape(-1, k)
-        mh_valid = np.array([x is not None for x in mh_a]) & np.array(
-            [x is not None for x in mh_b]
-        )
+        a_mat, a_ok = _packed_minhash(t["mh_a"], k)
+        b_mat, b_ok = _packed_minhash(t["mh_b"], k)
+        mh_valid = a_ok & b_ok
         est = (a_mat == b_mat).mean(axis=1)
         mh_keep = mh_valid & (est >= thr)
 

@@ -188,3 +188,59 @@ class TestVerifyAttachParity:
         monkeypatch.setattr(V, "_BROADCAST_VERIFY_URL_CAP", 1)
         capped = V.verify_pairs(pairs, sigs, cfg, num_partitions=4)
         assert _sorted_rows(capped, self.EDGE_COLS) == expected
+
+
+class TestVectorizedComponents:
+    def test_matches_dict_union_find(self, ray_session):
+        """components_from_edges (vectorized min-rank label prop) must
+        match the dict UnionFind on a random graph, including the
+        lexicographic-min component ids and per-url sizes."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import (
+            UnionFind,
+            components_from_edges,
+        )
+
+        rng = np.random.default_rng(1)
+        n = 8000
+        urls = [f"u://{i:06d}" for i in range(n)]
+        ea = rng.integers(0, n, 12000)
+        eb = rng.integers(0, n, 12000)
+        mask = ea != eb
+        ea, eb = ea[mask], eb[mask]
+        per_url = rng.integers(1, 10000, n)
+        t = pa.table(
+            {"url_a": pa.array([urls[i] for i in ea]),
+             "url_b": pa.array([urls[i] for i in eb]),
+             "nb_a": pa.array(per_url[ea], type=pa.int64()),
+             "nb_b": pa.array(per_url[eb], type=pa.int64())}
+        )
+        out = components_from_edges(ray.data.from_arrow(t)).to_pylist()
+
+        uf = UnionFind()
+        for a, b in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()):
+            uf.union(a, b)
+        minu: dict = {}
+        for u in uf.parent:
+            r = uf.find(u)
+            if r not in minu or u < minu[r]:
+                minu[r] = u
+        assert {r["url"]: r["component_id"] for r in out} == \
+            {u: minu[uf.find(u)] for u in uf.parent}
+        assert {r["url"]: r["n_bytes"] for r in out} == \
+            {urls[i]: int(per_url[i]) for i in np.concatenate([ea, eb])}
+
+    def test_long_chain_and_empty(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import (
+            components_from_edges,
+        )
+
+        m = 3000
+        urls = [f"c://{i:05d}" for i in range(m)]
+        t = pa.table({"url_a": pa.array(urls[:-1]), "url_b": pa.array(urls[1:])})
+        out = components_from_edges(ray.data.from_arrow(t)).to_pylist()
+        assert {r["component_id"] for r in out} == {urls[0]}
+        empty = pa.table({"url_a": pa.array([], type=pa.string()),
+                          "url_b": pa.array([], type=pa.string())})
+        assert len(components_from_edges(ray.data.from_arrow(empty))) == 0
