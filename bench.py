@@ -151,7 +151,10 @@ def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
     }
 
 
-def main_scaling(rows: int, repeats: int = 2) -> dict:
+def main_scaling(
+    rows: int,
+    repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "3")),
+) -> dict:
     pages_dir = _scaling_corpus(rows)
     runs = {}
     for cpus in (8, 32):
