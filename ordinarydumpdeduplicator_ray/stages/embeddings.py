@@ -22,13 +22,18 @@ the driver and shipped the whole normalized matrix to each worker):
    hot-bucket handling (identical-code clusters larger than
    ``max_group_pairs`` emit star+chain, which keeps connectivity; the
    pairs list for such clusters is intentionally not all-C(n,2)).
-4. **Verify** (exact): candidate pairs join the embeddings back per side
-   (two hash joins) and the exact cosine is computed vectorized; pairs
-   below threshold are dropped. LSH only proposes — every emitted pair
-   carries its true cosine.
+4. **Verify** (exact): below ``_BROADCAST_ID_CAP`` distinct
+   pair-participating ids, the (pre-normalized) vectors for ONLY those
+   ids pack into a broadcast (ids, matrix) lookup resolved per pair
+   batch with one ``searchsorted`` + numpy row gathers — zero shuffles
+   (same rationale as stages/verify.py: one Ray hash join costs ~19s of
+   fixed overhead at any partition count). Beyond the cap, two hash
+   joins attach the vectors per side. Either way the exact cosine is
+   computed vectorized and pairs below threshold are dropped — LSH only
+   proposes; every emitted pair carries its true cosine.
 
 Returns a Dataset — the result streams; nothing materializes on the
-driver.
+driver beyond the capped pair-id lookup.
 """
 
 from __future__ import annotations
@@ -55,41 +60,46 @@ def _id_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     )
 
 
-class _CodeBander:
-    """Actor: seeded hyperplane matrix (lazy-built at first batch when
-    the dimension is known) -> (bucket, url) band rows per vector."""
+# per-process hyperplane cache: band coding runs as TASKS on prestarted
+# workers (fresh actor pools pay ~10s import spin-up); the seeded plane
+# matrix still builds once per worker process
+_PLANES: dict = {}
 
-    def __init__(self, nbits: int, band_bits: int, seed: int) -> None:
-        self.nbits = nbits
-        self.band_bits = band_bits
-        self.seed = seed
-        self.planes: np.ndarray | None = None
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"bucket": pa.array([], type=pa.int64()),
-                             "url": pa.array([], type=pa.string())})
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        if self.planes is None:
-            rng = np.random.default_rng(self.seed)
-            self.planes = rng.standard_normal((mat.shape[1], self.nbits))
-        bits = (mat @ self.planes) > 0  # (n, nbits)
-        n_bands = self.nbits // self.band_bits
-        keys = np.empty((len(ids), n_bands), dtype=np.uint64)
-        for b in range(n_bands):
-            chunk = bits[:, b * self.band_bits : (b + 1) * self.band_bits]
-            packed = np.zeros(len(ids), dtype=np.uint64)
-            for j in range(chunk.shape[1]):
-                packed = (packed << np.uint64(1)) | chunk[:, j].astype(np.uint64)
-            keys[:, b] = combine_hash_rows(packed.reshape(-1, 1), salt=b)
-        urls = np.asarray([f"v{int(i):0{_KEY_WIDTH}d}" for i in ids], dtype=object)
-        return pa.table(
-            {
-                "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, n_bands), type=pa.string()),
-            }
-        )
+def _planes_of(dim: int, nbits: int, seed: int) -> np.ndarray:
+    key = (dim, nbits, seed)
+    planes = _PLANES.get(key)
+    if planes is None:
+        planes = np.random.default_rng(seed).standard_normal((dim, nbits))
+        _PLANES.clear()
+        _PLANES[key] = planes
+    return planes
+
+
+def _band_codes(t: pa.Table, nbits: int, band_bits: int, seed: int) -> pa.Table:
+    """One batch of (vec_id, embedding) -> (bucket, url) band rows."""
+    if len(t) == 0:
+        return pa.table({"bucket": pa.array([], type=pa.int64()),
+                         "url": pa.array([], type=pa.string())})
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    planes = _planes_of(mat.shape[1], nbits, seed)
+    bits = (mat @ planes) > 0  # (n, nbits)
+    n_bands = nbits // band_bits
+    keys = np.empty((len(ids), n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+        packed = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            packed = (packed << np.uint64(1)) | chunk[:, j].astype(np.uint64)
+        keys[:, b] = combine_hash_rows(packed.reshape(-1, 1), salt=b)
+    urls = np.asarray([f"v{int(i):0{_KEY_WIDTH}d}" for i in ids], dtype=object)
+    return pa.table(
+        {
+            "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+            "url": pa.array(np.repeat(urls, n_bands), type=pa.string()),
+        }
+    )
 
 
 def embedding_near_dup_pairs(
@@ -106,19 +116,132 @@ def embedding_near_dup_pairs(
     (vec_a, vec_b, cos_sim) for every pair with round(cos, 6) >=
     threshold (vec_a < vec_b), via banded sign-LSH + exact re-rank."""
     cfg = config or DedupConfig()
+    import functools
 
+    # consumed twice (band coding + re-rank vector fetch) — pin the
+    # input lineage so an expensive upstream (read/synthesis) runs once
+    embeddings = embeddings.materialize()
     bucket_rows = embeddings.map_batches(
-        _CodeBander,
-        fn_constructor_kwargs={"nbits": nbits, "band_bits": band_bits, "seed": seed},
+        functools.partial(_band_codes, nbits=nbits, band_bits=band_bits, seed=seed),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
     )
-    pairs = candidate_pairs(bucket_rows, cfg, num_partitions)
+    pairs = candidate_pairs(bucket_rows, cfg, num_partitions).materialize()
 
-    # exact verification: attach the embedding per side (packed to
-    # binary — Acero joins reject list<double> payload columns), compute
-    # cosine vectorized after the join
+    pair_ids = _collect_pair_ids(pairs, _BROADCAST_ID_CAP)
+    if pair_ids is not None:
+        return _rerank_broadcast(pairs, embeddings, pair_ids, threshold)
+    return _rerank_join(pairs, embeddings, threshold, num_partitions)
+
+
+# distinct pair ids above which the normalized-vector lookup no longer
+# broadcasts (2M ids x 768 dims ~= 12 GiB would be too chunky; at 128
+# dims it is ~2 GiB) and re-ranking falls back to the shuffle joins
+_BROADCAST_ID_CAP = 2_000_000
+
+
+def _parse_ids(col) -> pa.Array:
+    """'v%012d' key column -> int64 ids, vectorized."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.utf8_slice_codeunits(col, start=1), pa.int64())
+
+
+def _collect_pair_ids(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
+    import pyarrow.compute as pc
+
+    chunks: list[pa.Array] = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        chunks.append(_parse_ids(b["url_a"].combine_chunks()))
+        chunks.append(_parse_ids(b["url_b"].combine_chunks()))
+    if not chunks:
+        return pa.array([], type=pa.int64())
+    uniq = pc.unique(pa.chunked_array(chunks))
+    return None if len(uniq) > cap else uniq
+
+
+def _rerank_broadcast(
+    pairs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    pair_ids: pa.Array,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact cosine re-rank with a broadcast (sorted ids, normalized
+    matrix) lookup — no joins; resolution is one searchsorted + two row
+    gathers per batch."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_sim", pa.float64())]
+    )
+    if len(pair_ids) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    ids_ref = ray.put(pair_ids)
+
+    def project(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        t = t.filter(pc.is_in(t["vec_id"], value_set=wanted))
+        if len(t) == 0:
+            return pa.table({"ids": pa.array([], type=pa.binary()),
+                             "mat": pa.array([], type=pa.binary())})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({"ids": pa.array([ids.tobytes()], type=pa.binary()),
+                         "mat": pa.array([mat.tobytes()], type=pa.binary())})
+
+    parts = [
+        r for r in embeddings.map_batches(project, batch_format="pyarrow").take_all()
+        if r["ids"]
+    ]
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    ids = np.concatenate([np.frombuffer(r["ids"], dtype=np.int64) for r in parts])
+    mat = np.concatenate(
+        [np.frombuffer(r["mat"], dtype=np.float64).reshape(len(np.frombuffer(r["ids"], dtype=np.int64)), -1)
+         for r in parts]
+    )
+    order = np.argsort(ids)
+    lookup_ref = ray.put({"ids": ids[order], "mat": mat[order]})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        lk = _get_broadcast(lookup_ref)
+        ids_s, mat_s = lk["ids"], lk["mat"]
+        a_ids = _parse_ids(t["url_a"].combine_chunks()).to_numpy(zero_copy_only=False)
+        b_ids = _parse_ids(t["url_b"].combine_chunks()).to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_s, a_ids)
+        ib = np.searchsorted(ids_s, b_ids)
+        ia = np.minimum(ia, len(ids_s) - 1)
+        ib = np.minimum(ib, len(ids_s) - 1)
+        found = (ids_s[ia] == a_ids) & (ids_s[ib] == b_ids)
+        cos = np.round(np.einsum("ij,ij->i", mat_s[ia], mat_s[ib]), 6)
+        keep = found & (cos >= threshold)
+        return pa.table(
+            {
+                "vec_a": pa.array(a_ids[keep], type=pa.int64()),
+                "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+                "cos_sim": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+def _rerank_join(
+    pairs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Shuffle-join re-rank fallback for pair-id sets too large to
+    broadcast: attach the embedding per side (packed to binary — Acero
+    joins reject list<double> payload columns), compute cosine
+    vectorized after the join."""
+
     def keyed(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         packed = [
