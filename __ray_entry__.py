@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "lang_id": q.lang_id,
         "quality_scores": q.quality_scores,
+        # --- new in round 2: exact n-gram Jaccard (SQL-oracled) ---------
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
     }
 
 
@@ -409,5 +411,36 @@ SELECT user_id,
        count(*) AS n_sessions,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY user_id
+""",
+        # exact word-5-gram Jaccard near-dup pairs: same \w+ lowercase
+        # tokenization as functions/text.tokenize (ASCII corpus -> the
+        # DuckDB ASCII \w matches Python's unicode \w), distinct shingle
+        # sets, inverted-index join for |intersection|
+        "ngram_jaccard_pairs": r"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok, len(w) AS n
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s,
+         i, n
+  FROM pos QUALIFY i <= n - 4
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM ds x JOIN ds y USING (s) WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS c FROM ds GROUP BY 1)
+SELECT a AS doc_a, b AS doc_b,
+       round(i * 1.0 / (sa.c + sb.c - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+           JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(i * 1.0 / (sa.c + sb.c - i), 6) >= 0.8
 """,
     }

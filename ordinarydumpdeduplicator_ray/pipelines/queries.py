@@ -530,6 +530,130 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
                             concurrency=2)
 
 
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.8, shingle_size: int = 5
+) -> ray.data.Dataset:
+    """EXACT n-gram (word 5-shingle) Jaccard near-duplicate pairs over
+    the documents table: (doc_a < doc_b, round(j, 6) >= threshold) on
+    DISTINCT shingle sets — the true-Jaccard dedup flavor, the exact
+    counterpart of the minhash estimate path (cf. knn_cosine_vec0 brute
+    baseline vs knn_cosine_lsh scale path). SQL-oracled.
+
+    Shape: one task map computes each doc's sorted unique 64-bit
+    shingle-hash set (same tokenizer + hash kernels as minhash); the
+    packed per-doc sets broadcast via the object store together with a
+    (shingle -> doc) inverted index; a second distributed map finds each
+    doc's partners through shared shingles (two searchsorteds) and reads
+    |intersection| directly off the partner multiplicities — work is
+    proportional to truly-shared shingles, not all pairs. Beyond the
+    broadcast cap the scale path is the minhash pipeline (LSH candidates
+    + exact margin recheck)."""
+    import ray as _ray
+    from ordinarydumpdeduplicator_ray.functions.hashing import (
+        TokenHasher,
+        shingle_hashes,
+    )
+    from ordinarydumpdeduplicator_ray.functions.text import tokenize
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        hasher = TokenHasher()
+        ids, sets = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokenize(x) if x else []
+            if len(toks) < shingle_size:
+                continue  # oracle parity: <w tokens -> no w-shingles
+            ids.append(did)
+            sets.append(shingle_hashes(hasher.hash_tokens(toks), shingle_size))
+        if not ids:
+            return pa.table({"ids": pa.array([], type=pa.binary()),
+                             "offs": pa.array([], type=pa.binary()),
+                             "flat": pa.array([], type=pa.binary())})
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return pa.table(
+            {"ids": pa.array([np.asarray(ids, dtype=np.int64).tobytes()], type=pa.binary()),
+             "offs": pa.array([offs.tobytes()], type=pa.binary()),
+             "flat": pa.array([np.concatenate(sets).tobytes()], type=pa.binary())}
+        )
+
+    parts = [
+        r for r in docs.map_batches(shingle_sets, batch_format="pyarrow").take_all()
+        if r["ids"]
+    ]
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    ids = np.concatenate([np.frombuffer(r["ids"], dtype=np.int64) for r in parts])
+    if len(ids) > 1_000_000:
+        raise ValueError(
+            "ngram_jaccard_pairs broadcasts per-doc shingle sets; beyond "
+            "1M docs use the minhash pipeline (LSH + exact margin recheck)"
+        )
+    lens = [np.diff(np.frombuffer(r["offs"], dtype=np.int64)) for r in parts]
+    flat = np.concatenate([np.frombuffer(r["flat"], dtype=np.uint64) for r in parts])
+    lens = np.concatenate(lens)
+    # re-pack in doc_id order so partner index > i <=> doc_b > doc_a
+    order = np.argsort(ids)
+    offs_orig = np.concatenate([[0], np.cumsum(lens)])
+    sets_sorted = [flat[offs_orig[k]:offs_orig[k + 1]] for k in order]
+    ids, lens = ids[order], lens[order]
+    flat = np.concatenate(sets_sorted)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # inverted index: shingle-sorted (hash, doc_idx)
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    inv_order = np.argsort(flat, kind="stable")
+    lookup_ref = _ray.put(
+        {"ids": ids, "offs": offs, "flat": flat,
+         "sh_sorted": flat[inv_order], "doc_of": doc_of[inv_order]}
+    )
+
+    def pair_batch(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        lk = _get_broadcast(lookup_ref)
+        ids_l, offs_l, flat_l = lk["ids"], lk["offs"], lk["flat"]
+        sh_sorted, doc_of_l = lk["sh_sorted"], lk["doc_of"]
+        out_a, out_b, out_j = [], [], []
+        for i in t["id"].to_numpy(zero_copy_only=False):
+            s = flat_l[offs_l[i]:offs_l[i + 1]]
+            lo = np.searchsorted(sh_sorted, s, side="left")
+            hi = np.searchsorted(sh_sorted, s, side="right")
+            spans = hi - lo
+            total = int(spans.sum())
+            if total <= len(s):  # only self-occurrences
+                continue
+            # gather all (shingle, partner) hits: vectorized range expand
+            base = np.repeat(lo, spans)
+            step = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(spans)[:-1]]), spans
+            )
+            partners = doc_of_l[base + step]
+            partners = partners[partners > i]
+            if not len(partners):
+                continue
+            uniq, counts = np.unique(partners, return_counts=True)
+            # per-doc sets are unique: shared-shingle hit count == |A ∩ B|
+            union = len(s) + (offs_l[uniq + 1] - offs_l[uniq]) - counts
+            jac = np.round(counts / union, 6)
+            keep = jac >= threshold
+            for p, j in zip(uniq[keep], jac[keep]):
+                out_a.append(int(ids_l[i]))
+                out_b.append(int(ids_l[p]))
+                out_j.append(float(j))
+        return pa.table(
+            {"doc_a": pa.array(out_a, type=pa.int64()),
+             "doc_b": pa.array(out_b, type=pa.int64()),
+             "jaccard": pa.array(out_j, type=pa.float64())}
+        )
+
+    return ray.data.range(len(ids)).map_batches(
+        pair_batch, batch_format="pyarrow", batch_size=2048
+    )
+
+
 def substring_spans(sf_dir: str) -> ray.data.Dataset:
     """Suffix-array exact substring duplicate spans over the near-dup
     corpus (north rule; no reference counterpart). Sampled-shingle

@@ -244,3 +244,63 @@ class TestVectorizedComponents:
         empty = pa.table({"url_a": pa.array([], type=pa.string()),
                           "url_b": pa.array([], type=pa.string())})
         assert len(components_from_edges(ray.data.from_arrow(empty))) == 0
+
+
+class TestNgramJaccard:
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        """ngram_jaccard_pairs must equal per-pair brute-force Jaccard
+        on distinct 5-shingle sets (same tokenizer + hash kernels)."""
+        import itertools
+
+        import pyarrow.parquet as pq
+        from ordinarydumpdeduplicator_ray.functions.hashing import (
+            TokenHasher,
+            shingle_hashes,
+        )
+        from ordinarydumpdeduplicator_ray.functions.text import tokenize
+        from ordinarydumpdeduplicator_ray.pipelines.queries import (
+            ngram_jaccard_pairs,
+        )
+
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = []
+        base = " ".join(rng.choice(vocab, 60))
+        for k in range(30):
+            if k % 3 == 0 and k:
+                words = base.split()
+                # light mutation -> true near-dups at various jaccards
+                for _ in range(k % 5):
+                    words[int(rng.integers(0, len(words)))] = str(
+                        rng.choice(vocab)
+                    )
+                texts.append(" ".join(words))
+            else:
+                texts.append(" ".join(rng.choice(vocab, 60)))
+        texts.append("too short")  # <5 tokens -> excluded
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts, type=pa.string())}
+        )
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(str(tmp_path), threshold=0.5).take_all()
+        )
+
+        hasher = TokenHasher()
+        sets = {}
+        for did, x in zip(tbl["doc_id"].to_pylist(), texts):
+            toks = tokenize(x)
+            if len(toks) >= 5:
+                sets[did] = shingle_hashes(hasher.hash_tokens(toks), 5)
+        expect = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = np.intersect1d(sets[a], sets[b], assume_unique=True).size
+            union = sets[a].size + sets[b].size - inter
+            j = round(inter / union, 6)
+            if j >= 0.5:
+                expect.append((a, b, j))
+        assert got == sorted(expect)
+        assert len(got) > 0
