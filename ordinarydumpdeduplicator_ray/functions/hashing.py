@@ -84,6 +84,53 @@ def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def url_uids(col, salt: int = 0) -> np.ndarray:
+    """Vectorized 64-bit uids for a url column (pa.Array / ChunkedArray):
+    SipHash via ``pandas.util.hash_array`` keyed by ``salt``. uids let the
+    hot candidate path (explode -> sort -> pairs) move 8-byte ints instead
+    of ~50-byte url strings; the pipeline verifies global uniqueness per
+    run (``stages.signatures.assign_uids``) and bumps the salt on the
+    astronomically rare collision, so uids are an exact per-run key."""
+    import pandas.util as pdu
+
+    arr = np.asarray(col.to_pylist(), dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    return pdu.hash_array(arr, hash_key=f"{salt:016d}").view(np.int64)
+
+
+def sha_prefix_int64(col) -> tuple[np.ndarray, np.ndarray]:
+    """First 8 bytes of each binary value as little-endian int64, plus a
+    validity mask. Zero-copy-ish buffer reinterpretation when the column
+    is null-free with uniform widths (the sha256 case); per-row fallback
+    otherwise."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    if col.null_count == 0:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+        )
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] >= 8:
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            w = int(widths[0])
+            mat = np.ascontiguousarray(data[offs[0] : offs[-1]].reshape(n, w)[:, :8])
+            return mat.view("<i8").ravel(), np.ones(n, dtype=bool)
+    vals = col.to_pylist()
+    out = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) >= 8:
+            out[i] = int.from_bytes(v[:8], "little", signed=True)
+            ok[i] = True
+    return out, ok
+
+
 def combine_hash_rows(matrix: np.ndarray, salt: np.ndarray | int = 0) -> np.ndarray:
     """Mix each row of a (n, r) uint64 matrix into one uint64 key.
 

@@ -81,3 +81,27 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 def estimate_jaccard_matrix(sigs_a: np.ndarray, sigs_b: np.ndarray) -> np.ndarray:
     """Row-wise estimate for (n, K) signature pairs -> (n,) float64."""
     return (sigs_a == sigs_b).mean(axis=1)
+
+
+def packed_minhash(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Binary minhash column -> ((n, k) uint64 matrix, validity mask).
+    Zero-copy reinterpretation of the Arrow data buffer when the column
+    is null-free and uniformly 8k bytes (the normal case); per-row
+    fallback otherwise (nulls = docs with no shingles)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n and col.null_count == 0:
+        offs = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+        )
+        if (np.diff(offs) == 8 * k).all():
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            mat = data[offs[0]:offs[-1]].view("<u8").reshape(n, k)
+            return mat, np.ones(n, dtype=bool)
+    vals = col.to_pylist()
+    zero = b"\x00" * (8 * k)
+    mat = np.frombuffer(b"".join(x or zero for x in vals), dtype="<u8").reshape(-1, k)
+    return mat, np.fromiter((x is not None for x in vals), dtype=bool, count=n)

@@ -40,7 +40,7 @@ from ordinarydumpdeduplicator_ray.stages.grouped import (
 )
 from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
 from ordinarydumpdeduplicator_ray.stages.rollup import host_dup_rollup
-from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+from ordinarydumpdeduplicator_ray.stages.signatures import assign_uids, compute_signatures
 from ordinarydumpdeduplicator_ray.stages.verify import verify_pairs
 from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
 from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges, label_propagation
@@ -121,18 +121,25 @@ class DedupPipeline:
     def find_duplicates(self) -> dict[str, ray.data.Dataset]:
         cfg, np_ = self.config, self.num_partitions
         sigs = self.results.get("signatures") or self.run_scan()
+        # int64 uids (collision-checked per run) replace url strings in
+        # every hot shuffle below: the exact-index sort key payload, the
+        # bucket explodes, the candidate sort and the pair table all move
+        # 8-byte ints; urls resurface on the verified edges.
+        sigs_uid, _salt = assign_uids(sigs, np_)
 
-        # ONE sort of the signatures by content hash yields both the
-        # exact-group aggregates AND the per-distinct-text representative
-        # sketches (stages/grouped.py): only representatives enter LSH
-        # band / SimHash block explosion, so exact copies (the dominant
-        # duplication mode on web crawls) never multiply through the
-        # 50+ similarity bucket families — they reach their component
-        # through the content-sha family alone.
+        # ONE light sort of (sha, url, n_bytes, uid) yields both the
+        # exact-group aggregates AND the canonical (min-url) member per
+        # distinct text (stages/grouped.py): only those representatives
+        # enter LSH band / SimHash block explosion, so exact copies (the
+        # dominant duplication mode on web crawls) never multiply through
+        # the 50+ similarity bucket families — they reach their component
+        # through the content-sha family alone. The ~1 KiB sketches never
+        # enter the sort; representatives are recovered map-only via the
+        # broadcast canonical-uid filter.
         index = self._stage(
             "exact_index",
             lambda: exact_group_index(
-                sigs.filter(expr=f"status != '{STATUS_BROKEN}'"),
+                sigs_uid.filter(expr=f"status != '{STATUS_BROKEN}'"),
                 sort_partitions=2 * np_,
             ),
         )
@@ -156,15 +163,15 @@ class DedupPipeline:
             # (explode twice, no bucket materialization) measured SLOWER
             # here: recomputing the minhash band kernels costs more than
             # one object-store round trip of the bucket table.
-            reps = representative_signatures(index)
-            bands = explode_minhash_bands(reps, cfg)
-            blocks = explode_simhash_blocks(reps, cfg)
-            shas = explode_sha_buckets(sigs)
+            reps = representative_signatures(index, sigs_uid)
+            bands = explode_minhash_bands(reps, cfg, member="uid")
+            blocks = explode_simhash_blocks(reps, cfg, member="uid")
+            shas = explode_sha_buckets(sigs_uid, member="uid")
             buckets = bands.union(blocks).union(shas)
             pairs = candidate_pairs(buckets, cfg, np_)
             # pages passed through => margin-band pairs are re-verified
             # EXACTLY on shingle sets (config.py contract)
-            return verify_pairs(pairs, sigs, cfg, pages=self._pages())
+            return verify_pairs(pairs, sigs_uid, cfg, pages=self._pages())
 
         edges = self._stage("edges", build_edges)
 

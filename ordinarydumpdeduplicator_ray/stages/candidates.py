@@ -7,7 +7,7 @@ to similarity bucket keys (SURVEY.md §2.4 "LSH candidate generation").
 
 Pair-emission design (ONE shuffle, skew-safe):
 
-1. ``sort(["bucket", "url"])`` — the only all-to-all move. After it,
+1. ``sort(["bucket", member])`` — the only all-to-all move. After it,
    each bucket's rows are globally contiguous; a bucket either sits
    entirely inside one sorted block or spans a chain of adjacent blocks.
 2. A map-only pass over whole sorted blocks emits, fully vectorized:
@@ -27,9 +27,16 @@ Pair-emission design (ONE shuffle, skew-safe):
    is <= cap get their full C(n,2); larger ones get per-fragment chains
    plus the boundary links ``last(frag_k) -> first(frag_k+1)``, which
    reconstructs the bucket's full sorted chain exactly.
-4. Distinct across bands: one sort on (url_a, url_b) + block-local
+4. Distinct across bands: one sort on an int64 pair key + block-local
    vectorized de-duplication (a grouped aggregate here would pay
    per-group Python overhead for ~one group per pair).
+
+**Member dtype.** The machinery is generic over the member column: the
+flagship passes int64 ``uid`` rows (8 bytes/member — the hot explode ->
+sort -> pair path never moves url strings; uids are collision-checked
+per run, ``stages.signatures.assign_uids``), while callers keyed on
+natural strings (spans, embeddings row ids, tests) pass ``url``.
+Output pair columns are named ``{member}_a`` / ``{member}_b``.
 
 No stage materializes all-pairs; hot-bucket emission is O(n).
 """
@@ -41,48 +48,64 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ordinarydumpdeduplicator_ray.config import DedupConfig
-from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows
+from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows, sha_prefix_int64
+from ordinarydumpdeduplicator_ray.functions.minhash import packed_minhash
 from ordinarydumpdeduplicator_ray.functions.simhash import simhash_block_keys
 
 _SEP = "\x1f"
 
-_EMIT_SCHEMA = pa.schema(
-    [
-        ("url_a", pa.string()),
-        ("url_b", pa.string()),
-        ("fbucket", pa.int64()),
-        ("f_first", pa.string()),
-        ("f_last", pa.string()),
-        ("f_n", pa.int64()),
-        ("f_urls", pa.string()),   # _SEP-joined, "" for hot fragments
-    ]
-)
-
-_PAIRS_SCHEMA = pa.schema([("url_a", pa.string()), ("url_b", pa.string())])
-
-
-def _minhash_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(valid_row_indices, (n_valid, K) uint64 matrix) from the packed
-    binary minhash column."""
-    col = batch["minhash"].to_pylist()
-    idx = [i for i, b in enumerate(col) if b is not None]
-    if not idx:
-        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.uint64)
-    mat = np.vstack([np.frombuffer(col[i], dtype="<u8") for i in idx])
-    return np.asarray(idx, dtype=np.int64), mat
-
-
 _KEYS_ONLY_SCHEMA = pa.schema([("bucket", pa.int64())])
-_BUCKET_SCHEMA = pa.schema([("bucket", pa.int64()), ("url", pa.string())])
+
+
+def _bucket_schema(member: str, mtype: pa.DataType) -> pa.Schema:
+    return pa.schema([("bucket", pa.int64()), (member, mtype)])
+
+
+def _emit_schema(member: str, mtype: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            (f"{member}_a", mtype),
+            (f"{member}_b", mtype),
+            ("fbucket", pa.int64()),
+            ("f_first", mtype),
+            ("f_last", mtype),
+            ("f_n", pa.int64()),
+            ("f_members", pa.binary()),
+        ]
+    )
+
+
+def _pairs_schema(member: str, mtype: pa.DataType) -> pa.Schema:
+    return pa.schema([(f"{member}_a", mtype), (f"{member}_b", mtype)])
+
+
+def _member_np(col, is_int: bool) -> np.ndarray:
+    """Member column -> numpy: int64 zero-copy-ish, strings as object."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if is_int:
+        return col.to_numpy(zero_copy_only=False)
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
+def _pack_members(run: np.ndarray, is_int: bool) -> bytes:
+    return run.astype("<i8").tobytes() if is_int else _SEP.join(run).encode("utf-8")
+
+
+def _unpack_members(b: bytes, is_int: bool) -> np.ndarray:
+    if is_int:
+        return np.frombuffer(b, dtype="<i8")
+    return np.asarray(b.decode("utf-8").split(_SEP), dtype=object)
 
 
 def _bucket_table(
-    keys_i64: np.ndarray, urls: np.ndarray | None, keep
+    keys_i64: np.ndarray, members: np.ndarray | None, keep,
+    member: str, mtype: pa.DataType,
 ) -> pa.Table:
-    """(bucket[, url]) table from flat int64 keys; with ``keep`` (a
+    """(bucket[, member]) table from flat int64 keys; with ``keep`` (a
     sorted int64 numpy array of duplicate buckets, usually fetched from
     a broadcast ref) rows outside it are dropped vectorized BEFORE any
-    string column is built."""
+    member column is built."""
     if keep is not None and len(keys_i64):
         if len(keep) == 0:
             mask = np.zeros(len(keys_i64), dtype=bool)
@@ -90,10 +113,10 @@ def _bucket_table(
             pos = np.minimum(np.searchsorted(keep, keys_i64), len(keep) - 1)
             mask = keep[pos] == keys_i64
         keys_i64 = keys_i64[mask]
-        urls = urls[mask] if urls is not None else None
+        members = members[mask] if members is not None else None
     cols = {"bucket": pa.array(keys_i64, type=pa.int64())}
-    if urls is not None:
-        cols["url"] = pa.array(urls, type=pa.string())
+    if members is not None:
+        cols[member] = pa.array(members, type=mtype)
     return pa.table(cols)
 
 
@@ -102,29 +125,41 @@ def explode_minhash_bands(
     config: DedupConfig,
     keys_only: bool = False,
     keep_ref=None,
+    member: str = "url",
 ) -> ray.data.Dataset:
-    """signatures -> (bucket, url) rows, one per (row, band). bucket is a
-    64-bit mix of (band index, the band's r signature values).
+    """signatures -> (bucket, member) rows, one per (row, band). bucket
+    is a 64-bit mix of (band index, the band's r signature values).
     ``keys_only`` emits just the bucket column (the singleton-filter key
     pass); ``keep_ref`` filters rows to the broadcast duplicate-bucket
-    set inline, so singleton rows never materialize."""
+    set inline, so singleton rows never materialize. ``member`` names
+    the id column carried per row ('uid' int64 in the flagship)."""
     b, r = config.lsh_bands, config.lsh_rows
+    k = config.num_perm
 
     def explode(batch: pa.Table) -> pa.Table:
-        idx, mat = _minhash_matrix(batch)
+        mtype = batch.schema.field(member).type if member in batch.column_names \
+            else pa.string()
+        is_int = pa.types.is_integer(mtype)
+        if len(batch) == 0:
+            return (_KEYS_ONLY_SCHEMA if keys_only
+                    else _bucket_schema(member, mtype)).empty_table()
+        mat, valid = packed_minhash(batch["minhash"], k)
+        idx = np.flatnonzero(valid)
         if len(idx) == 0:
-            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
+            return (_KEYS_ONLY_SCHEMA if keys_only
+                    else _bucket_schema(member, mtype)).empty_table()
+        mat = mat[idx]
         keys = np.empty((len(idx), b), dtype=np.uint64)
         for band in range(b):
             keys[:, band] = combine_hash_rows(mat[:, band * r : (band + 1) * r], salt=band)
         # int64 bit-reinterpretation: groupby/aggregate round-trips through
         # pandas, where full-range uint64 degrades to pickled objects.
         flat = keys.reshape(-1).view(np.int64)
-        urls = None
+        members = None
         if not keys_only:
-            urls = np.repeat(np.asarray(batch["url"].to_pylist(), dtype=object)[idx], b)
+            members = np.repeat(_member_np(batch[member], is_int)[idx], b)
         keep = ray.get(keep_ref) if keep_ref is not None else None
-        return _bucket_table(flat, urls, keep)
+        return _bucket_table(flat, members, keep, member, mtype)
 
     return signatures.map_batches(explode, batch_format="pyarrow")
 
@@ -134,31 +169,70 @@ def explode_simhash_blocks(
     config: DedupConfig,
     keys_only: bool = False,
     keep_ref=None,
+    member: str = "url",
 ) -> ray.data.Dataset:
-    """signatures -> (bucket, url) rows, one per (row, Manku table): keys
-    are 3-block combinations of a 6-block split (functions.simhash), so
-    every pair within the Hamming ball shares a table key and chance
+    """signatures -> (bucket, member) rows, one per (row, Manku table):
+    keys are 3-block combinations of a 6-block split (functions.simhash),
+    so every pair within the Hamming ball shares a table key and chance
     collisions stay ~n^2 / 2^32 instead of n^2 / 2^17.
-    ``keys_only`` / ``keep_ref`` as in ``explode_minhash_bands``."""
+    ``keys_only`` / ``keep_ref`` / ``member`` as in
+    ``explode_minhash_bands``."""
     blocks = config.simhash_blocks
     clean = config.simhash_clean_blocks
 
     def explode(batch: pa.Table) -> pa.Table:
-        col = batch["simhash"].to_pylist()
-        idx = [i for i, v in enumerate(col) if v is not None]
-        if not idx:
-            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
-        sims = np.array([col[i] for i in idx], dtype=np.uint64)
+        mtype = batch.schema.field(member).type if member in batch.column_names \
+            else pa.string()
+        is_int = pa.types.is_integer(mtype)
+        col = batch["simhash"].combine_chunks() if isinstance(batch["simhash"], pa.ChunkedArray) \
+            else batch["simhash"]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return (_KEYS_ONLY_SCHEMA if keys_only
+                    else _bucket_schema(member, mtype)).empty_table()
+        sims = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)[idx]
         keys = simhash_block_keys(sims, blocks, clean)
         flat = keys.reshape(-1).view(np.int64)
-        urls = None
+        members = None
         if not keys_only:
-            urls = np.repeat(
-                np.asarray(batch["url"].to_pylist(), dtype=object)[idx],
-                keys.shape[1],
-            )
+            members = np.repeat(_member_np(batch[member], is_int)[idx], keys.shape[1])
         keep = ray.get(keep_ref) if keep_ref is not None else None
-        return _bucket_table(flat, urls, keep)
+        return _bucket_table(flat, members, keep, member, mtype)
+
+    return signatures.map_batches(explode, batch_format="pyarrow")
+
+
+def explode_sha_buckets(
+    signatures: ray.data.Dataset,
+    keys_only: bool = False,
+    keep_ref=None,
+    member: str = "url",
+) -> ray.data.Dataset:
+    """signatures -> (bucket, member) rows keyed on the content hash
+    (first 8 bytes of text_sha256, vectorized buffer reinterpretation),
+    one per valid row. Feeds exact-duplicate pairs through the same
+    sorted-run machinery as the similarity families — the merged
+    verifier re-checks full-sha equality, so a 64-bit truncation
+    collision can never produce a false exact edge.
+    ``keys_only`` / ``keep_ref`` / ``member`` as in
+    ``explode_minhash_bands``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mtype = batch.schema.field(member).type if member in batch.column_names \
+            else pa.string()
+        is_int = pa.types.is_integer(mtype)
+        keys, ok = sha_prefix_int64(batch["text_sha256"])
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return (_KEYS_ONLY_SCHEMA if keys_only
+                    else _bucket_schema(member, mtype)).empty_table()
+        keys = keys[idx]
+        members = None
+        if not keys_only:
+            members = _member_np(batch[member], is_int)[idx]
+        keep = ray.get(keep_ref) if keep_ref is not None else None
+        return _bucket_table(keys, members, keep, member, mtype)
 
     return signatures.map_batches(explode, batch_format="pyarrow")
 
@@ -170,39 +244,63 @@ def _all_pairs(run: np.ndarray, out_a: list, out_b: list) -> None:
 
 
 def _chain_star(run: np.ndarray, out_a: list, out_b: list) -> None:
-    """O(n) emission for one (fragment of a) hot bucket, already url-
-    sorted: star to the fragment's min + the sorted chain."""
+    """O(n) emission for one (fragment of a) hot bucket, already
+    member-sorted: star to the fragment's min + the sorted chain."""
     out_a.append(np.repeat(run[0], len(run) - 1))
     out_b.append(run[1:])
     out_a.append(run[1:-1])
     out_b.append(run[2:])
 
 
-def _emit_table(out_a: list, out_b: list, frags: list) -> pa.Table:
+def _emit_table(
+    out_a: list, out_b: list, frags: list, member: str, mtype: pa.DataType
+) -> pa.Table:
+    schema = _emit_schema(member, mtype)
+    tables = []
     n_pairs = sum(len(a) for a in out_a)
-    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=object)
-    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=object)
-    n_frags = len(frags)
-    return pa.table(
-        {
-            "url_a": pa.array(list(a) + [None] * n_frags, type=pa.string()),
-            "url_b": pa.array(list(b) + [None] * n_frags, type=pa.string()),
-            "fbucket": pa.array([None] * n_pairs + [f[0] for f in frags], type=pa.int64()),
-            "f_first": pa.array([None] * n_pairs + [f[1] for f in frags], type=pa.string()),
-            "f_last": pa.array([None] * n_pairs + [f[2] for f in frags], type=pa.string()),
-            "f_n": pa.array([None] * n_pairs + [f[3] for f in frags], type=pa.int64()),
-            "f_urls": pa.array([None] * n_pairs + [f[4] for f in frags], type=pa.string()),
-        }
-    )
+    if n_pairs:
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        tables.append(
+            pa.table(
+                {
+                    f"{member}_a": pa.array(a, type=mtype),
+                    f"{member}_b": pa.array(b, type=mtype),
+                    "fbucket": pa.nulls(n_pairs, pa.int64()),
+                    "f_first": pa.nulls(n_pairs, mtype),
+                    "f_last": pa.nulls(n_pairs, mtype),
+                    "f_n": pa.nulls(n_pairs, pa.int64()),
+                    "f_members": pa.nulls(n_pairs, pa.binary()),
+                }
+            )
+        )
+    if frags:
+        tables.append(
+            pa.table(
+                {
+                    f"{member}_a": pa.nulls(len(frags), mtype),
+                    f"{member}_b": pa.nulls(len(frags), mtype),
+                    "fbucket": pa.array([f[0] for f in frags], type=pa.int64()),
+                    "f_first": pa.array([f[1] for f in frags], type=mtype),
+                    "f_last": pa.array([f[2] for f in frags], type=mtype),
+                    "f_n": pa.array([f[3] for f in frags], type=pa.int64()),
+                    "f_members": pa.array([f[4] for f in frags], type=pa.binary()),
+                }
+            )
+        )
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)
 
 
-def _make_block_emitter(cap: int):
+def _make_block_emitter(cap: int, member: str, is_int: bool):
     def emit(t: pa.Table) -> pa.Table:
         n = len(t)
+        mtype = t.schema.field(member).type
         if n == 0:
-            return _EMIT_SCHEMA.empty_table()
+            return _emit_schema(member, mtype).empty_table()
         buckets = np.asarray(t["bucket"].combine_chunks().to_numpy(zero_copy_only=False))
-        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        members = _member_np(t[member], is_int)
         starts = np.concatenate([[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1])
         ends = np.concatenate([starts[1:], [n]])
         lens = ends - starts
@@ -215,7 +313,7 @@ def _make_block_emitter(cap: int):
         edge_idx = {0, len(starts) - 1}
         for ri in set(interesting.tolist()) | edge_idx:
             s, e, m = int(starts[ri]), int(ends[ri]), int(lens[ri])
-            run = urls[s:e]
+            run = members[s:e]
             if ri not in edge_idx:
                 if m <= cap:
                     _all_pairs(run, out_a, out_b)
@@ -225,16 +323,20 @@ def _make_block_emitter(cap: int):
             # edge run: may continue in a neighboring sorted block
             if m > cap:
                 _chain_star(run, out_a, out_b)
-                joined = ""
+                joined = b""
             else:
-                joined = _SEP.join(run)   # cold fragment: defer, ship members
-            frags.append((int(buckets[s]), str(run[0]), str(run[-1]), m, joined))
-        return _emit_table(out_a, out_b, frags)
+                joined = _pack_members(run, is_int)  # cold: defer, ship members
+            first = run[0] if not is_int else int(run[0])
+            last = run[-1] if not is_int else int(run[-1])
+            frags.append((int(buckets[s]), first, last, m, joined))
+        return _emit_table(out_a, out_b, frags, member, mtype)
 
     return emit
 
 
-def _reconcile_fragments(frag_rows: list[dict], cap: int) -> pa.Table:
+def _reconcile_fragments(
+    frag_rows: list[dict], cap: int, member: str, mtype: pa.DataType, is_int: bool
+) -> pa.Table:
     """Driver-side pass over the per-block edge-run summaries (at most
     two per sorted block): stitch fragments of the same bucket back
     together deterministically."""
@@ -244,14 +346,14 @@ def _reconcile_fragments(frag_rows: list[dict], cap: int) -> pa.Table:
     out_a: list = []
     out_b: list = []
     for frs in by_bucket.values():
-        frs.sort(key=lambda r: r["f_first"])   # global url order
+        frs.sort(key=lambda r: r["f_first"])   # global member order
         total = sum(r["f_n"] for r in frs)
         if total < 2:
             continue
         if total <= cap:
             # every fragment is cold (f_n <= total <= cap) -> members known
-            members = np.asarray(
-                [u for r in frs for u in r["f_urls"].split(_SEP)], dtype=object
+            members = np.concatenate(
+                [_unpack_members(r["f_members"], is_int) for r in frs]
             )
             _all_pairs(members, out_a, out_b)
             continue
@@ -260,17 +362,17 @@ def _reconcile_fragments(frag_rows: list[dict], cap: int) -> pa.Table:
         # the per-fragment chains into the bucket's full sorted chain
         for r in frs:
             if r["f_n"] <= cap and r["f_n"] >= 2:
-                _chain_star(np.asarray(r["f_urls"].split(_SEP), dtype=object),
-                            out_a, out_b)
+                _chain_star(_unpack_members(r["f_members"], is_int), out_a, out_b)
+        dtype = np.int64 if is_int else object
         for prev, nxt in zip(frs, frs[1:]):
-            out_a.append(np.asarray([prev["f_last"]], dtype=object))
-            out_b.append(np.asarray([nxt["f_first"]], dtype=object))
+            out_a.append(np.asarray([prev["f_last"]], dtype=dtype))
+            out_b.append(np.asarray([nxt["f_first"]], dtype=dtype))
     if not out_a:
-        return _PAIRS_SCHEMA.empty_table()
+        return _pairs_schema(member, mtype).empty_table()
     return pa.table(
         {
-            "url_a": pa.array(np.concatenate(out_a), type=pa.string()),
-            "url_b": pa.array(np.concatenate(out_b), type=pa.string()),
+            f"{member}_a": pa.array(np.concatenate(out_a), type=mtype),
+            f"{member}_b": pa.array(np.concatenate(out_b), type=mtype),
         }
     )
 
@@ -323,10 +425,10 @@ def duplicate_bucket_keys(cells: ray.data.Dataset, num_partitions: int):
 
 
 def _prefilter_singleton_buckets(
-    buckets: ray.data.Dataset, num_partitions: int
+    buckets: ray.data.Dataset, num_partitions: int, member: str, mtype: pa.DataType
 ) -> ray.data.Dataset:
     """Drop bucket rows whose bucket holds a single row BEFORE the
-    (bucket, url) all-to-all sort — they can never emit a pair.
+    (bucket, member) all-to-all sort — they can never emit a pair.
     Typically the large majority of LSH band rows (most docs have no
     near-dup), so the expensive sort shrinks ~3-5x. Duplicate-bucket
     detection via ``duplicate_bucket_keys``; the broadcast kept set
@@ -337,7 +439,7 @@ def _prefilter_singleton_buckets(
     )
     if len(ray.get(keep_ref)) == 0:
         # no bucket anywhere has two rows: nothing can pair
-        return ray.data.from_arrow(_BUCKET_SCHEMA.empty_table())
+        return ray.data.from_arrow(_bucket_schema(member, mtype).empty_table())
 
     def filt(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -350,82 +452,98 @@ def _prefilter_singleton_buckets(
     return buckets.map_batches(filt, batch_format="pyarrow")
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
 def candidate_pairs(
     bucket_rows: ray.data.Dataset,
     config: DedupConfig,
     num_partitions: int = 16,
     prefiltered: bool = False,
 ) -> ray.data.Dataset:
-    """(bucket, url) rows -> distinct candidate (url_a, url_b) pairs,
-    url_a < url_b. See module docstring for the sorted-run design.
+    """(bucket, member) rows -> distinct candidate (member_a, member_b)
+    pairs, member_a < member_b. See module docstring for the sorted-run
+    design and member-dtype genericity.
     ``prefiltered``: the caller already dropped singleton buckets (e.g.
     inline in the explodes via ``duplicate_bucket_keys``)."""
     cap = config.max_group_pairs
+    schema = bucket_rows.schema()
+    member = next(n for n in schema.names if n != "bucket")
+    mtype = dict(zip(schema.names, schema.types))[member]
+    is_int = pa.types.is_integer(mtype)
     if not prefiltered:
         # the pre-filter consumes the bucket lineage twice (key sort +
         # filter pass) — pin the explode output so it computes once
         bucket_rows = bucket_rows.materialize()
-        bucket_rows = _prefilter_singleton_buckets(bucket_rows, num_partitions)
+        bucket_rows = _prefilter_singleton_buckets(bucket_rows, num_partitions, member, mtype)
     # coalesce before sorting: upstream explodes emit one small block per
     # actor batch, and Ray's sort pays O(blocks^2) partition metadata +
     # per-task overhead — hundreds of 512-row blocks measurably dominate
     # the sort wall. CPU-proportional block count keeps the reduce side
     # parallel without the tiny-block tax.
     sort_parts = max(2 * num_partitions, 8)
-    sorted_rows = bucket_rows.repartition(sort_parts).sort(["bucket", "url"]).materialize()
+    sorted_rows = bucket_rows.repartition(sort_parts).sort(["bucket", member]).materialize()
     emitted = sorted_rows.map_batches(
-        _make_block_emitter(cap), batch_format="pyarrow", batch_size=None
+        _make_block_emitter(cap, member, is_int), batch_format="pyarrow", batch_size=None
     ).materialize()
 
+    a_col, b_col = f"{member}_a", f"{member}_b"
+
     def pair_rows(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.is_valid(t["url_a"]))
-        return keep.select(["url_a", "url_b"])
+        keep = t.filter(pc.is_valid(t[a_col]))
+        return keep.select([a_col, b_col])
 
     def frag_rows(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.is_null(t["url_a"]))
-        return keep.select(["fbucket", "f_first", "f_last", "f_n", "f_urls"])
+        keep = t.filter(pc.is_null(t[a_col]))
+        return keep.select(["fbucket", "f_first", "f_last", "f_n", "f_members"])
 
     pairs = emitted.map_batches(pair_rows, batch_format="pyarrow")
     frags = emitted.map_batches(frag_rows, batch_format="pyarrow").take_all()
     if frags:
-        pairs = pairs.union(ray.data.from_arrow(_reconcile_fragments(frags, cap)))
+        pairs = pairs.union(
+            ray.data.from_arrow(_reconcile_fragments(frags, cap, member, mtype, is_int))
+        )
 
     # canonical order + distinct across bands (vectorized count aggregate)
     def canon(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return _PAIRS_SCHEMA.empty_table()
-        swap = pc.greater(t["url_a"], t["url_b"])
-        a = pc.if_else(swap, t["url_b"], t["url_a"])
-        b = pc.if_else(swap, t["url_a"], t["url_b"])
+            return _pairs_schema(member, mtype).empty_table()
+        swap = pc.greater(t[a_col], t[b_col])
+        a = pc.if_else(swap, t[b_col], t[a_col])
+        b = pc.if_else(swap, t[a_col], t[b_col])
         keep = pc.less(a, b)
-        return pa.table({"url_a": a, "url_b": b}).filter(keep)
+        return pa.table({a_col: a, b_col: b}).filter(keep)
 
     pairs = pairs.map_batches(canon, batch_format="pyarrow").materialize()
     if pairs.count() == 0:
         return pairs
     # distinct across bands: sort on an int64 pair-hash key brings all
-    # copies of a pair together (sorting by the two STRING columns
-    # directly measured ~6x slower per row), then each block drops its
-    # local duplicates with an exact string comparison — a hash
-    # collision between different pairs cannot merge them. (A groupby
-    # aggregate here pays per-group Python overhead for ~one group per
-    # pair — orders of magnitude slower.) A pair whose copies straddle a
-    # block border can survive once per border — at most one duplicate
-    # row per sorted block, harmless downstream (identical edges).
+    # copies of a pair together (sorting by two STRING columns directly
+    # measured ~6x slower per row), then each block drops its local
+    # duplicates with an exact comparison — a hash collision between
+    # different pairs cannot merge them. (A groupby aggregate here pays
+    # per-group Python overhead for ~one group per pair — orders of
+    # magnitude slower.) A pair whose copies straddle a block border can
+    # survive once per border — at most one duplicate row per sorted
+    # block, harmless downstream (identical edges).
     import pandas.util as pdu
 
     def add_pair_key(t: pa.Table) -> pa.Table:
-        ha = pdu.hash_array(np.asarray(t["url_a"].to_pylist(), dtype=object))
-        hb = pdu.hash_array(np.asarray(t["url_b"].to_pylist(), dtype=object))
+        if is_int:
+            ha = t[a_col].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+            hb = t[b_col].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        else:
+            ha = pdu.hash_array(np.asarray(t[a_col].to_pylist(), dtype=object))
+            hb = pdu.hash_array(np.asarray(t[b_col].to_pylist(), dtype=object))
         with np.errstate(over="ignore"):
-            pk = (ha * np.uint64(0x9E3779B97F4A7C15)) ^ hb
+            pk = (ha * _GOLD) ^ hb
         return t.append_column("pk", pa.array(pk.view(np.int64), type=pa.int64()))
 
     def local_unique(t: pa.Table) -> pa.Table:
         if len(t) < 2:
             return t.drop_columns(["pk"])
-        a = np.asarray(t["url_a"].to_pylist(), dtype=object)
-        b = np.asarray(t["url_b"].to_pylist(), dtype=object)
+        a = _member_np(t[a_col], is_int)
+        b = _member_np(t[b_col], is_int)
         keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         return t.filter(pa.array(keep)).drop_columns(["pk"])
 
@@ -435,35 +553,3 @@ def candidate_pairs(
         .sort("pk")
         .map_batches(local_unique, batch_format="pyarrow", batch_size=None)
     )
-
-
-def explode_sha_buckets(
-    signatures: ray.data.Dataset,
-    keys_only: bool = False,
-    keep_ref=None,
-) -> ray.data.Dataset:
-    """signatures -> (bucket, url) rows keyed on the content hash (first
-    8 bytes of text_sha256), one per valid row. Feeds exact-duplicate
-    pairs through the same sorted-run machinery as the similarity
-    families — the merged verifier re-checks full-sha equality, so a
-    64-bit truncation collision can never produce a false exact edge.
-    ``keys_only`` / ``keep_ref`` as in ``explode_minhash_bands``."""
-
-    def explode(batch: pa.Table) -> pa.Table:
-        shas = batch["text_sha256"].to_pylist()
-        pairs = [
-            (int.from_bytes(sha[:8], "little", signed=True), i)
-            for i, sha in enumerate(shas)
-            if sha is not None
-        ]
-        if not pairs:
-            return (_KEYS_ONLY_SCHEMA if keys_only else _BUCKET_SCHEMA).empty_table()
-        keys = np.array([k for k, _ in pairs], dtype=np.int64)
-        urls = None
-        if not keys_only:
-            all_urls = np.asarray(batch["url"].to_pylist(), dtype=object)
-            urls = all_urls[np.array([i for _, i in pairs], dtype=np.int64)]
-        keep = ray.get(keep_ref) if keep_ref is not None else None
-        return _bucket_table(keys, urls, keep)
-
-    return signatures.map_batches(explode, batch_format="pyarrow")

@@ -185,6 +185,63 @@ def compute_signatures(
     )
 
 
+def _add_uid_batch(batch: pa.Table, salt: int) -> pa.Table:
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+
+    return batch.append_column(
+        "uid", pa.array(url_uids(batch["url"], salt), type=pa.int64())
+    )
+
+
+def add_uid(signatures, salt: int = 0):
+    """Append the int64 ``uid`` column (salted SipHash of url) — the
+    compact member id the hot candidate path sorts/ships instead of url
+    strings (stages/candidates.py module docstring). Lazy map; derive it
+    on top of the materialized signatures stage."""
+    import functools
+
+    return signatures.map_batches(
+        functools.partial(_add_uid_batch, salt=salt), batch_format="pyarrow"
+    )
+
+
+def assign_uids(signatures, num_partitions: int = 16, max_salt: int = 4):
+    """signatures -> (signatures+uid, salt) with uid verified globally
+    unique for THIS corpus: a distributed single-column int64 sort
+    (``duplicate_bucket_keys``) detects any colliding uid exactly; on a
+    collision (p ~ n^2/2^64 — astronomically rare below ~1e8 docs) the
+    salt bumps and uids re-derive. Beyond ~1e9 docs, move to 128-bit
+    uids (two int64 columns) instead of per-run re-salting — documented
+    scale path, not needed in this sandbox.
+
+    Raises if ``max_salt`` salts all collide — which in practice means
+    the input carries DUPLICATE urls (same url hashes equal under every
+    salt); urls are the corpus primary key (reference: file path
+    identity, ``Common/FileState.cs``)."""
+    import pyarrow as _pa
+
+    from ordinarydumpdeduplicator_ray.stages.candidates import duplicate_bucket_keys
+
+    import ray as _ray
+
+    for salt in range(max_salt):
+        with_uid = add_uid(signatures, salt)
+        dups = _ray.get(
+            duplicate_bucket_keys(
+                with_uid.map_batches(
+                    lambda t: _pa.table({"bucket": t["uid"]}), batch_format="pyarrow"
+                ),
+                num_partitions,
+            )
+        )
+        if len(dups) == 0:
+            return with_uid, salt
+    raise RuntimeError(
+        "uid collision at every salt — the pages input almost certainly "
+        "contains duplicate urls; urls must be unique (corpus primary key)"
+    )
+
+
 class SignatureActorKeepText(SignatureActor):
     """Signature stage variant that keeps the extracted text column
     (needed when spans / exact pair verification run downstream)."""

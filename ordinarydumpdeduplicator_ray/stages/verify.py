@@ -1,6 +1,11 @@
 """Candidate-pair verification -> edges table.
 
-Pairs are verified against the signatures they were generated from:
+Pairs arrive as int64 ``(uid_a, uid_b)`` rows (stages/candidates.py
+member genericity — the hot path never ships url strings) and are
+verified against the signatures they were generated from; the emitted
+edges carry url strings again (resolved from the signature lookup), so
+everything downstream (components, groups, reports, SQL oracles) is
+uid-free.
 
 - minhash pairs: estimated Jaccard = agreeing-permutation fraction; with
   K=128 the estimate is ~4 sigma tight at +-0.1 around the 0.8 threshold,
@@ -13,16 +18,17 @@ Pairs are verified against the signatures they were generated from:
 
 Signature columns reach the pairs one of two ways:
 
-- **Broadcast lookup** (default while the distinct pair-url set is under
-  ``_BROADCAST_VERIFY_URL_CAP``): the pair url set is collected on the
-  driver, signatures for ONLY those urls are filter-projected map-only
-  (no shuffle) into a packed lookup (sorted url array + dense minhash
-  matrix + simhash / sha-code / n_bytes vectors), ``ray.put`` once, and
-  each verify actor resolves both sides with one vectorized
-  ``pc.index_in`` + numpy row gather per batch. Zero shuffles; on a
-  real cluster the lookup lands in each node's plasma store once.
-- **Hash-shuffle joins** (fallback beyond the cap): two inner joins
-  attach the per-side columns — never holds more than a partition
+- **Broadcast lookup** (default while the distinct pair-uid set is under
+  ``_BROADCAST_VERIFY_URL_CAP``): the pair uid set is collected on the
+  driver, signatures for ONLY those uids are filter-projected map-only
+  (no shuffle) into a packed lookup (sorted uid array + aligned url
+  strings + dense minhash matrix + simhash / sha-code / n_bytes
+  vectors), ``ray.put`` once, and each verify task resolves both sides
+  with one vectorized ``np.searchsorted`` + numpy row gather per batch.
+  Zero shuffles; on a real cluster the lookup lands in each node's
+  plasma store once.
+- **Hash-shuffle joins** (fallback beyond the cap): two inner joins on
+  uid attach the per-side columns — never holds more than a partition
   anywhere, at the price of shuffling the pair table twice. Still the
   scalable alternative to carrying 1 KiB signatures through every
   band-explode row (32x write amplification avoided).
@@ -37,6 +43,7 @@ import ray.data
 import pyarrow.compute as pc
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
+from ordinarydumpdeduplicator_ray.functions.minhash import packed_minhash
 from ordinarydumpdeduplicator_ray.functions.simhash import hamming_distance
 from ordinarydumpdeduplicator_ray.stages.join import inner_join
 
@@ -46,36 +53,11 @@ _EDGE_SCHEMA = pa.schema(
      ("source", pa.string()), ("jaccard", pa.float64())]
 )
 
-# distinct pair-participating urls above which the packed signature
-# lookup no longer broadcasts (2M urls ~= 2 GiB of minhash matrix in
+# distinct pair-participating uids above which the packed signature
+# lookup no longer broadcasts (2M uids ~= 2 GiB of minhash matrix in
 # plasma, read zero-copy once per node) and verification falls back to
 # the two shuffle joins.
 _BROADCAST_VERIFY_URL_CAP = 2_000_000
-
-
-def _attach(
-    pairs: ray.data.Dataset,
-    signatures: ray.data.Dataset,
-    side: str,
-    columns: dict[str, str],
-    num_partitions: int | None,
-    out_schema: pa.Schema,
-) -> ray.data.Dataset:
-    """Join ``columns`` of signatures onto pairs via ``url_{side}``.
-    ``out_schema`` is the full joined schema, used when a side is empty."""
-    key = f"url_{side}"
-
-    def project(t: pa.Table) -> pa.Table:
-        cols = {key: t["url"]}
-        for src, dst in columns.items():
-            cols[dst] = t[src]
-        return pa.table(cols)
-
-    proj = signatures.map_batches(project, batch_format="pyarrow")
-    return inner_join(
-        pairs, proj, on=(key,), num_partitions=num_partitions,
-        empty_schema=out_schema,
-    )
 
 
 def _emit_edges(
@@ -123,60 +105,49 @@ def _emit_edges(
     return pa.concat_tables([out_ex, out_mh, out_band, out_sh])
 
 
-def _collect_pair_urls(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
-    """Distinct urls referenced by the pairs (C++ ``pc.unique``, no
-    Python sets), or None once the set exceeds ``cap`` (caller falls
-    back to the shuffle-join attach). Chunks collapse through
-    ``pc.unique`` periodically so driver memory stays O(distinct)."""
-    chunks: list[pa.Array] = []
+def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
+    """Distinct uids referenced by the pairs as a SORTED int64 numpy
+    array, or None once the set exceeds ``cap`` (caller falls back to
+    the shuffle-join attach). Chunks collapse through ``np.unique``
+    periodically so driver memory stays O(distinct)."""
+    chunks: list[np.ndarray] = []
+    pending = 0
     for b in pairs.iter_batches(batch_format="pyarrow"):
-        chunks.extend(b["url_a"].chunks)
-        chunks.extend(b["url_b"].chunks)
-        if len(chunks) >= 256:
-            chunks = [pc.unique(pa.chunked_array(chunks))]
+        chunks.append(b["uid_a"].combine_chunks().to_numpy(zero_copy_only=False))
+        chunks.append(b["uid_b"].combine_chunks().to_numpy(zero_copy_only=False))
+        pending += len(b) * 2
+        if pending >= 4_000_000:
+            chunks = [np.unique(np.concatenate(chunks))]
+            pending = 0
             if len(chunks[0]) > cap:
                 return None
     if not chunks:
-        return pa.array([], type=pa.string())
-    uniq = pc.unique(pa.chunked_array(chunks))
+        return np.empty(0, dtype=np.int64)
+    uniq = np.unique(np.concatenate(chunks))
     return None if len(uniq) > cap else uniq
 
 
-def _packed_minhash(col, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Binary minhash column -> ((n, k) uint64 matrix, validity mask).
-    Zero-copy reinterpretation of the Arrow data buffer when the column
-    is null-free and uniformly 8k bytes (the normal case); per-row
-    join fallback otherwise (nulls = docs with no shingles)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n and col.null_count == 0:
-        offs = np.frombuffer(
-            col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
-        )
-        if (np.diff(offs) == 8 * k).all():
-            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-            mat = data[offs[0]:offs[-1]].view("<u8").reshape(n, k)
-            return mat, np.ones(n, dtype=bool)
-    vals = col.to_pylist()
-    zero = b"\x00" * (8 * k)
-    mat = np.frombuffer(b"".join(x or zero for x in vals), dtype="<u8").reshape(-1, k)
-    return mat, np.fromiter((x is not None for x in vals), dtype=bool, count=n)
-
-
 def _build_sig_lookup(
-    signatures: ray.data.Dataset, pair_urls: pa.Array, config: DedupConfig
+    signatures: ray.data.Dataset, pair_uids: np.ndarray, config: DedupConfig
 ):
-    """Filter-project signatures to the pair urls (map-only, no shuffle)
-    and pack them into a dense lookup: url Arrow array + minhash matrix
-    (n, k) uint64 + simhash / sha-dictionary-code / n_bytes vectors.
-    Returns a ``ray.put`` ref (numpy parts read zero-copy per node), or
-    None when nothing matched."""
-    url_ref = ray.put(pair_urls)
+    """Filter-project signatures to the pair uids (map-only, no shuffle)
+    and pack them into a dense uid-sorted lookup: int64 uid vector +
+    aligned url Arrow array + minhash matrix (n, k) uint64 + simhash /
+    sha-dictionary-code / n_bytes vectors. Returns a ``ray.put`` ref
+    (numpy parts read zero-copy per node), or None when nothing
+    matched."""
+    uid_ref = ray.put(pair_uids)
 
     def project(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["url"], value_set=ray.get(url_ref)))
-        return t.select(["url", "minhash", "simhash", "text_sha256", "n_bytes"])
+        k = ray.get(uid_ref)
+        u = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, u), len(k) - 1)
+            mask = k[pos] == u
+        else:
+            mask = np.zeros(len(u), dtype=bool)
+        t = t.filter(pa.array(mask))
+        return t.select(["uid", "url", "minhash", "simhash", "text_sha256", "n_bytes"])
 
     batches = [
         b
@@ -186,9 +157,19 @@ def _build_sig_lookup(
     ]
     if not batches:
         return None
-    tbl = pa.concat_tables(batches)
+    tbl = pa.concat_tables(batches).combine_chunks()
+    uids = tbl["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(uids, kind="stable")
+    uids = uids[order]
+    if len(uids) > 1 and (uids[1:] == uids[:-1]).any():
+        raise RuntimeError(
+            "duplicate uid in signature lookup — assign_uids should have "
+            "re-salted; corpus may contain duplicate urls"
+        )
+    take = pa.array(order)
+    tbl = tbl.take(take)
     k = config.num_perm
-    mh_mat, mh_valid = _packed_minhash(tbl["minhash"], k)
+    mh_mat, mh_valid = packed_minhash(tbl["minhash"], k)
     sh_col = tbl["simhash"].combine_chunks()
     sh_valid = pc.is_valid(sh_col).to_numpy(zero_copy_only=False)
     sh = pc.fill_null(sh_col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -200,7 +181,8 @@ def _build_sig_lookup(
     nb = pc.fill_null(tbl["n_bytes"].combine_chunks(), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     return ray.put(
-        {"urls": tbl["url"].combine_chunks(), "mh": mh_mat, "mh_valid": mh_valid,
+        {"uids": uids, "urls": tbl["url"].combine_chunks(),
+         "mh": np.ascontiguousarray(mh_mat), "mh_valid": mh_valid,
          "sh": sh, "sh_valid": sh_valid, "sha": sha, "nb": nb}
     )
 
@@ -223,24 +205,26 @@ def _get_broadcast(ref):
     return val
 
 
-def _resolve_urls(col, value_set) -> np.ndarray:
-    """Vectorized url -> lookup-row index; -1 where absent."""
-    idx = pc.index_in(col, value_set=value_set)
-    return pc.fill_null(idx, pa.scalar(-1, type=idx.type)) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+def _resolve_uids(col, sorted_uids: np.ndarray) -> np.ndarray:
+    """Vectorized uid -> lookup-row index; -1 where absent."""
+    u = col.combine_chunks().to_numpy(zero_copy_only=False)
+    if len(sorted_uids) == 0:
+        return np.full(len(u), -1, dtype=np.int64)
+    pos = np.minimum(np.searchsorted(sorted_uids, u), len(sorted_uids) - 1)
+    return np.where(sorted_uids[pos] == u, pos, -1)
 
 
 def _broadcast_verify_batch(
     t: pa.Table, config: DedupConfig, lookup_ref, recheck: bool
 ) -> pa.Table:
     """Verify one pair batch against the broadcast signature lookup:
-    both sides resolve with ``pc.index_in`` (vectorized hash lookup) +
-    numpy row gathers — no joins, no per-pair Python."""
+    both sides resolve with ``np.searchsorted`` + numpy row gathers —
+    no joins, no per-pair Python. Emits url-string edges."""
     if len(t) == 0:
         return _EDGE_SCHEMA.empty_table()
     lk = _get_broadcast(lookup_ref)
-    ia = _resolve_urls(t["url_a"], lk["urls"])
-    ib = _resolve_urls(t["url_b"], lk["urls"])
+    ia = _resolve_uids(t["uid_a"], lk["uids"])
+    ib = _resolve_uids(t["uid_b"], lk["uids"])
     found = (ia >= 0) & (ib >= 0)
     ia0, ib0 = np.where(ia >= 0, ia, 0), np.where(ib >= 0, ib, 0)
     mh, mh_valid = lk["mh"], lk["mh_valid"]
@@ -254,8 +238,9 @@ def _broadcast_verify_batch(
     )
     sha = lk["sha"]
     ex_keep = found & (sha[ia0] >= 0) & (sha[ia0] == sha[ib0])
+    url_col = lk["urls"]
     urls = pa.table(
-        {"url_a": t["url_a"], "url_b": t["url_b"],
+        {"url_a": url_col.take(pa.array(ia0)), "url_b": url_col.take(pa.array(ib0)),
          "nb_a": pa.array(lk["nb"][ia0], type=pa.int64()),
          "nb_b": pa.array(lk["nb"][ib0], type=pa.int64())}
     )
@@ -269,26 +254,27 @@ def verify_pairs(
     num_partitions: int | None = None,
     pages: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """Merged verification for candidates from BOTH bucket families
-    (minhash bands + simhash blocks in one candidate pass): attach
-    (minhash, simhash, sha, n_bytes) per side — broadcast lookup below
-    ``_BROADCAST_VERIFY_URL_CAP`` distinct pair urls, two shuffle joins
-    beyond it (module docstring) — then emit an 'exact' edge when the
-    full content hashes agree, a 'minhash' edge when the Jaccard
-    estimate clears the threshold and a 'simhash' edge when the Hamming
-    ball admits the pair. Fully vectorized — signature matrices are
-    stacked per batch / pre-packed per actor, no per-pair Python.
+    """Merged verification for (uid_a, uid_b) candidates from ALL bucket
+    families (content-sha + minhash bands + simhash blocks in one
+    candidate pass): attach (url, minhash, simhash, sha, n_bytes) per
+    side — broadcast lookup below ``_BROADCAST_VERIFY_URL_CAP`` distinct
+    pair uids, two shuffle joins beyond it (module docstring) — then
+    emit an 'exact' edge when the full content hashes agree, a 'minhash'
+    edge when the Jaccard estimate clears the threshold and a 'simhash'
+    edge when the Hamming ball admits the pair. Fully vectorized —
+    signature matrices are pre-packed, no per-pair Python. ``signatures``
+    must carry the ``uid`` column (``stages.signatures.assign_uids``).
 
     With ``pages``, margin-band estimates are re-verified exactly on
     shingle sets (see ``_emit_edges`` / config.py contract)."""
     recheck = pages is not None
-    # the url-set collection consumes the (lazy) pair lineage once and
+    # the uid-set collection consumes the (lazy) pair lineage once and
     # the verify map consumes it again — pin the blocks first
     pairs = pairs.materialize()
-    pair_urls = _collect_pair_urls(pairs, _BROADCAST_VERIFY_URL_CAP)
-    if pair_urls is not None:
-        lookup_ref = _build_sig_lookup(signatures, pair_urls, config) \
-            if len(pair_urls) else None
+    pair_uids = _collect_pair_uids(pairs, _BROADCAST_VERIFY_URL_CAP)
+    if pair_uids is not None:
+        lookup_ref = _build_sig_lookup(signatures, pair_uids, config) \
+            if len(pair_uids) else None
         if lookup_ref is None:
             edges = ray.data.from_arrow(_EDGE_SCHEMA.empty_table())
         else:
@@ -315,6 +301,31 @@ def verify_pairs(
     return accepted.union(resolved)
 
 
+def _attach(
+    pairs: ray.data.Dataset,
+    signatures: ray.data.Dataset,
+    side: str,
+    columns: dict[str, str],
+    num_partitions: int | None,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Join ``columns`` of signatures onto pairs via ``uid_{side}``.
+    ``out_schema`` is the full joined schema, used when a side is empty."""
+    key = f"uid_{side}"
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {key: t["uid"]}
+        for src, dst in columns.items():
+            cols[dst] = t[src]
+        return pa.table(cols)
+
+    proj = signatures.map_batches(project, batch_format="pyarrow")
+    return inner_join(
+        pairs, proj, on=(key,), num_partitions=num_partitions,
+        empty_schema=out_schema,
+    )
+
+
 def _verify_join(
     pairs: ray.data.Dataset,
     signatures: ray.data.Dataset,
@@ -322,43 +333,41 @@ def _verify_join(
     num_partitions: int | None,
     recheck: bool,
 ) -> ray.data.Dataset:
-    """Shuffle-join attach fallback for pair-url sets too large to
-    broadcast; emits the same edge rows (incl. 'minhash_margin')."""
+    """Shuffle-join attach fallback for pair-uid sets too large to
+    broadcast; emits the same url-string edge rows (incl.
+    'minhash_margin')."""
     thr = config.jaccard_threshold - config.verify_margin
     max_h = config.simhash_max_hamming
-    base = [("url_a", pa.string()), ("url_b", pa.string())]
-    a_cols = [("mh_a", pa.binary()), ("sh_a", pa.uint64()), ("sha_a", pa.binary()),
-              ("nb_a", pa.int64())]
-    b_cols = [("mh_b", pa.binary()), ("sh_b", pa.uint64()), ("sha_b", pa.binary()),
-              ("nb_b", pa.int64())]
+    base = [("uid_a", pa.int64()), ("uid_b", pa.int64())]
+    a_cols = [("url_a", pa.string()), ("mh_a", pa.binary()), ("sh_a", pa.uint64()),
+              ("sha_a", pa.binary()), ("nb_a", pa.int64())]
+    b_cols = [("url_b", pa.string()), ("mh_b", pa.binary()), ("sh_b", pa.uint64()),
+              ("sha_b", pa.binary()), ("nb_b", pa.int64())]
     with_a = _attach(
         pairs, signatures, "a",
-        {"minhash": "mh_a", "simhash": "sh_a", "text_sha256": "sha_a",
-         "n_bytes": "nb_a"},
+        {"url": "url_a", "minhash": "mh_a", "simhash": "sh_a",
+         "text_sha256": "sha_a", "n_bytes": "nb_a"},
         num_partitions,
         pa.schema(base + a_cols),
     )
     with_ab = _attach(
         with_a, signatures, "b",
-        {"minhash": "mh_b", "simhash": "sh_b", "text_sha256": "sha_b",
-         "n_bytes": "nb_b"},
+        {"url": "url_b", "minhash": "mh_b", "simhash": "sh_b",
+         "text_sha256": "sha_b", "n_bytes": "nb_b"},
         num_partitions,
         pa.schema(base + a_cols + b_cols),
     )
     # edges carry each endpoint's n_bytes so the driver union-find can
     # emit size-annotated components and the near-group aggregation
     # needs NO join back to the signatures table
-    empty = pa.schema(
-        base + [("nb_a", pa.int64()), ("nb_b", pa.int64()),
-                ("source", pa.string()), ("jaccard", pa.float64())]
-    ).empty_table()
+    empty = _EDGE_SCHEMA.empty_table()
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return empty
         k = config.num_perm
-        a_mat, a_ok = _packed_minhash(t["mh_a"], k)
-        b_mat, b_ok = _packed_minhash(t["mh_b"], k)
+        a_mat, a_ok = packed_minhash(t["mh_a"], k)
+        b_mat, b_ok = packed_minhash(t["mh_b"], k)
         mh_valid = a_ok & b_ok
         est = (a_mat == b_mat).mean(axis=1)
         mh_keep = mh_valid & (est >= thr)
@@ -386,14 +395,14 @@ def _verify_join(
 
 
 class _ShingleRecheck:
-    """Actor: exact unique-shingle Jaccard for the margin-band pairs.
+    """Exact unique-shingle Jaccard for the margin-band pairs.
     Token-hash cache + config in ``__init__``; per batch, each distinct
-    text is tokenized/shingled once (batch-local cache) and pair Jaccards
+    text is tokenized/shingled once (cross-batch cache) and pair Jaccards
     come from sorted-array intersections.
 
     Texts arrive either as ``text_a``/``text_b`` columns (join path) or
     via ``texts_ref`` — a broadcast url->text dict in the object store,
-    fetched once per actor (zero-copy plasma read)."""
+    fetched once per worker (zero-copy plasma read)."""
 
     def __init__(self, config: DedupConfig, texts_ref=None) -> None:
         from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
@@ -464,15 +473,17 @@ def exact_jaccard_recheck(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Margin-band pairs -> 'minhash' edges kept iff the TRUE unique-
-    shingle Jaccard >= threshold.
+    shingle Jaccard >= threshold. ``pending`` rows carry url strings
+    (verification already resolved uids).
 
     Fast path (pending below ``_BROADCAST_PENDING_CAP``): collect the
     band's url set on the driver, filter-and-extract ONLY those pages'
     texts (map-only, no shuffle), broadcast the url->text dict via
-    ``ray.put`` and verify in an actor pool — zero shuffles and no
-    full-corpus re-extraction. The margin band is a narrow est window,
-    so this covers every realistic run; beyond the cap, texts attach via
-    two hash joins against the (fully re-extracted) pages instead."""
+    ``ray.put`` and verify with per-process recheck state — zero
+    shuffles and no full-corpus re-extraction. The margin band is a
+    narrow est window, so this covers every realistic run; beyond the
+    cap, texts attach via two hash joins against the (fully
+    re-extracted) pages instead."""
     if pending.count() <= _BROADCAST_PENDING_CAP:
         return _recheck_broadcast(pending, pages, config)
     return _recheck_join(pending, pages, config, num_partitions)

@@ -31,7 +31,10 @@ def main() -> None:
     from ordinarydumpdeduplicator_ray.config import DedupConfig
     from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
     from ordinarydumpdeduplicator_ray.sources.pages import read_pages
-    from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+    from ordinarydumpdeduplicator_ray.stages.signatures import (
+        assign_uids,
+        compute_signatures,
+    )
     from ordinarydumpdeduplicator_ray.stages.grouped import (
         exact_group_index,
         representative_signatures,
@@ -64,6 +67,10 @@ def main() -> None:
     sigs = compute_signatures(pages, cfg).materialize()
     d()
 
+    d = clock("assign_uids")
+    sigs, _salt = assign_uids(sigs, nparts)
+    d()
+
     d = clock("exact_index")
     index = exact_group_index(
         sigs.filter(expr=f"status != '{STATUS_BROKEN}'"), sort_partitions=2 * nparts
@@ -71,10 +78,10 @@ def main() -> None:
     d()
 
     d = clock("explode_union")
-    reps = representative_signatures(index)
-    buckets = explode_minhash_bands(reps, cfg).union(
-        explode_simhash_blocks(reps, cfg)
-    ).union(explode_sha_buckets(sigs)).materialize()
+    reps = representative_signatures(index, sigs)
+    buckets = explode_minhash_bands(reps, cfg, member="uid").union(
+        explode_simhash_blocks(reps, cfg, member="uid")
+    ).union(explode_sha_buckets(sigs, member="uid")).materialize()
     d()
     t["bucket_rows"] = buckets.count()
 

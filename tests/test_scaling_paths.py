@@ -140,7 +140,10 @@ class TestVerifyAttachParity:
         from ordinarydumpdeduplicator_ray.config import DedupConfig
         from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
         from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
-        from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            assign_uids,
+            compute_signatures,
+        )
         from ordinarydumpdeduplicator_ray.stages.grouped import (
             exact_group_index,
             representative_signatures,
@@ -155,13 +158,14 @@ class TestVerifyAttachParity:
         pages, _ = generate_pages(150, seed=5)
         cfg = DedupConfig(sig_concurrency=2)
         sigs = compute_signatures(ray.data.from_arrow(pages), cfg).materialize()
+        sigs, _salt = assign_uids(sigs, 4)
         index = exact_group_index(
             sigs.filter(expr=f"status != '{STATUS_BROKEN}'"), sort_partitions=4
         ).materialize()
-        reps = representative_signatures(index)
-        buckets = explode_minhash_bands(reps, cfg) \
-            .union(explode_simhash_blocks(reps, cfg)) \
-            .union(explode_sha_buckets(sigs))
+        reps = representative_signatures(index, sigs)
+        buckets = explode_minhash_bands(reps, cfg, member="uid") \
+            .union(explode_simhash_blocks(reps, cfg, member="uid")) \
+            .union(explode_sha_buckets(sigs, member="uid"))
         pairs = candidate_pairs(buckets, cfg, num_partitions=4).materialize()
         return cfg, sigs, pairs
 
