@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from ordinarydumpdeduplicator_ray.sources.pages import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
@@ -73,7 +75,7 @@ def _flagship(sf_dir: str) -> dict:
 
 
 def _read_documents(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=columns
     )
 
@@ -302,7 +304,7 @@ def last_event_per_user(sf_dir: str) -> ray.data.Dataset:
     per-block top-1, O(blocks) driver merge — no per-group Python."""
     from ordinarydumpdeduplicator_ray.stages.windows import last_event_per_user as impl
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_type", "event_id"],
     )
@@ -333,7 +335,7 @@ def doc_length_buckets(sf_dir: str) -> ray.data.Dataset:
 
 
 def events_type_stats(sf_dir: str) -> ray.data.Dataset:
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value", "event_id"]
     )
 
@@ -365,7 +367,7 @@ def knn_cosine_vec0(sf_dir: str, k: int = 10) -> pa.Table:
     qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0), dtype=np.float64)
     qnorm = np.linalg.norm(qvec)
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
 
     def batch_topk(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -400,7 +402,7 @@ def _embeddings_with_dups(sf_dir: str) -> ray.data.Dataset:
     """embeddings + a scaled copy (x*2, cosine exactly 1.0) of every
     vec_id % 4 == 0 row under vec_id + 1_000_000 — the deterministic
     near-dup injection, identical in the SQL oracle."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 
@@ -500,34 +502,35 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
-def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """Order-sensitive rolling-hash document fingerprints (hex)."""
+def _fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Task-map fingerprint kernel with per-process token-hash cache
+    (same tasks-over-actors pattern as stages/signatures._signature_batch
+    — an actor pool here produced Ray's 'Failed to hash the schemas'
+    warning on every run and paid pool spin-up for a trivial stage)."""
     from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
     from ordinarydumpdeduplicator_ray.functions.text import tokenize
     from ordinarydumpdeduplicator_ray.functions.textstats import doc_fingerprint
 
+    hasher = _FP_STATE.get("hasher")
+    if hasher is None:
+        hasher = _FP_STATE["hasher"] = TokenHasher()
+    fps = []
+    for x in t["text"].to_pylist():
+        th = hasher.hash_tokens(tokenize(x))
+        fps.append(f"{doc_fingerprint(th):016x}")
+    return pa.table(
+        {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+_FP_STATE: dict = {}
+
+
+def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Order-sensitive rolling-hash document fingerprints (hex)."""
     docs = _read_documents(sf_dir, columns=["doc_id", "text"])
-
-    class Fingerprinter:
-        def __init__(self, seed: int = 0):
-            # explicit ctor kwarg so Ray's schema-dedup hashing sees a
-            # hashable constructor payload (round-1 bench logs were full
-            # of "Failed to hash the schemas" warnings without it)
-            self.seed = seed
-            self.hasher = TokenHasher()
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            fps = []
-            for x in t["text"].to_pylist():
-                th = self.hasher.hash_tokens(tokenize(x))
-                fps.append(f"{doc_fingerprint(th):016x}")
-            return pa.table(
-                {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
-            )
-
-    return docs.map_batches(Fingerprinter, fn_constructor_kwargs={"seed": 0},
-                            batch_format="pyarrow", batch_size=512,
-                            concurrency=2)
+    return docs.map_batches(_fingerprint_batch, batch_format="pyarrow",
+                            batch_size=512)
 
 
 def ngram_jaccard_pairs(
@@ -783,7 +786,7 @@ def knn_cosine_lsh_vec0(sf_dir: str, k: int = 10, nbits: int = 16,
                 }
             )
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(LshScanner, batch_format="pyarrow",
                               batch_size=4096, concurrency=2).take_all()
     partials.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
@@ -854,7 +857,7 @@ def user_session_stats(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     (O(blocks), no per-group Python)."""
     from ordinarydumpdeduplicator_ray.stages.windows import sessionize_events
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
     )
     return sessionize_events(ev, gap_minutes)
