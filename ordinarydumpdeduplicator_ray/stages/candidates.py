@@ -377,22 +377,46 @@ def _reconcile_fragments(
     )
 
 
-def duplicate_bucket_keys(cells: ray.data.Dataset, num_partitions: int):
+# below this many key rows the duplicate-key detection runs on the
+# driver (one streamed pull of the int64 column + one np.sort): a
+# distributed sort costs 3+ fixed barriers (repartition, shuffle,
+# collect) that dominate small inputs, while np.sort of 2M int64 is
+# ~2s even on this memory-starved box (21M measured 35s — hence the
+# cap, not a blanket driver path).
+_DRIVER_KEYS_CAP = 2_000_000
+
+
+def duplicate_bucket_keys(
+    cells: ray.data.Dataset, num_partitions: int, approx_rows: int | None = None
+):
     """Bucket-key-only Dataset -> ``ray.put`` ref of the SORTED int64
     array of buckets holding >= 2 rows — the only buckets that can emit
     a pair.
 
-    Distributed-sort the single int64 column (cheap: no string payload;
-    this box sorts 21M int64 driver-side in ~40s, the distributed
-    column sort takes ~5s) and emit each sorted block's adjacent-equal
-    keys. Per-block dup lists are each sorted and blocks are
-    range-ordered, so their concatenation (plus block-border equals) is
-    already globally sorted: the driver only concatenates and masks
+    Small inputs (``approx_rows`` <= ``_DRIVER_KEYS_CAP``): stream the
+    key column to the driver and sort locally — barrier-free.
+
+    Large inputs: distributed-sort the single int64 column (no string
+    payload; this box sorts 21M int64 driver-side in ~35s, the
+    distributed column sort takes ~5s) and emit each sorted block's
+    adjacent-equal keys. Per-block dup lists are each sorted and blocks
+    are range-ordered, so their concatenation (plus block-border equals)
+    is already globally sorted: the driver only concatenates and masks
     adjacent equals — no driver-side sort. The result is ~the true
     number of duplicate buckets, orders of magnitude smaller than the
     row count. Exact — no hashing, no lost candidates. At 100-TB scale
     if even that outgrows the driver, the same filter runs as a
     broadcast-join per key range."""
+    if approx_rows is not None and approx_rows <= _DRIVER_KEYS_CAP:
+        chunks = [
+            b["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b in cells.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        if not chunks:
+            return ray.put(np.empty(0, dtype=np.int64))
+        keys = np.sort(np.concatenate(chunks))
+        return ray.put(np.unique(keys[1:][keys[1:] == keys[:-1]]))
     sort_parts = max(2 * num_partitions, 8)
     srt = cells.repartition(sort_parts).sort("bucket").materialize()
 
@@ -436,6 +460,8 @@ def _prefilter_singleton_buckets(
     keep_ref = duplicate_bucket_keys(
         buckets.map_batches(lambda t: t.select(["bucket"]), batch_format="pyarrow"),
         num_partitions,
+        # buckets is materialized by the caller — count is block metadata
+        approx_rows=buckets.count(),
     )
     if len(ray.get(keep_ref)) == 0:
         # no bucket anywhere has two rows: nothing can pair
@@ -515,8 +541,28 @@ def candidate_pairs(
         return pa.table({a_col: a, b_col: b}).filter(keep)
 
     pairs = pairs.map_batches(canon, batch_format="pyarrow").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pairs
+    if is_int and n_pairs <= _DRIVER_KEYS_CAP:
+        # small pair tables (16 B/row) dedup on the driver: one lexsort
+        # replaces the repartition + pk-sort + block-dedup barriers that
+        # dominate small runs (the downstream verify collects the pair
+        # uid set driver-side anyway, so this adds no new driver load)
+        a_chunks, b_chunks = [], []
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                a_chunks.append(b[a_col].combine_chunks().to_numpy(zero_copy_only=False))
+                b_chunks.append(b[b_col].combine_chunks().to_numpy(zero_copy_only=False))
+        a = np.concatenate(a_chunks)
+        bb = np.concatenate(b_chunks)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        return ray.data.from_arrow(
+            pa.table({a_col: pa.array(a[keep], type=mtype),
+                      b_col: pa.array(bb[keep], type=mtype)})
+        )
     # distinct across bands: sort on an int64 pair-hash key brings all
     # copies of a pair together (sorting by two STRING columns directly
     # measured ~6x slower per row), then each block drops its local

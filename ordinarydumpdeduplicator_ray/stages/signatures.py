@@ -224,6 +224,14 @@ def assign_uids(signatures, num_partitions: int = 16, max_salt: int = 4):
 
     import ray as _ray
 
+    # count is block metadata when signatures is materialized (the
+    # flagship path) — lets duplicate_bucket_keys pick its driver fast
+    # path for small corpora instead of a distributed sort
+    try:
+        n_rows = signatures.count()
+    except Exception:
+        n_rows = None
+
     for salt in range(max_salt):
         with_uid = add_uid(signatures, salt)
         dups = _ray.get(
@@ -232,6 +240,7 @@ def assign_uids(signatures, num_partitions: int = 16, max_salt: int = 4):
                     lambda t: _pa.table({"bucket": t["uid"]}), batch_format="pyarrow"
                 ),
                 num_partitions,
+                approx_rows=n_rows,
             )
         )
         if len(dups) == 0:
