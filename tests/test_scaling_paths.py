@@ -308,3 +308,63 @@ class TestNgramJaccard:
                 expect.append((a, b, j))
         assert got == sorted(expect)
         assert len(got) > 0
+
+
+class TestDriverFastPaths:
+    """The 2M-row driver fast paths must be value-identical to the
+    distributed paths they replace (they are selected by row count, so
+    only a parity test keeps them honest)."""
+
+    def test_duplicate_bucket_keys_driver_vs_distributed(self, ray_session):
+        import ray
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            duplicate_bucket_keys,
+        )
+
+        rng = np.random.default_rng(11)
+        uniq = rng.choice(2**40, size=5_000, replace=False).astype(np.int64)
+        cells = np.concatenate([uniq, uniq[:700], uniq[:50]])
+        rng.shuffle(cells)
+        ds = ray.data.from_arrow(
+            pa.table({"bucket": pa.array(cells, type=pa.int64())})
+        ).materialize()
+        drv = ray.get(duplicate_bucket_keys(ds, 4, approx_rows=ds.count()))
+        dist = ray.get(duplicate_bucket_keys(ds, 4, approx_rows=None))
+        assert drv.tolist() == dist.tolist()
+        assert (np.diff(drv) > 0).all()
+
+    def test_pair_distinct_driver_vs_distributed(self, ray_session, monkeypatch):
+        """candidate_pairs with int64 members below/above the driver cap
+        must emit the same distinct pair set."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages import candidates as C
+
+        rng = np.random.default_rng(13)
+        buckets, members = [], []
+        for g in range(60):
+            n = int(rng.integers(2, 7))
+            mem = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+            for band in range(3):  # same group under 3 bucket families
+                for m in mem:
+                    buckets.append(g * 10 + band)
+                    members.append(int(m))
+        t = pa.table(
+            {"bucket": pa.array(buckets, type=pa.int64()),
+             "uid": pa.array(members, type=pa.int64())}
+        )
+        ds = ray.data.from_arrow(t)
+        cfg = DedupConfig()
+        drv = _sorted_rows(
+            C.candidate_pairs(ds, cfg, num_partitions=4), ["uid_a", "uid_b"]
+        )
+        monkeypatch.setattr(C, "_DRIVER_KEYS_CAP", 0)
+        dist = _sorted_rows(
+            C.candidate_pairs(ds, cfg, num_partitions=4), ["uid_a", "uid_b"]
+        )
+        # the distributed distinct may keep one duplicate per block border
+        # (documented); dedup both before comparing set equality
+        assert sorted(set(drv)) == sorted(set(dist))
+        # driver path itself must be exactly distinct
+        assert len(drv) == len(set(drv))
