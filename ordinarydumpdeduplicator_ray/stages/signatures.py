@@ -26,13 +26,15 @@ html) carry null digests and are excluded from all grouping
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
-from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher, shingle_hashes
+from ordinarydumpdeduplicator_ray.functions.hashing import (
+    TokenHasher,
+    sha256_digest,
+    shingle_hashes,
+)
 from ordinarydumpdeduplicator_ray.functions.minhash import make_permutations, minhash_flat
 from ordinarydumpdeduplicator_ray.functions.simhash import simhash_flat
 from ordinarydumpdeduplicator_ray.functions.text import extract_text, tokenize
@@ -70,8 +72,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         raw = html if html is not None else tb
         out_text.append(text)
         status.append(STATUS_EMPTY if not text else STATUS_OK)
-        content_sha.append(hashlib.sha256(raw).digest())
-        text_sha.append(hashlib.sha256(tb).digest())
+        content_sha.append(sha256_digest(raw))
+        text_sha.append(sha256_digest(tb))
         n_bytes.append(len(tb))
 
     return pa.table(

@@ -43,7 +43,10 @@ import ray.data
 import pyarrow.compute as pc
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
-from ordinarydumpdeduplicator_ray.functions.minhash import packed_minhash
+from ordinarydumpdeduplicator_ray.functions.minhash import (
+    estimate_jaccard_matrix,
+    packed_minhash,
+)
 from ordinarydumpdeduplicator_ray.functions.simhash import hamming_distance
 from ordinarydumpdeduplicator_ray.stages.join import inner_join
 
@@ -228,7 +231,7 @@ def _broadcast_verify_batch(
     found = (ia >= 0) & (ib >= 0)
     ia0, ib0 = np.where(ia >= 0, ia, 0), np.where(ib >= 0, ib, 0)
     mh, mh_valid = lk["mh"], lk["mh_valid"]
-    est = (mh[ia0] == mh[ib0]).mean(axis=1)
+    est = estimate_jaccard_matrix(mh[ia0], mh[ib0])
     thr = config.jaccard_threshold - config.verify_margin
     mh_keep = found & mh_valid[ia0] & mh_valid[ib0] & (est >= thr)
     hd = hamming_distance(lk["sh"][ia0], lk["sh"][ib0])
@@ -369,7 +372,7 @@ def _verify_join(
         a_mat, a_ok = packed_minhash(t["mh_a"], k)
         b_mat, b_ok = packed_minhash(t["mh_b"], k)
         mh_valid = a_ok & b_ok
-        est = (a_mat == b_mat).mean(axis=1)
+        est = estimate_jaccard_matrix(a_mat, b_mat)
         mh_keep = mh_valid & (est >= thr)
 
         sh_a_l, sh_b_l = t["sh_a"].to_pylist(), t["sh_b"].to_pylist()

@@ -189,3 +189,25 @@ class TestActions:
             want = "keep" if r["url"] == comp[r["url"]] else "isolate"
             assert r["action"] == want
             assert r["group_key"] == comp[r["url"]]
+
+
+class TestReportRollup:
+    def test_rollup_totals_match_actions(self, tiny_run):
+        """report_rollup (the reference's DuplicateReport facade verb)
+        over a completed run: per-host n_dup_pages must sum to the
+        non-keep action rows, and dup_bytes must be positive wherever
+        pages were isolated."""
+        pages, truth, out = tiny_run
+
+        pipe = DedupPipeline(CFG, num_partitions=4)
+        pipe.results = dict(out)
+        report = pipe.report_rollup().take_all()
+
+        n_isolated = sum(
+            1 for r in out["actions"].take_all() if r["action"] != "keep"
+        )
+        assert sum(r["n_dup_pages"] for r in report) == n_isolated
+        assert all(r["dup_bytes"] >= 0 for r in report)
+        # report ordering contract: descending dup_bytes
+        vals = [r["dup_bytes"] for r in report]
+        assert vals == sorted(vals, reverse=True)
