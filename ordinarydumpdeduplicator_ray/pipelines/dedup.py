@@ -112,7 +112,34 @@ class DedupPipeline:
 
     # --- reference verb: DoInspection ------------------------------------
     def run_scan(self) -> ray.data.Dataset:
-        """pages -> signatures (extract + sha256 + minhash + simhash)."""
+        """pages -> signatures (extract + sha256 + minhash + simhash).
+
+        With a checkpoint_dir and a path input, the scan checkpoints PER
+        INPUT SHARD (state/checkpoint.write_scan_sharded): a killed job
+        resumes mid-stage, re-hashing only the shards whose output is
+        missing — stage-granularity resume alone would re-run the whole
+        (longest) stage."""
+        if self.checkpoint_dir and isinstance(self._input, str):
+            import time as _time
+
+            name = "signatures"
+            ch = self.config.config_hash()
+            t0 = _time.perf_counter()
+            if ckpt.stage_is_complete(self.checkpoint_dir, name, ch, self._fingerprint):
+                ds, resumed = ckpt.read_stage(self.checkpoint_dir, name), True
+            else:
+                ds = ckpt.write_scan_sharded(
+                    self._input, self.checkpoint_dir, name,
+                    self.config, ch, self._fingerprint,
+                )
+                resumed = False
+            self.metrics[name] = {
+                "rows": ds.count(),
+                "wall_sec": round(_time.perf_counter() - t0, 3),
+                "resumed": resumed,
+            }
+            self.results[name] = ds
+            return ds
         return self._stage(
             "signatures", lambda: compute_signatures(self._pages(), self.config)
         )

@@ -119,6 +119,165 @@ def read_stage(ckpt_dir: str, stage: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(_stage_dir(ckpt_dir, stage), "data"))
 
 
+# --- shard-level scan checkpointing -----------------------------------------
+#
+# The scan (extract + sha256 + minhash + simhash) is the longest stage at
+# corpus scale, so stage-granularity resume is not enough for it: a job
+# killed at 90% of a 100-TB scan must not re-hash the first 90%. The scan
+# therefore checkpoints PER INPUT SHARD: each input Parquet file maps to
+# one output directory `data/shard-<key>/` (key = content identity of the
+# shard + the semantic config hash), written atomically (tmp + rename).
+# A resume lists the shard dirs, skips every finished one, and processes
+# only the missing shards; the stage MANIFEST is written only when every
+# shard is present, so the stage-level resume logic is unchanged on top.
+
+
+def _scan_shards(pages_path: str) -> list[tuple[str, str]]:
+    """(absolute shard path, relpath) for every .parquet under the input."""
+    if os.path.isfile(pages_path):
+        return [(pages_path, os.path.basename(pages_path))]
+    out = []
+    for root, dirs, files in sorted(os.walk(pages_path)):
+        dirs.sort()
+        for n in sorted(files):
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                out.append((p, os.path.relpath(p, pages_path)))
+    return out
+
+
+def _shard_key(rel: str, path: str, config_hash: str) -> str:
+    import hashlib
+
+    st = os.stat(path)
+    payload = f"{rel}:{st.st_size}:{st.st_mtime_ns}:{config_hash}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _process_scan_shard(batch, config, keep_text: bool):
+    """One task per input shard: stream the shard's row groups through
+    extract + signature kernels (per-process state via _signature_batch)
+    and write the shard's signature Parquet atomically. Memory-bounded:
+    at most one row-group batch of pages + its signatures in flight."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from ordinarydumpdeduplicator_ray.sources.pages import PIPELINE_COLUMNS
+    from ordinarydumpdeduplicator_ray.stages.signatures import (
+        _signature_batch,
+        extract_batch,
+    )
+
+    for src, dst in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+        tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        pf = _pq.ParquetFile(src)
+        cols = [c for c in PIPELINE_COLUMNS if c in pf.schema_arrow.names]
+        writer = None
+        out_path = os.path.join(tmp, "part-0.parquet")
+        n_rows = 0
+        for rb in pf.iter_batches(batch_size=config.batch_size, columns=cols):
+            t = pa.Table.from_batches([rb])
+            sig = _signature_batch(extract_batch(t), config, keep_text)
+            if writer is None:
+                writer = _pq.ParquetWriter(out_path, sig.schema)
+            writer.write_table(sig)
+            n_rows += len(sig)
+        if writer is None:
+            # empty shard: a schema-stable 0-row file keeps the stage dir
+            # uniformly readable
+            empty_pages = pa.table(
+                {"url": pa.array([], type=pa.string()),
+                 "html": pa.array([], type=pa.binary()),
+                 "text": pa.array([], type=pa.string())}
+            )
+            sig = _signature_batch(extract_batch(empty_pages), config, keep_text)
+            _pq.write_table(sig, out_path)
+        else:
+            writer.close()
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
+        yield pa.table({"shard": pa.array([dst]), "rows": pa.array([n_rows])})
+
+
+def write_scan_sharded(
+    pages_path: str,
+    ckpt_dir: str,
+    stage: str,
+    config,
+    config_hash: str,
+    input_fingerprint: str,
+    keep_text: bool = False,
+    run_id: str | None = None,
+) -> ray.data.Dataset:
+    """Scan ``pages_path`` into per-shard signature checkpoints (see
+    module comment), resuming shard-by-shard; writes the stage MANIFEST
+    once every shard is present and returns a Dataset over the stage
+    data. One Ray Data task per missing shard — parallelism = shards."""
+    import functools
+
+    import pyarrow as pa
+
+    sdir = _stage_dir(ckpt_dir, stage)
+    data_dir = os.path.join(sdir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    # clear stale tmp dirs from a killed run
+    for n in os.listdir(data_dir):
+        if ".tmp-" in n:
+            shutil.rmtree(os.path.join(data_dir, n), ignore_errors=True)
+
+    shards = _scan_shards(pages_path)
+    plan = [
+        (src, os.path.join(data_dir, f"shard-{_shard_key(rel, src, config_hash)}"))
+        for src, rel in shards
+    ]
+    missing = [(s, d) for s, d in plan if not os.path.isdir(d)]
+    t0 = time.perf_counter()
+    if missing:
+        work = ray.data.from_arrow(
+            pa.table({"src": pa.array([s for s, _ in missing]),
+                      "dst": pa.array([d for _, d in missing])})
+        )
+        fn = functools.partial(
+            _process_scan_shard, config=config, keep_text=keep_text
+        )
+        # batch_size=1: one shard per task — the resume granularity
+        work.map_batches(fn, batch_format="pyarrow", batch_size=1).materialize()
+    wall = time.perf_counter() - t0
+
+    # drop shard dirs no longer in the plan (input or config changed)
+    planned = {os.path.basename(d) for _, d in plan}
+    for n in os.listdir(data_dir):
+        if n.startswith("shard-") and n not in planned:
+            shutil.rmtree(os.path.join(data_dir, n), ignore_errors=True)
+
+    partitions = []
+    n_rows = 0
+    for _, d in plan:
+        rows = sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+        n_rows += rows
+        partitions.append({"file": os.path.basename(d), "rows": rows})
+    man = {
+        "stage": stage,
+        "run_id": run_id or uuid.uuid4().hex,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "complete": True,
+        "finished_at": time.time(),
+        "sharded": True,
+        "partitions": partitions,
+    }
+    with open(manifest_path(ckpt_dir, stage), "w") as f:
+        json.dump(man, f, indent=1)
+    return ray.data.read_parquet(data_dir)
+
+
 def input_fingerprint(path_or_ds) -> str:
     """Cheap input identity: for a path, the sorted (name, size, mtime)
     listing hashed; for an in-memory Dataset, a uuid (no resume)."""
