@@ -50,6 +50,8 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--isolate", action="store_true",
                     help="also write kept/ and quarantine/ tables (apply_actions)")
+    ap.add_argument("--report", action="store_true",
+                    help="also write the per-host duplicate rollup report")
     ap.add_argument("--tables", default="groups_exact,edges,components,groups_near,actions",
                     help="comma-separated result tables to write")
     return ap.parse_args(argv)
@@ -88,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
         path = f"{args.out.rstrip('/')}/{name}"
         ds.write_parquet(path)
         written[name] = path
+    if args.report:
+        report = pipe.report_rollup()
+        report.write_parquet(f"{args.out.rstrip('/')}/report")
+        written["report"] = f"{args.out.rstrip('/')}/report"
     if args.isolate:
         kept, quarantined = pipe.apply_actions()
         kept.write_parquet(f"{args.out.rstrip('/')}/kept")

@@ -48,3 +48,19 @@ class TestCli:
 
         with pytest.raises(SystemExit):
             main(["--pages", "/tmp/x"])  # no --out
+
+    def test_report_flag_writes_rollup(self, ray_session, tmp_path, capsys):
+        from ordinarydumpdeduplicator_ray.__main__ import main
+        from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+
+        pages_dir = write_pages_corpus(str(tmp_path / "corpus"), 80, seed=2, shards=1)
+        out = tmp_path / "out"
+        rc = main([
+            "--pages", pages_dir, "--out", str(out),
+            "--num-partitions", "4", "--tables", "actions", "--report",
+        ])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "report" in report["written"]
+        t = pq.read_table(str(out / "report"))
+        assert {"n_dup_pages", "dup_bytes"} <= set(t.column_names)
