@@ -215,7 +215,8 @@ def main_scaling(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int,
+                    default=int(os.environ.get("GRAFT_SCALING_REPEATS", "3")))
     ap.add_argument("--rows", type=int, default=SCALING_ROWS)
     ap.add_argument("--one-scaling-run", nargs=2, metavar=("PAGES_DIR", "CPUS"))
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
