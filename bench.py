@@ -165,10 +165,21 @@ def main_scaling(
     pair (both legs adjacent in time), with per-round detail for audit."""
     pages_dir = _scaling_corpus(rows)
 
+    import shutil as _shutil
+
+    taskset = _shutil.which("taskset")
+
     def one(cpus: int) -> dict:
+        # Pin the leg to `cpus` HARDWARE cores: ray.init(num_cpus=N) only
+        # caps the scheduler's logical slots — pyarrow/numpy thread pools
+        # inside each worker still grab every idle hardware core, which
+        # inflates the small leg's throughput (an 8-logical-CPU leg
+        # measured 5,160 docs/s on a quiet box — impossible on 8 real
+        # cores) and corrupts the N-vs-4N-node simulation.
+        pin = [taskset, "-c", f"0-{cpus - 1}"] if taskset else []
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--one-scaling-run", pages_dir, str(cpus)],
+            pin + [sys.executable, os.path.abspath(__file__),
+                   "--one-scaling-run", pages_dir, str(cpus)],
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
