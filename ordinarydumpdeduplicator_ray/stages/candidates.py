@@ -508,7 +508,10 @@ def candidate_pairs(
     # the sort wall. CPU-proportional block count keeps the reduce side
     # parallel without the tiny-block tax.
     sort_parts = max(2 * num_partitions, 8)
-    sorted_rows = bucket_rows.repartition(sort_parts).sort(["bucket", member]).materialize()
+    # no materialize between sort and emit: the sorted table has exactly
+    # one consumer, so pinning it would only add a barrier and a full
+    # object-store copy of the sorted rows
+    sorted_rows = bucket_rows.repartition(sort_parts).sort(["bucket", member])
     emitted = sorted_rows.map_batches(
         _make_block_emitter(cap, member, is_int), batch_format="pyarrow", batch_size=None
     ).materialize()
