@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_spans": q.substring_spans,
         "media_embeddings": q.media_embeddings,
         "knn_cosine_lsh": q.knn_cosine_lsh_vec0,
+        "knn_cosine_ivf": q.knn_cosine_ivf_vec0,
         "doc_fingerprints": q.doc_fingerprints,
         # --- moved to SQL-oracled in round 2 ----------------------------
         "media_features": q.media_features,

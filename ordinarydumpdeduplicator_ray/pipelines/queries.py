@@ -81,10 +81,11 @@ def _read_documents(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 
 def _doc_url(doc_id_arr: pa.ChunkedArray | pa.Array, suffix: str = "") -> pa.Array:
-    return pa.array(
-        [f"testdata://documents/{d:08d}{suffix}" for d in doc_id_arr.to_pylist()],
-        type=pa.string(),
+    padded = pc.utf8_lpad(pc.cast(doc_id_arr, pa.string()), width=8, padding="0")
+    out = pc.binary_join_element_wise(
+        pa.scalar("testdata://documents/"), padded, pa.scalar(suffix), ""
     )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
 def dup_corpus(
@@ -789,6 +790,92 @@ def knn_cosine_lsh_vec0(sf_dir: str, k: int = 10, nbits: int = 16,
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(LshScanner, batch_format="pyarrow",
                               batch_size=4096, concurrency=2).take_all()
+    partials.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+    top = partials[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
+            "cos_sim": pa.array([r["cos_sim"] for r in top], type=pa.float64()),
+        }
+    )
+
+
+def knn_cosine_ivf_vec0(sf_dir: str, k: int = 10, n_centroids: int = 16,
+                        nprobe: int = 4, kmeans_iters: int = 10,
+                        sample_rows: int = 2048) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index — the second
+    scale path for similarity search alongside the LSH variant:
+
+    1. driver trains spherical k-means centroids on a bounded sample
+       (``sample_rows`` rows — O(sample) driver memory regardless of
+       corpus size; seeded, deterministic),
+    2. the centroid matrix broadcasts once (``ray.put``),
+    3. the scan stage assigns each batch row to its nearest centroid
+       (one matmul), keeps only rows whose centroid is among the query's
+       ``nprobe`` closest lists, and exact-cosine-reranks the survivors,
+    4. per-batch top-k partials merge on the driver (k rows per batch).
+
+    At 100 TB the probe filter drops ~(1 - nprobe/n_centroids) of every
+    batch before the rerank matmul; nothing materializes beyond k-row
+    partials. Recall vs the exact scan is pytest-bounded."""
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
+    qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0),
+                      dtype=np.float64)
+    qvec = qvec / np.linalg.norm(qvec)
+
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+
+    # bounded sample -> spherical k-means on the driver
+    sample = pa.concat_tables(
+        list(ds.limit(sample_rows).iter_batches(batch_size=sample_rows,
+                                                batch_format="pyarrow"))
+    )
+    smat = np.asarray(sample["embedding"].to_pylist(), dtype=np.float64)
+    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(smat))
+    rng = np.random.default_rng(Q_CONFIG.seed)
+    cents = smat[rng.choice(len(smat), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = smat[m].mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    probe = set(np.argsort(-(cents @ qvec))[:nprobe].tolist())
+    ref = ray.put((cents, probe, qvec))
+
+    def ivf_scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "cos_sim": pa.array([], type=pa.float64())})
+        cents_, probe_, q = ray.get(ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mask = ids != 0
+        ids, mat = ids[mask], mat[mask]
+        if len(ids) == 0:
+            return empty
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(norm @ cents_.T, axis=1)
+        cand = np.isin(assign, list(probe_))
+        ids, norm = ids[cand], norm[cand]
+        if len(ids) == 0:
+            return empty
+        cos = np.round(norm @ q, 6)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], type=pa.int64()),
+                "cos_sim": pa.array(cos[order], type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(ivf_scan, batch_format="pyarrow",
+                              batch_size=4096).take_all()
     partials.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
     top = partials[:k]
     return pa.table(

@@ -51,6 +51,35 @@ class UnionFind:
         self.size[ra] += self.size[rb]
 
 
+def _min_rank_components(ca, cb, urls_np):
+    """Vectorized exact connected components over integer-coded edge
+    arrays: min-rank label propagation with pointer doubling
+    (O(E) ``np.minimum.at`` per round, O(log diameter) rounds).
+    Returns, for every code, the url of its component's lexicographic
+    minimum. Shared by the driver path (whole edge set) and the
+    distributed path (per-block local contraction)."""
+    import numpy as np
+
+    m = len(urls_np)
+    # rank space: label r means "min url seen so far is the r-th
+    # smallest" — min-rank propagation == min-url propagation
+    rank_order = np.argsort(urls_np)          # rank -> code
+    labels = np.empty(m, dtype=np.int64)      # code -> current min rank
+    labels[rank_order] = np.arange(m)
+    for _ in range(200):
+        before = labels.copy()
+        mn = np.minimum(labels[ca], labels[cb])
+        np.minimum.at(labels, ca, mn)
+        np.minimum.at(labels, cb, mn)
+        # pointer doubling: adopt the label of the node my label names
+        labels = np.minimum(labels, labels[rank_order[labels]])
+        if np.array_equal(labels, before):
+            break
+    else:  # pragma: no cover - connectivity always converges
+        raise RuntimeError("min-rank components did not converge")
+    return rank_order, labels
+
+
 def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
     """edges Dataset -> components table (url, component_id[, n_bytes]),
     where component_id = lexicographic min url of the component.
@@ -96,22 +125,7 @@ def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
     ca, cb = codes[:n_edges], codes[n_edges:]
     urls_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     m = len(urls_np)
-    # rank space: label r means "min url seen so far is the r-th
-    # smallest" — min-rank propagation == min-url propagation
-    rank_order = np.argsort(urls_np)          # rank -> code
-    labels = np.empty(m, dtype=np.int64)      # code -> current min rank
-    labels[rank_order] = np.arange(m)
-    for _ in range(200):
-        before = labels.copy()
-        mn = np.minimum(labels[ca], labels[cb])
-        np.minimum.at(labels, ca, mn)
-        np.minimum.at(labels, cb, mn)
-        # pointer doubling: adopt the label of the node my label names
-        labels = np.minimum(labels, labels[rank_order[labels]])
-        if np.array_equal(labels, before):
-            break
-    else:  # pragma: no cover - connectivity always converges
-        raise RuntimeError("components_from_edges did not converge")
+    rank_order, labels = _min_rank_components(ca, cb, urls_np)
     comp_urls = urls_np[rank_order[labels]]
     out_order = rank_order  # emit sorted by url for determinism
     cols = {
@@ -167,7 +181,7 @@ def label_propagation(
     edges: ray.data.Dataset,
     max_iters: int = 50,
     num_partitions: int = 16,
-    doubling_every: int = 2,
+    doubling_every: int = 1,
     rounds_per_sync: int = 1,
 ) -> ray.data.Dataset:
     """Distributed alternative: iterated min-label propagation with
@@ -181,7 +195,11 @@ def label_propagation(
     (one extra join keyed on the current label), which contracts label
     chains geometrically — a path component of diameter d converges in
     O(log d) doubling rounds instead of O(d) plain rounds
-    (tests/test_round2_ops.py stress-tests a 128-url chain).
+    (tests/test_round2_ops.py stress-tests 128- and 10k-url chains).
+    The default doubles EVERY round: wall time is dominated by the
+    per-sync barrier (materialize + checksum reduce), not by the extra
+    O(V)-row join fused into the same execution, so minimizing round
+    count wins at every scale measured.
 
     Non-convergence within ``max_iters`` raises RuntimeError (silent
     wrong labels are never returned); converged labels are exact —
@@ -209,19 +227,46 @@ def label_propagation(
             }
         )
 
-    incidence = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    incidence = edges.map_batches(
+        both_dirs, batch_format="pyarrow", batch_size=None
+    ).materialize()
     if incidence.count() == 0:
         return ray.data.from_arrow(
             pa.schema([("url", pa.string()), ("component_id", pa.string())]).empty_table()
         )
     incidence = _drop_empty_blocks(incidence)
-    # initial label of every url = min neighbor vs self
-    labels = incidence.map_batches(
-        lambda t: pa.table({"url": t["url"], "label": t["nbr"]}), batch_format="pyarrow"
-    ).union(
-        incidence.map_batches(
-            lambda t: pa.table({"url": t["url"], "label": t["url"]}), batch_format="pyarrow"
+
+    # LOCAL CONTRACTION init: exact components of each block's edge
+    # subset via the same vectorized min-rank kernel the driver path
+    # uses — every chain/star segment that fits in one block collapses
+    # to its minimum before the first global round, so the iterated
+    # rounds only stitch ACROSS blocks: O(log #blocks-ish) syncs instead
+    # of O(log component-diameter). Subsumes the classic
+    # min(self, neighbors) init (label <= self and <= every same-block
+    # neighbor by construction).
+    def local_contract(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if len(t) == 0:
+            return pa.table({"url": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.string())})
+        enc = pc.dictionary_encode(
+            pa.concat_arrays([t["url"].combine_chunks(), t["nbr"].combine_chunks()])
         )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = len(codes) // 2
+        urls_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        rank_order, lab = _min_rank_components(codes[:ne], codes[ne:], urls_np)
+        return pa.table(
+            {
+                "url": pa.array(urls_np, type=pa.string()),
+                "label": pa.array(urls_np[rank_order[lab]], type=pa.string()),
+            }
+        )
+
+    labels = incidence.map_batches(
+        local_contract, batch_format="pyarrow", batch_size=None
     ).groupby("url").aggregate(Min("label", alias_name="label")).materialize()
 
     checksum = _labels_checksum(labels)
@@ -265,6 +310,15 @@ def label_propagation(
 def _one_round(clean, incidence, it, num_partitions, doubling_every):
     from ray.data.aggregate import Min
 
+    # propagate + HOOK: join the edge's neighbor label, then the url's
+    # own label, and emit BOTH {url <- nbr_label} (classic propagate)
+    # and {own_label <- nbr_label} (Shiloach-Vishkin-style hook: the
+    # url's tree ROOT learns the cross-edge minimum directly). Without
+    # the hook, a star-shaped label region — exactly what local
+    # contraction produces — only advances its frontier one edge per
+    # round (the root's own row never sees the smaller label, so
+    # doubling has no chain to jump); with hook + doubling every round,
+    # convergence is O(log n) from ANY initial assignment.
     nbr_labels = incidence.join(
             clean.map_batches(
                 lambda t: pa.table({"nbr": t["url"], "nbr_label": t["label"]}),
@@ -273,8 +327,25 @@ def _one_round(clean, incidence, it, num_partitions, doubling_every):
             "inner",
             num_partitions=num_partitions,
             on=("nbr",),
+        ).join(
+            clean.map_batches(
+                lambda t: pa.table({"url": t["url"], "own_label": t["label"]}),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("url",),
         ).map_batches(
-            lambda t: pa.table({"url": t["url"], "label": t["nbr_label"]}),
+            lambda t: pa.table(
+                {
+                    "url": pa.concat_arrays(
+                        [t["url"].combine_chunks(), t["own_label"].combine_chunks()]
+                    ),
+                    "label": pa.concat_arrays(
+                        [t["nbr_label"].combine_chunks(), t["nbr_label"].combine_chunks()]
+                    ),
+                }
+            ),
             batch_format="pyarrow",
         )
     candidates = clean.union(nbr_labels)

@@ -92,6 +92,29 @@ class TestLshKnn:
             if vid in exact_by_id:
                 assert abs(cs - exact_by_id[vid]) < 1e-9
 
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        exact = q.knn_cosine_vec0(SF, k=10)
+        approx = q.knn_cosine_ivf_vec0(SF, k=10)
+        exact_ids = set(exact["vec_id"].to_pylist())
+        approx_ids = set(approx["vec_id"].to_pylist())
+        # nprobe=4 of 16 centroid lists: the true neighbors concentrate
+        # in the query's own probe lists — high recall expected
+        assert len(exact_ids & approx_ids) >= 7
+        # scores for returned ids are exact cosines
+        exact_by_id = dict(zip(exact["vec_id"].to_pylist(), exact["cos_sim"].to_pylist()))
+        for vid, cs in zip(approx["vec_id"].to_pylist(), approx["cos_sim"].to_pylist()):
+            if vid in exact_by_id:
+                assert abs(cs - exact_by_id[vid]) < 1e-9
+
+    def test_ivf_deterministic(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        a = q.knn_cosine_ivf_vec0(SF, k=10)
+        b = q.knn_cosine_ivf_vec0(SF, k=10)
+        assert a.equals(b)
+
 
 class TestSpans:
     def test_shared_run_found_with_exact_offsets(self, ray_session):

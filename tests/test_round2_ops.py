@@ -243,6 +243,49 @@ class TestLabelPropagationDoubling:
         assert len(labels) == n
         assert set(labels.values()) == {urls[0]}
 
+    def test_long_chain_star_mix_converges_logarithmically(self, ray_session):
+        """Scale stress: one 10,000-url chain (diameter 9,999 — 78x the
+        basic test) plus star fragments hanging off every 100th chain
+        node — the shape hot-bucket star+chain emission actually
+        produces, in emission order (sorted-run pair emission writes
+        each bucket's star+chain contiguously, so blocks hold contiguous
+        runs). Split across 16 blocks, per-block LOCAL CONTRACTION
+        (exact vectorized components inside each block) collapses every
+        block to O(1) fragments; the iterated global rounds only stitch
+        the ~16+ fragments — budget 2*log2(16) + 5 = 13 rounds, NOT the
+        ~2*log2(10k) + 4 = 31 a contraction-free propagation would
+        need. Every url (chain + satellites) must land on the global
+        minimum name."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.state.unionfind import label_propagation
+
+        n = 10_000
+        urls = [f"u{i:06d}" for i in range(n)]
+        a = list(urls[:-1])
+        b = list(urls[1:])
+        sats = []
+        for i in range(0, n, 100):
+            for j in range(3):
+                sat = f"sat{i:06d}_{j}"
+                a.append(urls[i])
+                b.append(sat)
+                sats.append(sat)
+        edges = pa.table(
+            {
+                "url_a": pa.array(a, type=pa.string()),
+                "url_b": pa.array(b, type=pa.string()),
+            }
+        )
+        labels = {
+            r["url"]: r["component_id"]
+            for r in label_propagation(
+                ray.data.from_arrow(edges).repartition(16), max_iters=2 * 4 + 5,
+                num_partitions=2, doubling_every=1,
+            ).take_all()
+        }
+        assert len(labels) == n + len(sats)
+        assert set(labels.values()) == {min(urls + sats)}
+
     def test_nonconvergence_raises(self, ray_session):
         import ray.data
         from ordinarydumpdeduplicator_ray.state.unionfind import label_propagation
@@ -256,10 +299,11 @@ class TestLabelPropagationDoubling:
             }
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            # doubling disabled + tiny budget: a 63-diameter chain cannot
-            # finish in 3 plain rounds — must raise, never return wrong
-            # labels silently
+            # doubling disabled + tiny budget: 16 contraction fragments
+            # of the 63-diameter chain cannot stitch in 2 plain rounds
+            # (the root chain contracts ~1 fragment/round without
+            # doubling) — must raise, never return wrong labels silently
             label_propagation(
-                ray.data.from_arrow(edges), max_iters=3, num_partitions=4,
-                doubling_every=0,
+                ray.data.from_arrow(edges).repartition(16), max_iters=2,
+                num_partitions=4, doubling_every=0,
             )
