@@ -54,6 +54,26 @@ pages AS (
 """
 
 # the two deterministic crawl snapshots (queries._snapshot_pages)
+# pages with warc_ts + lang metadata (queries._meta_pages): originals at
+# 2025-01-01 + (doc_id*37 % 86400) s, copies at ts -1800 s (even doc_id —
+# the copy PREDATES the original) / +1800 s (odd)
+_PAGES_META_CTE = """
+pages_meta AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + to_seconds(CAST(doc_id * 37 % 86400 AS BIGINT)) AS warc_ts,
+         lang, text
+  FROM documents
+  UNION ALL
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-copy' AS url,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + to_seconds(CAST(doc_id * 37 % 86400
+                             + CASE WHEN doc_id % 2 = 0 THEN -1800 ELSE 1800 END AS BIGINT)) AS warc_ts,
+         lang, text
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
 _SNAP_PREV_CTE = """
 snap_prev AS (
   SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
@@ -111,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_stats": q.user_session_stats,
         "page_locations": q.page_locations,
         "snapshot_diff": q.snapshot_diff,
+        "dedup_actions_by_ts": q.dedup_actions_by_ts,
+        "lang_dup_stats": q.lang_dup_stats,
         "latest_page_versions": q.latest_page_versions,
         "isolated_pages_view": q.isolated_pages_view,
         "kept_pages_view": q.kept_pages_view,
@@ -162,6 +184,30 @@ SELECT url,
        CASE WHEN url = canon THEN 'keep' ELSE 'isolate' END AS action,
        canon AS group_key
 FROM g WHERE n > 1
+""",
+        "dedup_actions_by_ts": f"""
+WITH {_PAGES_META_CTE},
+g AS (
+  SELECT url,
+         count(*) OVER (PARTITION BY text) AS n,
+         first_value(url) OVER (PARTITION BY text ORDER BY warc_ts, url) AS canon
+  FROM pages_meta
+)
+SELECT url,
+       CASE WHEN url = canon THEN 'keep' ELSE 'isolate' END AS action,
+       canon AS group_key
+FROM g WHERE n > 1
+""",
+        "lang_dup_stats": f"""
+WITH {_PAGES_META_CTE},
+g AS (
+  SELECT lang, count(*) AS n, CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+  FROM pages_meta GROUP BY lang, text HAVING count(*) > 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n - 1) AS BIGINT) AS n_dup_pages,
+       CAST(sum(n_bytes * (n - 1)) AS BIGINT) AS dup_bytes
+FROM g GROUP BY lang
 """,
         "dup_rollup_by_source": f"""
 WITH {_PAGES_HOST_CTE},

@@ -80,6 +80,21 @@ def _read_documents(sf_dir: str, columns=None) -> ray.data.Dataset:
     )
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Load ONE query embedding with parquet predicate pushdown — only
+    row groups whose vec_id stats cover ``vec_id`` are read, never the
+    whole table (matters when embeddings.parquet is TB-scale)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", vec_id)]
+    )
+    if len(t) == 0:
+        raise ValueError(f"vec_id={vec_id} not found in {path}")
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def _doc_url(doc_id_arr: pa.ChunkedArray | pa.Array, suffix: str = "") -> pa.Array:
     padded = pc.utf8_lpad(pc.cast(doc_id_arr, pa.string()), width=8, padding="0")
     out = pc.binary_join_element_wise(
@@ -230,6 +245,152 @@ def dedup_actions(sf_dir: str) -> ray.data.Dataset:
     return _exact_actions(_extracted(dup_corpus(sf_dir)))
 
 
+def _meta_pages(sf_dir: str) -> ray.data.Dataset:
+    """Dup corpus carrying the input_hint's ``warc_ts`` and ``lang``
+    columns (the page metadata the reference reads from the filesystem —
+    creation time, FileSystemProvider.cs:21-25):
+
+    - original rows at ts = 2025-01-01 + (doc_id*37 % 86400) seconds
+    - the doc_id%3==0 copies at ts ∓ 1800 s (minus for even doc_id — so
+      for doc_id%6==0 the copy PREDATES the original and earliest-ts
+      canonical selection disagrees with min-url selection)
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        base_ts = _SNAP_PREV_US + (ids * 37 % 86400) * 1_000_000
+        urls, out_texts, out_langs, out_ts = [], [], [], []
+        for d, txt, lg, ts in zip(ids, texts, langs, base_ts):
+            urls.append(f"testdata://documents/{d:08d}")
+            out_texts.append(txt)
+            out_langs.append(lg)
+            out_ts.append(ts)
+            if d % 3 == 0:
+                urls.append(f"testdata://documents/{d:08d}-copy")
+                out_texts.append(txt)
+                out_langs.append(lg)
+                out_ts.append(ts + (-1800 if d % 2 == 0 else 1800) * 1_000_000)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(
+                    [int(v) for v in out_ts], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "lang": pa.array(out_langs, type=pa.string()),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def _hash_meta(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, warc_ts, lang, text) -> + (text_sha256, n_bytes, ts_us);
+    vectorized except the per-row sha (hashlib is the kernel)."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import sha256_digest
+
+    def project(t: pa.Table) -> pa.Table:
+        tb = pc.cast(t["text"], pa.binary())
+        shas = pa.array(
+            [sha256_digest(v) for v in tb.to_pylist()], type=pa.binary()
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "lang": t["lang"],
+                "ts_us": pc.cast(t["warc_ts"], pa.int64()),
+                "text_sha256": shas,
+                "n_bytes": pc.cast(pc.binary_length(tb), pa.int64()),
+            }
+        )
+
+    return pages.map_batches(project, batch_format="pyarrow")
+
+
+def dedup_actions_by_ts(sf_dir: str) -> ray.data.Dataset:
+    """Timestamp-aware canonical selection: keep the EARLIEST copy
+    (warc_ts, url tiebreak) instead of the min url — the reference keeps
+    the pre-existing file and isolates later-created copies (creation
+    time via FileSystemProvider.cs:21-25, isolate semantics
+    DuplicatesProcessor.cs:203-233). One groupby on the content hash with
+    a composite min key (zero-padded ts | url — min of the string IS the
+    lexicographic (ts, url) min), then a hash join back to members."""
+    hashed = _hash_meta(_meta_pages(sf_dir)).materialize()
+
+    def with_tskey(t: pa.Table) -> pa.Table:
+        ts_str = pc.utf8_lpad(pc.cast(t["ts_us"], pa.string()), width=20, padding="0")
+        key = pc.binary_join_element_wise(ts_str, t["url"], "|")
+        return pa.table(
+            {"text_sha256": t["text_sha256"], "tskey": key, "url": t["url"]}
+        )
+
+    keyed = hashed.map_batches(with_tskey, batch_format="pyarrow")
+    agg = keyed.groupby("text_sha256").aggregate(
+        Count(alias_name="n_copies"), Min("tskey", alias_name="min_tskey")
+    )
+
+    def canon_of(t: pa.Table) -> pa.Table:
+        canon = pc.utf8_replace_slice(t["min_tskey"], start=0, stop=21, replacement="")
+        return pa.table({"text_sha256": t["text_sha256"], "canonical_url": canon})
+
+    canon = agg.filter(expr="n_copies > 1").map_batches(canon_of, batch_format="pyarrow")
+    members = keyed.map_batches(
+        lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
+    )
+    joined = inner_join(
+        members, canon, on=("text_sha256",),
+        empty_schema=pa.schema([("url", pa.string()), ("text_sha256", pa.binary()),
+                                ("canonical_url", pa.string())]),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        action = pc.if_else(
+            pc.equal(t["url"], t["canonical_url"]),
+            pa.scalar("keep"), pa.scalar("isolate"),
+        )
+        return pa.table(
+            {"url": t["url"], "action": action, "group_key": t["canonical_url"]}
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def lang_dup_stats(sf_dir: str) -> ray.data.Dataset:
+    """Language-scoped exact dedup rollup: duplicate groups keyed on
+    (lang, content hash) — cross-language identical texts never merge —
+    rolled up per lang (n_groups, n_dup_pages, dup_bytes). Exercises the
+    input_hint's lang column inside the dedup path."""
+    hashed = _hash_meta(_meta_pages(sf_dir))
+    groups = hashed.groupby(["lang", "text_sha256"]).aggregate(
+        Count(alias_name="n"), Min("n_bytes", alias_name="n_bytes")
+    ).filter(expr="n > 1")
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        extra = pc.subtract(n, pa.scalar(1, type=pa.int64()))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "one": pa.array([1] * len(t), type=pa.int64()),
+                "extra": extra,
+                "bytes_extra": pc.multiply(pc.cast(t["n_bytes"], pa.int64()), extra),
+            }
+        )
+
+    return (
+        groups.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one", alias_name="n_groups"),
+            Sum("extra", alias_name="n_dup_pages"),
+            Sum("bytes_extra", alias_name="dup_bytes"),
+        )
+    )
+
+
 def dup_rollup_by_source(sf_dir: str) -> ray.data.Dataset:
     """Host rollup (DuplicateReport.cs:74-142 analogue): per source host,
     number of duplicate pages and reclaimable bytes."""
@@ -361,11 +522,9 @@ def knn_cosine_vec0(sf_dir: str, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k against the vec_id=0 query vector:
     per-batch top-k (vectorized matmul) + tiny driver-side merge — the
     scalable ANN baseline (no full sort)."""
-    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
-    qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0), dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     qnorm = np.linalg.norm(qvec)
 
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
@@ -745,13 +904,10 @@ def knn_cosine_lsh_vec0(sf_dir: str, k: int = 10, nbits: int = 16,
     re-rank on candidates only. The scale path for similarity search —
     the candidate set is a small fraction of the corpus, and bucket codes
     shuffle as int64 keys."""
-    import pyarrow.parquet as pq
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
-    qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0),
-                      dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     dim = len(qvec)
     rng = np.random.default_rng(Q_CONFIG.seed)
     planes = rng.standard_normal((dim, nbits))
@@ -818,13 +974,10 @@ def knn_cosine_ivf_vec0(sf_dir: str, k: int = 10, n_centroids: int = 16,
     At 100 TB the probe filter drops ~(1 - nprobe/n_centroids) of every
     batch before the rerank matmul; nothing materializes beyond k-row
     partials. Recall vs the exact scan is pytest-bounded."""
-    import pyarrow.parquet as pq
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
-    qvec = np.asarray(next(r["embedding"] for r in first if r["vec_id"] == 0),
-                      dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     qvec = qvec / np.linalg.norm(qvec)
 
     ds = read_parquet_clean(path, columns=["vec_id", "embedding"])

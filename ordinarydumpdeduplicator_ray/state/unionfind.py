@@ -152,7 +152,14 @@ def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
 
 def _labels_checksum(labels: ray.data.Dataset) -> int:
     """Order-independent fingerprint of the (url, label) assignment:
-    sum of per-row 64-bit mixes. ONE cheap reduce — no shuffle, no join.
+    sum mod 2^64 of per-row 64-bit mixes. The per-block partial wraps
+    mod 2^64, so the driver-side total must ALSO be taken mod 2^64 —
+    otherwise the value depends on how rows are split into blocks and
+    the same assignment materialized with different blocking compares
+    unequal (convergence is then only ever detected by accident).
+    The map emits ONE row per block; the driver pulls those few rows
+    directly instead of a Sum aggregate (whose exact-int Python sum
+    overflows int64 and degrades blocks to pickled objects).
     Labels only ever decrease monotonically here, so two successive
     iterations have equal assignments iff their checksums match (a
     checksum collision between DIFFERENT assignments would need a
@@ -171,10 +178,8 @@ def _labels_checksum(labels: ray.data.Dataset) -> int:
             s = np.uint64(h.sum())
         return pa.table({"h": pa.array([np.int64(s.astype(np.int64))], type=pa.int64())})
 
-    from ray.data.aggregate import Sum
-
-    agg = labels.map_batches(mix, batch_format="pyarrow").aggregate(Sum("h", alias_name="s"))
-    return int(agg["s"] or 0)
+    rows = labels.map_batches(mix, batch_format="pyarrow").take_all()
+    return sum(int(r["h"]) for r in rows) % (1 << 64)
 
 
 def label_propagation(
