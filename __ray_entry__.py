@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q.quality_scores,
         # --- new in round 2: exact n-gram Jaccard (SQL-oracled) ---------
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        # --- new in round 2: benchmark decontamination (SQL-oracled) ----
+        "decontaminate": q.decontaminate,
     }
 
 
@@ -489,5 +491,28 @@ SELECT a AS doc_a, b AS doc_b,
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id
            JOIN sizes sb ON inter.b = sb.doc_id
 WHERE round(i * 1.0 / (sa.c + sb.c - i), 6) >= 0.8
+""",
+        # benchmark decontamination: blocklist = first-8-token snippet of
+        # every doc_id%17==0 doc; token-boundary containment expressed as
+        # substring match on space-padded strings (whitespace tokens
+        # cannot contain the separator, so split/join round-trips —
+        # stages/decontaminate.py docstring proves the equivalence)
+        "decontaminate": """
+WITH b AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS snippet
+  FROM documents
+  WHERE doc_id % 17 = 0 AND len(string_split(text, ' ')) >= 8
+),
+h AS (
+  SELECT d.doc_id, count(*) AS n_hits
+  FROM documents d
+  JOIN b ON contains(' ' || d.text || ' ', ' ' || b.snippet || ' ')
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) > 0 AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN h USING (doc_id)
 """,
     }

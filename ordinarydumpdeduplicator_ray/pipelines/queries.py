@@ -1309,3 +1309,27 @@ def all_dup_groups(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     return near.union(exact_only)
+
+
+def decontaminate(sf_dir: str, n: int = 8) -> ray.data.Dataset:
+    """Benchmark decontamination over documents: the blocklist is the
+    first-``n``-token snippet of every doc_id % 17 == 0 document (the
+    deterministic stand-in for a fixed eval suite); each document is
+    flagged with whether any of its token ``n``-grams equals a blocklist
+    snippet, plus the count of DISTINCT snippets found. Blocklist
+    collected once and broadcast (``ray.put``); the corpus side is one
+    stateless streaming map (stages/decontaminate.py)."""
+    from ordinarydumpdeduplicator_ray.stages.decontaminate import (
+        collect_benchmark_hashes,
+        flag_contaminated,
+    )
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    hashes = collect_benchmark_hashes(bench, n=n)
+    return flag_contaminated(docs, hashes, n=n)

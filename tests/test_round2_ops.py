@@ -307,3 +307,107 @@ class TestLabelPropagationDoubling:
                 ray.data.from_arrow(edges).repartition(16), max_iters=2,
                 num_partitions=4, doubling_every=0,
             )
+
+
+class TestTsCanonicalDedup:
+    """dedup_actions_by_ts keeps the EARLIEST copy by (warc_ts, url);
+    lang_dup_stats groups on (lang, content) so cross-language identical
+    texts never merge. Both recomputed naively from the same corpus."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_earliest_ts_wins_and_flips_vs_min_url(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        pages = q._meta_pages(self.SF).to_pandas()
+        actions = {r["url"]: (r["action"], r["group_key"])
+                   for r in q.dedup_actions_by_ts(self.SF).take_all()}
+
+        by_text = defaultdict(list)
+        for r in pages.itertuples():
+            by_text[r.text].append((r.warc_ts, r.url))
+        flipped = 0
+        for members in by_text.values():
+            if len(members) < 2:
+                for _, u in members:
+                    assert u not in actions  # singletons never acted on
+                continue
+            canon = min(members)[1]
+            min_url = min(u for _, u in members)
+            if canon != min_url:
+                flipped += 1
+            for _, u in members:
+                act, gk = actions.pop(u)
+                assert gk == canon
+                assert act == ("keep" if u == canon else "isolate")
+        assert not actions  # no extra rows
+        # doc_id % 6 == 0 copies predate the original, so ts-canonical
+        # selection must actually disagree with min-url selection
+        assert flipped > 0
+
+    def test_lang_scoped_rollup_matches_naive(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        pages = q._meta_pages(self.SF).to_pandas()
+        got = {r["lang"]: (r["n_groups"], r["n_dup_pages"], r["dup_bytes"])
+               for r in q.lang_dup_stats(self.SF).take_all()}
+
+        exp = defaultdict(lambda: [0, 0, 0])
+        for (lang, text), sub in pages.groupby(["lang", "text"]):
+            n = len(sub)
+            if n <= 1:
+                continue
+            exp[lang][0] += 1
+            exp[lang][1] += n - 1
+            exp[lang][2] += len(text.encode()) * (n - 1)
+        assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+class TestDecontaminate:
+    """Benchmark n-gram decontamination vs a naive recompute: blocklist
+    = first-8-token snippets of doc_id%17==0 docs; a doc is contaminated
+    iff some token 8-gram equals a snippet; n_hits counts DISTINCT
+    snippets present."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_naive(self, ray_session):
+        import pyarrow.parquet as pq
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        docs = pq.read_table(self.SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pylist()
+        snippets = {
+            " ".join(r["text"].split(" ")[:8])
+            for r in docs
+            if r["doc_id"] % 17 == 0 and len(r["text"].split(" ")) >= 8
+        }
+        got = {r["doc_id"]: (r["contaminated"], r["n_hits"])
+               for r in q.decontaminate(self.SF).take_all()}
+        assert len(got) == len(docs)
+        any_hit = False
+        for r in docs:
+            toks = r["text"].split(" ")
+            grams = {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+            hits = len(grams & snippets)
+            assert got[r["doc_id"]] == (hits > 0, hits), r["doc_id"]
+            any_hit = any_hit or hits > 0
+        assert any_hit  # the blocklist docs at least flag themselves
+
+    def test_empty_blocklist_flags_nothing(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.decontaminate import (
+            collect_benchmark_hashes, flag_contaminated)
+        import numpy as np
+        import pyarrow as pa
+
+        docs = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1, 2], type=pa.int64()),
+             "text": pa.array(["a b c d e f g h i", ""])}))
+        empty = collect_benchmark_hashes(
+            ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "text": pa.array([], type=pa.string())})))
+        assert empty.dtype == np.uint64 and len(empty) == 0
+        out = flag_contaminated(docs, empty).take_all()
+        assert all(not r["contaminated"] and r["n_hits"] == 0 for r in out)
