@@ -89,6 +89,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "lang_id",
         "quality_scores",
         "doc_fingerprints",
+        "decontaminate",
+        "snapshot_diff",
+        "dedup_actions_by_ts",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -26,7 +26,11 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
 from ordinarydumpdeduplicator_ray.stages.groups import exact_groups
-from ordinarydumpdeduplicator_ray.stages.join import inner_join
+from ordinarydumpdeduplicator_ray.stages.join import (
+    broadcast_anti_join,
+    broadcast_inner_join,
+    inner_join,
+)
 from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
 
 Q_CONFIG = DedupConfig(sig_concurrency=4, batch_size=512)
@@ -223,8 +227,10 @@ def _exact_actions(extracted: ray.data.Dataset) -> ray.data.Dataset:
     members = extracted.map_batches(
         lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
     )
-    joined = inner_join(
-        members, canon, on=("text_sha256",),
+    # canon is unique per content hash and small relative to the corpus
+    # (dup groups only) -> broadcast lookup, shuffle join above the cap
+    joined = broadcast_inner_join(
+        members, canon, on="text_sha256",
         empty_schema=pa.schema([("url", pa.string()), ("text_sha256", pa.binary()),
                                 ("canonical_url", pa.string())]),
     )
@@ -317,7 +323,8 @@ def dedup_actions_by_ts(sf_dir: str) -> ray.data.Dataset:
     time via FileSystemProvider.cs:21-25, isolate semantics
     DuplicatesProcessor.cs:203-233). One groupby on the content hash with
     a composite min key (zero-padded ts | url — min of the string IS the
-    lexicographic (ts, url) min), then a hash join back to members."""
+    lexicographic (ts, url) min), then a broadcast lookup back to
+    members (shuffle join above the small-side cap)."""
     hashed = _hash_meta(_meta_pages(sf_dir)).materialize()
 
     def with_tskey(t: pa.Table) -> pa.Table:
@@ -340,8 +347,8 @@ def dedup_actions_by_ts(sf_dir: str) -> ray.data.Dataset:
     members = keyed.map_batches(
         lambda t: t.select(["url", "text_sha256"]), batch_format="pyarrow"
     )
-    joined = inner_join(
-        members, canon, on=("text_sha256",),
+    joined = broadcast_inner_join(
+        members, canon, on="text_sha256",
         empty_schema=pa.schema([("url", pa.string()), ("text_sha256", pa.binary()),
                                 ("canonical_url", pa.string())]),
     )
@@ -1117,11 +1124,13 @@ def dup_rollup_levels(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.select(["url", "n_bytes"]), batch_format="pyarrow"
     )
     dups = actions.filter(expr="action != 'keep'")
-    joined = inner_join(
-        dups, sizes, on=("url",),
+    # dup actions are unique per url; stream the sizes side through the
+    # broadcast lookup instead of shuffling both
+    joined = broadcast_inner_join(
+        sizes, dups, on="url",
         empty_schema=pa.schema([
-            ("url", pa.string()), ("action", pa.string()),
-            ("group_key", pa.string()), ("n_bytes", pa.int64()),
+            ("url", pa.string()), ("n_bytes", pa.int64()),
+            ("action", pa.string()), ("group_key", pa.string()),
         ]),
     )
 
@@ -1176,15 +1185,11 @@ def kept_pages_view(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.select(["url"]), batch_format="pyarrow"
     )
     iso = isolated_pages_view(sf_dir).map_batches(
-        lambda t: pa.table({"url": t["url"], "iso": pa.array([True] * len(t))}),
-        batch_format="pyarrow",
+        lambda t: t.select(["url"]), batch_format="pyarrow"
     )
-    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
-
-    return left_outer_join(pages, iso, on=("url",)).map_batches(
-        lambda t: t.filter(pc.is_null(t["iso"])).select(["url"]),
-        batch_format="pyarrow",
-    )
+    # the isolated set is the small side: broadcast it and filter the
+    # streaming page set (shuffle anti-join above the cap)
+    return broadcast_anti_join(pages, iso, on="url")
 
 
 def snapshot_diff(sf_dir: str) -> ray.data.Dataset:
@@ -1293,21 +1298,12 @@ def all_dup_groups(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
-    # near wins on key collision: anti-join exact against near's keys
-    # (left-outer + null filter), then union — no per-group Python.
-    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
-
+    # near wins on key collision: broadcast near's (small) key set and
+    # anti-filter the exact groups — no shuffle, no per-group Python.
     near_keys = near.map_batches(
-        lambda t: pa.table({"canonical_url": t["canonical_url"],
-                            "in_near": pa.array([True] * len(t))}),
-        batch_format="pyarrow",
+        lambda t: t.select(["canonical_url"]), batch_format="pyarrow"
     )
-    exact_only = left_outer_join(
-        exact, near_keys, on=("canonical_url",),
-    ).map_batches(
-        lambda t: t.filter(pc.is_null(t["in_near"])).drop_columns(["in_near"]),
-        batch_format="pyarrow",
-    )
+    exact_only = broadcast_anti_join(exact, near_keys, on="canonical_url")
     return near.union(exact_only)
 
 

@@ -145,3 +145,105 @@ def left_outer_join(
     right = _drop_empty_blocks(right)
     return left.join(right, "left_outer", num_partitions=num_partitions,
                      on=on, right_on=right_on)
+
+
+# below this many small-side rows, an inner join on a UNIQUE key is a
+# broadcast lookup (ray.put once + per-batch pc.index_in), not a shuffle
+_BROADCAST_JOIN_CAP = 2_000_000
+
+
+def broadcast_inner_join(
+    left: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    empty_schema: pa.Schema | None = None,
+    cap: int = _BROADCAST_JOIN_CAP,
+) -> ray.data.Dataset:
+    """Inner join against a small side with UNIQUE join keys (e.g. a
+    canonical-per-group table): when ``small`` has <= ``cap`` rows it is
+    packed into one Arrow table, ``ray.put`` once, and resolved per
+    batch with a vectorized ``pc.index_in`` — zero shuffles, zero
+    aggregator actors; the streaming left side never materializes.
+    Above the cap (or for non-unique keys, which a lookup cannot
+    express) callers get the hash-shuffle ``inner_join`` fallback.
+
+    Key uniqueness on the small side is asserted at pack time — a
+    lookup silently drops duplicate matches, so a violated assumption
+    must fail loudly rather than return fewer rows than the join would.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    small = small.materialize()
+    if small.count() == 0 or cap <= 0 or small.count() > cap:
+        return inner_join(left, small, on=(on,), empty_schema=empty_schema)
+
+    packed = pa.concat_tables(
+        small.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    keys = packed[on]
+    n_unique = len(pc.unique(keys))
+    if n_unique != len(packed):
+        raise ValueError(
+            f"broadcast_inner_join: small-side key '{on}' is not unique "
+            f"({len(packed)} rows, {n_unique} distinct)"
+        )
+    ref = ray.put(packed)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        lut: pa.Table = _get_broadcast(ref)
+        idx = pc.index_in(t[on], value_set=lut[on]).combine_chunks()
+        valid = pc.is_valid(idx)
+        matched = t.filter(valid)
+        taken = lut.take(idx.drop_null())
+        for name in lut.column_names:
+            if name != on and name not in matched.column_names:
+                matched = matched.append_column(name, taken[name])
+        return matched
+
+    return left.map_batches(lookup, batch_format="pyarrow")
+
+
+def broadcast_anti_join(
+    left: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    cap: int = _BROADCAST_JOIN_CAP,
+) -> ray.data.Dataset:
+    """left rows whose ``on`` does NOT appear in ``keys`` — the
+    left_outer_join + is_null filter idiom without the shuffle: the key
+    set broadcasts once and each batch filters with ``pc.index_in``.
+    Falls back to the shuffle idiom above ``cap`` keys."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    keys = keys.materialize()
+    if keys.count() == 0:
+        return left
+    if cap <= 0 or keys.count() > cap:
+        marked = keys.map_batches(
+            lambda t: pa.table({on: t[on],
+                                "__anti": pa.array([True] * len(t))}),
+            batch_format="pyarrow",
+        )
+        return left_outer_join(left, marked, on=(on,)).map_batches(
+            lambda t: t.filter(pc.is_null(t["__anti"])).drop_columns(["__anti"]),
+            batch_format="pyarrow",
+        )
+
+    packed = pa.concat_tables(
+        keys.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    key_arr = pc.unique(packed[on])
+    ref = ray.put(key_arr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ks = _get_broadcast(ref)
+        idx = pc.index_in(t[on], value_set=ks)
+        return t.filter(pc.is_null(idx))
+
+    return left.map_batches(filt, batch_format="pyarrow")

@@ -308,3 +308,64 @@ class TestLabelPropagation:
         assert comp["a"] == comp["b"] == comp["c"] == "a"
         assert comp["x"] == comp["y"] == "x"
         assert comp["m"] == comp["n"] == comp["o"] == "m"
+
+
+class TestBroadcastJoins:
+    def _mk(self, ray):
+        import pyarrow as pa
+        left = ray.data.from_arrow(pa.table(
+            {"k": pa.array([1, 2, 3, 4, 2], type=pa.int64()),
+             "x": pa.array(list("abcde"))}))
+        small = ray.data.from_arrow(pa.table(
+            {"k": pa.array([2, 3], type=pa.int64()),
+             "v": pa.array(["two", "three"])}))
+        return left, small
+
+    def test_broadcast_matches_shuffle_inner(self, ray_session):
+        import ray
+        from ordinarydumpdeduplicator_ray.stages.join import (
+            broadcast_inner_join, inner_join)
+
+        left, small = self._mk(ray)
+        fast = sorted((r["k"], r["x"], r["v"])
+                      for r in broadcast_inner_join(left, small, on="k").take_all())
+        slow = sorted((r["k"], r["x"], r["v"])
+                      for r in inner_join(left, small, on=("k",)).take_all())
+        assert fast == slow == [(2, "b", "two"), (2, "e", "two"), (3, "c", "three")]
+        # cap=0 forces the shuffle fallback through the same entry point
+        left, small = self._mk(ray)
+        fb = sorted((r["k"], r["x"], r["v"])
+                    for r in broadcast_inner_join(left, small, on="k", cap=0).take_all())
+        assert fb == slow
+
+    def test_broadcast_inner_rejects_dup_keys(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray
+        from ordinarydumpdeduplicator_ray.stages.join import broadcast_inner_join
+
+        left, _ = self._mk(ray)
+        dup = ray.data.from_arrow(pa.table(
+            {"k": pa.array([2, 2], type=pa.int64()), "v": pa.array(["x", "y"])}))
+        with pytest.raises(ValueError, match="not unique"):
+            broadcast_inner_join(left, dup, on="k")
+
+    def test_broadcast_anti(self, ray_session):
+        import pyarrow as pa
+        import ray
+        from ordinarydumpdeduplicator_ray.stages.join import broadcast_anti_join
+
+        left, small = self._mk(ray)
+        keys = small.map_batches(lambda t: t.select(["k"]), batch_format="pyarrow")
+        got = sorted((r["k"], r["x"]) for r in
+                     broadcast_anti_join(left, keys, on="k").take_all())
+        assert got == [(1, "a"), (4, "d")]
+        left, small = self._mk(ray)
+        keys = small.map_batches(lambda t: t.select(["k"]), batch_format="pyarrow")
+        fb = sorted((r["k"], r["x"]) for r in
+                    broadcast_anti_join(left, keys, on="k", cap=0).take_all())
+        assert fb == got
+        # empty key set passes everything through
+        left, _ = self._mk(ray)
+        empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+        assert broadcast_anti_join(left, empty, on="k").count() == 5
