@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         # --- new in round 2: benchmark decontamination (SQL-oracled) ----
         "decontaminate": q.decontaminate,
+        # --- new in round 2: vocabulary top-k with combiner pre-agg -----
+        "top_tokens": q.top_tokens,
     }
 
 
@@ -514,5 +516,17 @@ SELECT d.doc_id,
        coalesce(h.n_hits, 0) > 0 AS contaminated,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
 FROM documents d LEFT JOIN h USING (doc_id)
+""",
+        # corpus vocabulary top-k: same RE2 \w+ token definition as the
+        # Arrow split kernel (both RE2), deterministic (n desc, token)
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
 """,
     }

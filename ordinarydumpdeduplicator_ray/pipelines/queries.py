@@ -1329,3 +1329,36 @@ def decontaminate(sf_dir: str, n: int = 8) -> ray.data.Dataset:
     bench = docs.map_batches(bench_filter, batch_format="pyarrow")
     hashes = collect_benchmark_hashes(bench, n=n)
     return flag_contaminated(docs, hashes, n=n)
+
+
+def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
+    """Corpus vocabulary top-k: the ``k`` most frequent word tokens
+    (lowercased ``\\w+`` runs) with deterministic (count desc, token)
+    ordering. The per-batch combiner (Arrow ``split_pattern_regex`` +
+    ``value_counts`` — fully vectorized, no Python token loop) shrinks
+    the shuffle from O(total tokens) to O(distinct tokens per block)
+    BEFORE the groupby; the global aggregate then handles only vocabulary
+    rows (Zipfian -> tiny relative to the corpus)."""
+    docs = _read_documents(sf_dir, columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\W+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {"token": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    tbl = pa.concat_tables(
+        top.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return tbl.select(["token", "n"])

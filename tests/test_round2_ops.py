@@ -411,3 +411,22 @@ class TestDecontaminate:
         assert empty.dtype == np.uint64 and len(empty) == 0
         out = flag_contaminated(docs, empty).take_all()
         assert all(not r["contaminated"] and r["n_hits"] == 0 for r in out)
+
+
+class TestTopTokens:
+    def test_matches_naive(self, ray_session):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        texts = pq.read_table(sf + "/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        c = Counter()
+        for t in texts:
+            c.update(re.findall(r"\w+", t.lower()))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        got = [(r["token"], r["n"]) for r in q.top_tokens(sf).to_pylist()]
+        assert got == want
