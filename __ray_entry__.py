@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.decontaminate,
         # --- new in round 2: vocabulary top-k with combiner pre-agg -----
         "top_tokens": q.top_tokens,
+        # --- new in round 2: exact order statistics ----------------------
+        "doc_length_stats": q.doc_length_stats,
     }
 
 
@@ -528,5 +530,16 @@ SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM toks GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50
+""",
+        # exact length distribution; percentile_disc = element at
+        # 1-based rank max(1, ceil(q*n)) — the semantics
+        # stages/quantiles.py implements
+        "doc_length_stats": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p50_len,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p90_len,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p99_len,
+       CAST(max(length(text)) AS BIGINT) AS max_len
+FROM documents
 """,
     }

@@ -90,18 +90,31 @@ def packed_minhash(col, k: int) -> tuple[np.ndarray, np.ndarray]:
     fallback otherwise (nulls = docs with no shingles)."""
     import pyarrow as pa
 
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    if n and col.null_count == 0:
+    zero = b"\x00" * (8 * k)
+    valid = None
+    if n and col.null_count:
+        # vectorized null handling: record validity, fill with the zero
+        # sketch, and fall through to the zero-copy reinterpretation —
+        # the old per-row b"".join fallback measured ~1.2 s per 150k
+        # rows on the driver
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        col = pc.fill_null(col, zero)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    if n:
         offs = np.frombuffer(
             col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
         )
         if (np.diff(offs) == 8 * k).all():
             data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
             mat = data[offs[0]:offs[-1]].view("<u8").reshape(n, k)
-            return mat, np.ones(n, dtype=bool)
+            return mat, (valid if valid is not None else np.ones(n, dtype=bool))
     vals = col.to_pylist()
-    zero = b"\x00" * (8 * k)
     mat = np.frombuffer(b"".join(x or zero for x in vals), dtype="<u8").reshape(-1, k)
-    return mat, np.fromiter((x is not None for x in vals), dtype=bool, count=n)
+    va = np.fromiter((x is not None for x in vals), dtype=bool, count=n)
+    return mat, (valid if valid is not None else va)

@@ -1362,3 +1362,31 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
         top.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     return tbl.select(["token", "n"])
+
+
+def doc_length_stats(sf_dir: str) -> pa.Table:
+    """Exact corpus length distribution: count + p50/p90/p99/max of the
+    character length of ``text`` (percentile_disc semantics, matching
+    the SQL oracle). Sorts ONLY the projected int64 length column and
+    locates ranks from block metadata (stages/quantiles.py) — the
+    shuffle is 8 bytes/row no matter how wide the documents are."""
+    from ordinarydumpdeduplicator_ray.stages.quantiles import exact_percentiles
+
+    docs = _read_documents(sf_dir, columns=["text"])
+    lens = docs.map_batches(
+        lambda t: pa.table(
+            {"n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_docs = lens.count()
+    ps = exact_percentiles(lens, "n_chars", [0.5, 0.9, 0.99, 1.0])
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "p50_len": pa.array([ps[0.5]], type=pa.int64()),
+            "p90_len": pa.array([ps[0.9]], type=pa.int64()),
+            "p99_len": pa.array([ps[0.99]], type=pa.int64()),
+            "max_len": pa.array([ps[1.0]], type=pa.int64()),
+        }
+    )

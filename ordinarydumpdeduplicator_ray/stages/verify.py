@@ -152,12 +152,21 @@ def _build_sig_lookup(
         t = t.filter(pa.array(mask))
         return t.select(["uid", "url", "minhash", "simhash", "text_sha256", "n_bytes"])
 
-    batches = [
-        b
-        for b in signatures.map_batches(project, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if len(b)
+    # materialize the filtered projection, then fetch every block with
+    # ONE parallel ray.get — a serial iter_batches pull over hundreds of
+    # small blocks costs more than the distributed filter itself
+    proj = signatures.map_batches(project, batch_format="pyarrow").materialize()
+    refs = [
+        r
+        for bundle in proj.iter_internal_ref_bundles()
+        for r, m in bundle.blocks
+        if m.num_rows is None or m.num_rows > 0
     ]
+    batches = [
+        pa.Table.from_batches([blk]) if isinstance(blk, pa.RecordBatch) else blk
+        for blk in ray.get(refs)
+    ]
+    batches = [b for b in batches if len(b)]
     if not batches:
         return None
     tbl = pa.concat_tables(batches).combine_chunks()
@@ -523,6 +532,13 @@ def _recheck_broadcast(
     texts_ref = ray.put(texts)
     import functools
 
+    # map tasks are per-BLOCK: a pending set that arrives as one or two
+    # blocks would run the whole shingle recheck on one core. Split it
+    # so the per-pair work spreads across the session's CPUs.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    want_blocks = min(n_cpus, max(1, pending.count() // 1024))
+    if pending.num_blocks() < want_blocks:
+        pending = pending.repartition(want_blocks)
     return pending.map_batches(
         functools.partial(_recheck_batch, config=config, texts_ref=texts_ref),
         batch_format="pyarrow",

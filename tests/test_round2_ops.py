@@ -430,3 +430,30 @@ class TestTopTokens:
         want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
         got = [(r["token"], r["n"]) for r in q.top_tokens(sf).to_pylist()]
         assert got == want
+
+
+class TestExactPercentiles:
+    def test_matches_numpy_on_shuffled_blocks(self, ray_session):
+        import math
+
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.quantiles import exact_percentiles
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 10_000, size=5_003).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals)})
+        ).repartition(13)
+        qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = exact_percentiles(ds, "v", qs)
+        srt = np.sort(vals)
+        for q in qs:
+            want = int(srt[max(1, math.ceil(q * len(vals))) - 1])
+            assert got[q] == want, q
+
+    def test_empty(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.quantiles import exact_percentiles
+
+        ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
+        assert exact_percentiles(ds, "v", [0.5]) == {0.5: None}
