@@ -408,11 +408,24 @@ def duplicate_bucket_keys(
     if even that outgrows the driver, the same filter runs as a
     broadcast-join per key range."""
     if approx_rows is not None and approx_rows <= _DRIVER_KEYS_CAP:
-        chunks = [
-            b["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
-            for b in cells.iter_batches(batch_format="pyarrow")
-            if len(b)
+        # materialize the single-column projection, then fetch all
+        # blocks with one parallel ray.get — the serial iter_batches
+        # pull dominated this path at millions of rows
+        mat = cells.materialize()
+        refs = [
+            r
+            for bundle in mat.iter_internal_ref_bundles()
+            for r, m in bundle.blocks
+            if m.num_rows is None or m.num_rows > 0
         ]
+        chunks = []
+        for blk in ray.get(refs):
+            if isinstance(blk, pa.RecordBatch):
+                blk = pa.Table.from_batches([blk])
+            if len(blk):
+                chunks.append(
+                    blk["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+                )
         if not chunks:
             return ray.put(np.empty(0, dtype=np.int64))
         keys = np.sort(np.concatenate(chunks))

@@ -60,7 +60,10 @@ _EDGE_SCHEMA = pa.schema(
 # lookup no longer broadcasts (2M uids ~= 2 GiB of minhash matrix in
 # plasma, read zero-copy once per node) and verification falls back to
 # the two shuffle joins.
-_BROADCAST_VERIFY_URL_CAP = 2_000_000
+# 4M uids x (128 x 8 B minhash + url + scalars) ~ 4.5 GiB packed lookup —
+# one plasma copy per node, read zero-copy by every task; above it the
+# two-join attach takes over (driver/packing memory, not correctness)
+_BROADCAST_VERIFY_URL_CAP = 4_000_000
 
 
 def _emit_edges(
@@ -130,47 +133,79 @@ def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
     return None if len(uniq) > cap else uniq
 
 
+def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> pa.Table:
+    """Filter one signature block to the pair uids and pack it into ONE
+    row of flat binary buffers (uids, minhash matrix, simhash, 32-byte
+    sha as 4 uint64 words, n_bytes, validity masks) + the url list. The
+    expensive Arrow->dense-matrix packing runs HERE, in parallel tasks —
+    the driver only concatenates buffers."""
+    k = ray.get(uid_ref)
+    u = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(k):
+        pos = np.minimum(np.searchsorted(k, u), len(k) - 1)
+        t = t.filter(pa.array(k[pos] == u))
+    else:
+        t = t.slice(0, 0)
+    empty = pa.schema(
+        [("uids", pa.binary()), ("mh", pa.binary()), ("mh_valid", pa.binary()),
+         ("sh", pa.binary()), ("sh_valid", pa.binary()),
+         ("sha", pa.binary()), ("sha_valid", pa.binary()),
+         ("nb", pa.binary()), ("urls", pa.list_(pa.string()))]
+    )
+    if len(t) == 0:
+        return empty.empty_table()
+    uids = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+    mh_mat, mh_valid = packed_minhash(t["minhash"], num_perm)
+    sh_col = t["simhash"].combine_chunks()
+    sh_valid = pc.is_valid(sh_col).to_numpy(zero_copy_only=False)
+    sh = pc.fill_null(sh_col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+    # 32-byte sha packs as a (n, 4) uint64 matrix — same fixed-width
+    # buffer reinterpretation as the minhash sketch (k=4 words)
+    sha_mat, sha_valid = packed_minhash(t["text_sha256"], 4)
+    nb = pc.fill_null(t["n_bytes"].combine_chunks(), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "uids": pa.array([uids.tobytes()], type=pa.binary()),
+            "mh": pa.array([np.ascontiguousarray(mh_mat).tobytes()], type=pa.binary()),
+            "mh_valid": pa.array([mh_valid.tobytes()], type=pa.binary()),
+            "sh": pa.array([sh.tobytes()], type=pa.binary()),
+            "sh_valid": pa.array([sh_valid.tobytes()], type=pa.binary()),
+            "sha": pa.array([np.ascontiguousarray(sha_mat).tobytes()], type=pa.binary()),
+            "sha_valid": pa.array([sha_valid.tobytes()], type=pa.binary()),
+            "nb": pa.array([nb.tobytes()], type=pa.binary()),
+            "urls": pa.array([t["url"].to_pylist()], type=pa.list_(pa.string())),
+        }
+    )
+
+
 def _build_sig_lookup(
     signatures: ray.data.Dataset, pair_uids: np.ndarray, config: DedupConfig
 ):
-    """Filter-project signatures to the pair uids (map-only, no shuffle)
-    and pack them into a dense uid-sorted lookup: int64 uid vector +
-    aligned url Arrow array + minhash matrix (n, k) uint64 + simhash /
-    sha-dictionary-code / n_bytes vectors. Returns a ``ray.put`` ref
-    (numpy parts read zero-copy per node), or None when nothing
-    matched."""
+    """Filter-project signatures to the pair uids and pack them into a
+    dense uid-sorted lookup: int64 uid vector + aligned url Arrow array
+    + minhash matrix (n, k) uint64 + simhash / sha-word / n_bytes
+    arrays. The per-block packing runs distributed
+    (``_pack_lookup_block``); the driver work is buffer concatenation +
+    ONE argsort + numpy gathers (memcpy-bound — the previous
+    driver-side Arrow concat/take/pack measured ~24 s at 626k uids).
+    Returns a ``ray.put`` ref (numpy parts read zero-copy per node), or
+    None when nothing matched."""
+    import functools
+
     uid_ref = ray.put(pair_uids)
-
-    def project(t: pa.Table) -> pa.Table:
-        k = ray.get(uid_ref)
-        u = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
-        if len(k):
-            pos = np.minimum(np.searchsorted(k, u), len(k) - 1)
-            mask = k[pos] == u
-        else:
-            mask = np.zeros(len(u), dtype=bool)
-        t = t.filter(pa.array(mask))
-        return t.select(["uid", "url", "minhash", "simhash", "text_sha256", "n_bytes"])
-
-    # materialize the filtered projection, then fetch every block with
-    # ONE parallel ray.get — a serial iter_batches pull over hundreds of
-    # small blocks costs more than the distributed filter itself
-    proj = signatures.map_batches(project, batch_format="pyarrow").materialize()
-    refs = [
+    k = config.num_perm
+    rows = [
         r
-        for bundle in proj.iter_internal_ref_bundles()
-        for r, m in bundle.blocks
-        if m.num_rows is None or m.num_rows > 0
+        for r in signatures.map_batches(
+            functools.partial(_pack_lookup_block, uid_ref=uid_ref, num_perm=k),
+            batch_format="pyarrow", batch_size=None,
+        ).take_all()
+        if r["uids"]
     ]
-    batches = [
-        pa.Table.from_batches([blk]) if isinstance(blk, pa.RecordBatch) else blk
-        for blk in ray.get(refs)
-    ]
-    batches = [b for b in batches if len(b)]
-    if not batches:
+    if not rows:
         return None
-    tbl = pa.concat_tables(batches).combine_chunks()
-    uids = tbl["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+    uids = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in rows])
     order = np.argsort(uids, kind="stable")
     uids = uids[order]
     if len(uids) > 1 and (uids[1:] == uids[:-1]).any():
@@ -178,24 +213,35 @@ def _build_sig_lookup(
             "duplicate uid in signature lookup — assign_uids should have "
             "re-salted; corpus may contain duplicate urls"
         )
-    take = pa.array(order)
-    tbl = tbl.take(take)
-    k = config.num_perm
-    mh_mat, mh_valid = packed_minhash(tbl["minhash"], k)
-    sh_col = tbl["simhash"].combine_chunks()
-    sh_valid = pc.is_valid(sh_col).to_numpy(zero_copy_only=False)
-    sh = pc.fill_null(sh_col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
-    # dictionary codes make the exact-sha comparison an int compare;
-    # encoding AFTER combine_chunks keeps one global dictionary
-    sha_idx = pc.dictionary_encode(tbl["text_sha256"].combine_chunks()).indices
-    sha = pc.fill_null(sha_idx, pa.scalar(-1, type=sha_idx.type)) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    nb = pc.fill_null(tbl["n_bytes"].combine_chunks(), 0) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+    mh = np.concatenate(
+        [np.frombuffer(r["mh"], dtype=np.uint64) for r in rows]
+    ).reshape(-1, k)[order]
+    mh_valid = np.concatenate(
+        [np.frombuffer(r["mh_valid"], dtype=bool) for r in rows]
+    )[order]
+    sh = np.concatenate(
+        [np.frombuffer(r["sh"], dtype=np.uint64) for r in rows]
+    )[order]
+    sh_valid = np.concatenate(
+        [np.frombuffer(r["sh_valid"], dtype=bool) for r in rows]
+    )[order]
+    sha = np.concatenate(
+        [np.frombuffer(r["sha"], dtype=np.uint64) for r in rows]
+    ).reshape(-1, 4)[order]
+    sha_valid = np.concatenate(
+        [np.frombuffer(r["sha_valid"], dtype=bool) for r in rows]
+    )[order]
+    nb = np.concatenate(
+        [np.frombuffer(r["nb"], dtype=np.int64) for r in rows]
+    )[order]
+    urls = pa.array(
+        [u for r in rows for u in r["urls"]], type=pa.string()
+    ).take(pa.array(order))
     return ray.put(
-        {"uids": uids, "urls": tbl["url"].combine_chunks(),
-         "mh": np.ascontiguousarray(mh_mat), "mh_valid": mh_valid,
-         "sh": sh, "sh_valid": sh_valid, "sha": sha, "nb": nb}
+        {"uids": uids, "urls": urls,
+         "mh": np.ascontiguousarray(mh), "mh_valid": mh_valid,
+         "sh": sh, "sh_valid": sh_valid,
+         "sha": np.ascontiguousarray(sha), "sha_valid": sha_valid, "nb": nb}
     )
 
 
@@ -249,7 +295,10 @@ def _broadcast_verify_batch(
         & (hd <= config.simhash_max_hamming)
     )
     sha = lk["sha"]
-    ex_keep = found & (sha[ia0] >= 0) & (sha[ia0] == sha[ib0])
+    ex_keep = (
+        found & lk["sha_valid"][ia0] & lk["sha_valid"][ib0]
+        & (sha[ia0] == sha[ib0]).all(axis=1)
+    )
     url_col = lk["urls"]
     urls = pa.table(
         {"url_a": url_col.take(pa.array(ia0)), "url_b": url_col.take(pa.array(ib0)),
@@ -413,8 +462,10 @@ class _ShingleRecheck:
     come from sorted-array intersections.
 
     Texts arrive either as ``text_a``/``text_b`` columns (join path) or
-    via ``texts_ref`` — a broadcast url->text dict in the object store,
-    fetched once per worker (zero-copy plasma read)."""
+    via ``texts_ref`` — a broadcast (url, text) ARROW table in the
+    object store, read zero-copy per worker and resolved per batch with
+    a vectorized ``pc.index_in`` (a pickled url->text dict here
+    measured 10+ s of unpickle per worker process at ~150 MB)."""
 
     def __init__(self, config: DedupConfig, texts_ref=None) -> None:
         from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
@@ -426,6 +477,10 @@ class _ShingleRecheck:
         # many pairs spread over batches); bounded to cap actor memory
         self._cache: dict[str, np.ndarray] = {}
         self._cache_cap = 200_000
+
+    def _lookup_texts(self, col) -> list:
+        idx = pc.index_in(col, value_set=self.texts["url"])
+        return self.texts["text"].take(idx).to_pylist()
 
     def _shingles(self, text: str | None, cache: dict) -> np.ndarray | None:
         from ordinarydumpdeduplicator_ray.functions.hashing import shingle_hashes
@@ -448,9 +503,8 @@ class _ShingleRecheck:
         keep = np.zeros(len(t), dtype=bool)
         jac = np.zeros(len(t), dtype=np.float64)
         if self.texts is not None:
-            g = self.texts.get
-            ta = [g(u) for u in t["url_a"].to_pylist()]
-            tb = [g(u) for u in t["url_b"].to_pylist()]
+            ta = self._lookup_texts(t["url_a"])
+            tb = self._lookup_texts(t["url_b"])
         else:
             ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
         for i, (x, y) in enumerate(zip(ta, tb)):
@@ -490,8 +544,8 @@ def exact_jaccard_recheck(
 
     Fast path (pending below ``_BROADCAST_PENDING_CAP``): collect the
     band's url set on the driver, filter-and-extract ONLY those pages'
-    texts (map-only, no shuffle), broadcast the url->text dict via
-    ``ray.put`` and verify with per-process recheck state — zero
+    texts (map-only, no shuffle), broadcast the (url, text) Arrow table via
+    ``ray.put`` (zero-copy per worker) and verify with per-process recheck state — zero
     shuffles and no full-corpus re-extraction. The margin band is a
     narrow est window, so this covers every realistic run; beyond the
     cap, texts attach via two hash joins against the (fully
@@ -524,12 +578,23 @@ def _recheck_broadcast(
         e = extract_batch(t)
         return pa.table({"url": e["url"], "text": e["text"]})
 
-    texts: dict = {}
-    for b in pages.map_batches(filter_extract, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        texts.update(zip(b["url"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(texts)
+    # broadcast the texts as ONE Arrow table, NOT a python dict: plasma
+    # serves Arrow buffers zero-copy, while a 100+ MB pickled dict costs
+    # each worker process a 10+ s unpickle under object-store pressure
+    # (measured — it dominated the recheck stage wall at 1.9M docs)
+    batches = [
+        b
+        for b in pages.map_batches(filter_extract, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    if batches:
+        texts_tbl = pa.concat_tables(batches).combine_chunks()
+    else:
+        texts_tbl = pa.schema(
+            [("url", pa.string()), ("text", pa.string())]
+        ).empty_table()
+    texts_ref = ray.put(texts_tbl)
     import functools
 
     # map tasks are per-BLOCK: a pending set that arrives as one or two
