@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q.top_tokens,
         # --- new in round 2: exact order statistics ----------------------
         "doc_length_stats": q.doc_length_stats,
+        # --- new in round 2: end-to-end curation pipeline ----------------
+        "curate_corpus": q.curate_corpus,
     }
 
 
@@ -541,5 +543,54 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p99_len,
        CAST(max(length(text)) AS BIGINT) AS max_len
 FROM documents
+""",
+        # end-to-end curation: lang -> quality -> contamination ->
+        # exact-dedup (among survivors, min-url canonical), precedence in
+        # that order; same quality rule as quality_scores, same blocklist
+        # as decontaminate, over the warc_ts/lang dup corpus
+        "curate_corpus": f"""
+WITH {_PAGES_META_CTE},
+b AS (
+  SELECT DISTINCT
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS snippet
+  FROM documents
+  WHERE doc_id % 17 = 0 AND len(string_split(text, ' ')) >= 8
+),
+f AS (
+  SELECT url, lang, text,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\\w+') AS words,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM pages_meta
+),
+g AS (
+  SELECT url, lang, text, n_chars, len(words) AS n_tokens,
+    CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) ELSE 0.0 END AS mean_len,
+    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> list_contains(['the','and','of','to','a','in','is','that','it','for','with','was','on','are'], w))) AS DOUBLE) / len(words) ELSE 0.0 END AS stop_ratio
+  FROM f
+),
+flags AS (
+  SELECT url, text,
+    lang IN ('en','de','fr') AS lang_ok,
+    round(
+      (CASE WHEN n_chars BETWEEN 200 AND 50000 THEN 0.35 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)
+      + (CASE WHEN mean_len BETWEEN 2.5 AND 9.0 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN punct_ratio > 0.0 AND punct_ratio <= 0.12 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END), 4) >= 0.5 AS q_ok,
+    EXISTS (SELECT 1 FROM b WHERE contains(' ' || text || ' ', ' ' || b.snippet || ' ')) AS dirty
+  FROM g
+),
+canon AS (
+  SELECT text, min(url) AS keeper
+  FROM flags WHERE lang_ok AND q_ok AND NOT dirty GROUP BY text
+)
+SELECT url,
+  CASE WHEN NOT lang_ok THEN 'lang'
+       WHEN NOT q_ok THEN 'quality'
+       WHEN dirty THEN 'contaminated'
+       WHEN url != c.keeper THEN 'duplicate'
+       ELSE 'kept' END AS verdict
+FROM flags LEFT JOIN canon c USING (text)
 """,
     }

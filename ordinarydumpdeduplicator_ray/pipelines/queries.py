@@ -1390,3 +1390,142 @@ def doc_length_stats(sf_dir: str) -> pa.Table:
             "max_len": pa.array([ps[1.0]], type=pa.int64()),
         }
     )
+
+
+def curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end training-corpus curation over the dup-injected
+    metadata corpus (_meta_pages): every page gets a verdict —
+
+    1. ``lang``: page language not in the keep set {en, de, fr}
+    2. ``quality``: quality score (functions/textstats rule, the same
+       one quality_scores oracles) below 0.5
+    3. ``contaminated``: text shares an 8-token n-gram with the
+       benchmark blocklist (doc_id % 17 == 0 snippets — same blocklist
+       as ``decontaminate``)
+    4. ``duplicate``: exact-duplicate of a surviving page with a
+       smaller url (canonical survives)
+    5. ``kept``: everything else
+
+    Precedence is the listed order; dedup runs only among pages that
+    passed 1-3 (the realistic pipeline order — filters first, then
+    dedup). Streaming: two stateless maps (quality/lang + broadcast
+    contamination check), one groupby on the content hash of survivors,
+    one broadcast lookup back — no full-corpus shuffle join."""
+    import hashlib
+
+    from ordinarydumpdeduplicator_ray.functions.textstats import (
+        quality_features,
+        quality_score,
+    )
+    from ordinarydumpdeduplicator_ray.stages.decontaminate import (
+        collect_benchmark_hashes,
+        flag_contaminated,
+    )
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 == 0))
+
+    bench_hashes = collect_benchmark_hashes(
+        docs.map_batches(bench_filter, batch_format="pyarrow"), n=8
+    )
+
+    pages = _meta_pages(sf_dir)
+    keep_langs = {"en", "de", "fr"}
+
+    def verdict_pass1(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        quality = np.empty(len(texts), dtype=np.float64)
+        for i, txt in enumerate(texts):
+            quality[i] = quality_score(*quality_features(txt or ""))
+        lang_ok = np.array([lg in keep_langs for lg in langs], dtype=bool)
+        return pa.table(
+            {
+                "url": t["url"],
+                "text": t["text"],
+                "lang_ok": pa.array(lang_ok),
+                "q_ok": pa.array(quality >= 0.5),
+            }
+        )
+
+    base = pages.map_batches(verdict_pass1, batch_format="pyarrow")
+    # contamination: reuse the broadcast stage on the same rows
+    conta = flag_contaminated(
+        base.map_batches(
+            lambda t: pa.table({"url": t["url"], "text": t["text"]}),
+            batch_format="pyarrow",
+        ),
+        bench_hashes, n=8, id_col="url", text_col="text",
+    ).map_batches(
+        lambda t: pa.table({"url": t["url"], "dirty": t["contaminated"]}),
+        batch_format="pyarrow",
+    )
+    staged = broadcast_inner_join(
+        base, conta, on="url",
+        empty_schema=pa.schema([
+            ("url", pa.string()), ("text", pa.string()),
+            ("lang_ok", pa.bool_()), ("q_ok", pa.bool_()),
+            ("dirty", pa.bool_()),
+        ]),
+    )
+
+    def with_sha(t: pa.Table) -> pa.Table:
+        shas = pa.array(
+            [hashlib.sha256((x or "").encode()).digest()
+             for x in t["text"].to_pylist()],
+            type=pa.binary(),
+        )
+        return pa.table(
+            {"url": t["url"], "lang_ok": t["lang_ok"], "q_ok": t["q_ok"],
+             "dirty": t["dirty"], "sha": shas}
+        )
+
+    staged = staged.map_batches(with_sha, batch_format="pyarrow").materialize()
+    survivors = staged.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(t["lang_ok"].combine_chunks(), t["q_ok"].combine_chunks()),
+                pc.invert(t["dirty"].combine_chunks()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    canon = survivors.groupby("sha").aggregate(Min("url", alias_name="keeper"))
+
+    from ordinarydumpdeduplicator_ray.stages.join import broadcast_left_join
+
+    # LEFT lookup: a rejected page whose text has no surviving copy has
+    # no canon row — it must still emit its (lang/quality/contaminated)
+    # verdict, so unmatched rows pass through with keeper = null
+    joined = broadcast_left_join(
+        staged, canon, on="sha",
+        empty_schema=pa.schema([
+            ("url", pa.string()), ("lang_ok", pa.bool_()), ("q_ok", pa.bool_()),
+            ("dirty", pa.bool_()), ("sha", pa.binary()), ("keeper", pa.string()),
+        ]),
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        lang_ok = t["lang_ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        q_ok = t["q_ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        dirty = t["dirty"].combine_chunks().to_numpy(zero_copy_only=False)
+        urls = t["url"].to_pylist()
+        keepers = t["keeper"].to_pylist()
+        out = []
+        for i, u in enumerate(urls):
+            if not lang_ok[i]:
+                out.append("lang")
+            elif not q_ok[i]:
+                out.append("quality")
+            elif dirty[i]:
+                out.append("contaminated")
+            elif u != keepers[i]:
+                out.append("duplicate")
+            else:
+                out.append("kept")
+        return pa.table({"url": t["url"], "verdict": pa.array(out, type=pa.string())})
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

@@ -247,3 +247,58 @@ def broadcast_anti_join(
         return t.filter(pc.is_null(idx))
 
     return left.map_batches(filt, batch_format="pyarrow")
+
+
+def broadcast_left_join(
+    left: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    empty_schema: pa.Schema | None = None,
+    cap: int = _BROADCAST_JOIN_CAP,
+) -> ray.data.Dataset:
+    """Left-outer flavor of ``broadcast_inner_join``: unmatched left
+    rows pass through with nulls in the small side's payload columns.
+    Same unique-key requirement and shuffle fallback."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    small = small.materialize()
+    n_small = small.count()
+    if cap <= 0 or n_small > cap:
+        return left_outer_join(left, small, on=(on,), empty_schema=empty_schema)
+    if n_small == 0:
+        schema = empty_schema
+        if schema is None:
+            return left
+
+        def pad(t: pa.Table) -> pa.Table:
+            for f in schema:
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa.nulls(len(t), type=f.type))
+            return t
+
+        return left.map_batches(pad, batch_format="pyarrow")
+
+    packed = pa.concat_tables(
+        small.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    keys = packed[on]
+    n_unique = len(pc.unique(keys))
+    if n_unique != len(packed):
+        raise ValueError(
+            f"broadcast_left_join: small-side key '{on}' is not unique "
+            f"({len(packed)} rows, {n_unique} distinct)"
+        )
+    ref = ray.put(packed)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        lut: pa.Table = _get_broadcast(ref)
+        idx = pc.index_in(t[on], value_set=lut[on]).combine_chunks()
+        for name in lut.column_names:
+            if name != on and name not in t.column_names:
+                t = t.append_column(name, lut[name].take(idx))
+        return t
+
+    return left.map_batches(lookup, batch_format="pyarrow")

@@ -457,3 +457,50 @@ class TestExactPercentiles:
 
         ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
         assert exact_percentiles(ds, "v", [0.5]) == {0.5: None}
+
+
+class TestCurateCorpus:
+    def test_verdicts_match_naive(self, ray_session):
+        from ordinarydumpdeduplicator_ray.functions.textstats import (
+            quality_features, quality_score)
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        pages = q._meta_pages(sf).to_pandas()
+        import pyarrow.parquet as pq
+        docs = pq.read_table(sf + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pylist()
+        snippets = {
+            " ".join(r["text"].split(" ")[:8])
+            for r in docs
+            if r["doc_id"] % 17 == 0 and len(r["text"].split(" ")) >= 8
+        }
+
+        def naive(row):
+            if row.lang not in {"en", "de", "fr"}:
+                return "lang"
+            if quality_score(*quality_features(row.text)) < 0.5:
+                return "quality"
+            toks = row.text.split(" ")
+            grams = {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+            if grams & snippets:
+                return "contaminated"
+            return None  # survivor, dedup decides
+
+        pre = {r.url: naive(r) for r in pages.itertuples()}
+        surv = defaultdict(list)
+        for r in pages.itertuples():
+            if pre[r.url] is None:
+                surv[r.text].append(r.url)
+        want = {}
+        for r in pages.itertuples():
+            v = pre[r.url]
+            if v is None:
+                v = "kept" if r.url == min(surv[r.text]) else "duplicate"
+            want[r.url] = v
+
+        got = {r["url"]: r["verdict"] for r in q.curate_corpus(sf).take_all()}
+        assert got == want
+        # every verdict class occurs in the synthetic corpus
+        assert set(got.values()) == {"lang", "quality", "contaminated",
+                                     "duplicate", "kept"}
