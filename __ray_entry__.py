@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_stats": q.doc_length_stats,
         # --- new in round 2: end-to-end curation pipeline ----------------
         "curate_corpus": q.curate_corpus,
+        # --- new in round 2: deterministic train/val/test split ----------
+        "corpus_split": q.corpus_split,
     }
 
 
@@ -592,5 +594,15 @@ SELECT url,
        WHEN url != c.keeper THEN 'duplicate'
        ELSE 'kept' END AS verdict
 FROM flags LEFT JOIN canon c USING (text)
+""",
+        # stable hash split: first 8 hex digits of md5(url) mod 100 ->
+        # 90/5/5 — identical arithmetic to queries.corpus_split
+        "corpus_split": f"""
+WITH {_PAGES_META_CTE}
+SELECT url,
+  CASE WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+       WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM pages_meta
 """,
     }

@@ -1529,3 +1529,28 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"url": t["url"], "verdict": pa.array(out, type=pa.string())})
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def corpus_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: md5(url) buckets
+    90/5/5. A pure stateless map — the split is stable across runs,
+    machines and orderings (the property that matters for training-data
+    reproducibility), and any subset of the corpus gets the same
+    assignment it would get in the full corpus. Same bucket arithmetic
+    as the DuckDB oracle (first 8 hex digits of md5, mod 100)."""
+    import hashlib
+
+    pages = _meta_pages(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 100 for u in urls),
+            dtype=np.int64, count=len(urls),
+        )
+        split = np.where(buckets < 90, "train", np.where(buckets < 95, "val", "test"))
+        return pa.table(
+            {"url": t["url"], "split": pa.array(split.tolist(), type=pa.string())}
+        )
+
+    return pages.map_batches(assign, batch_format="pyarrow")

@@ -504,3 +504,21 @@ class TestCurateCorpus:
         # every verdict class occurs in the synthetic corpus
         assert set(got.values()) == {"lang", "quality", "contaminated",
                                      "duplicate", "kept"}
+
+
+class TestCorpusSplit:
+    def test_deterministic_and_complete(self, ray_session):
+        import hashlib
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["url"]: r["split"] for r in q.corpus_split(sf).take_all()}
+        assert len(got) == len(q._meta_pages(sf).to_pandas())
+        for u, s in got.items():
+            b = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 100
+            assert s == ("train" if b < 90 else "val" if b < 95 else "test")
+        # all three splits are populated and roughly proportioned
+        from collections import Counter
+        c = Counter(got.values())
+        assert set(c) == {"train", "val", "test"}
+        assert c["train"] > c["val"] and c["train"] > c["test"]
