@@ -167,7 +167,12 @@ def _signature_batch(batch: pa.Table, config: DedupConfig, keep_text: bool) -> p
         inst = cls(config)
         _SIG_STATE.clear()
         _SIG_STATE[key] = inst
-    return inst(batch)
+    out = inst(batch)
+    # salt-0 uid derived IN the signature pass: assign_uids then only
+    # runs its collision check against the already-materialized stage
+    # output instead of mapping + re-materializing the full ~1 KiB/row
+    # table a second time (collision -> re-salt path re-derives)
+    return _add_uid_batch(out, salt=0)
 
 
 def compute_signatures(
@@ -234,13 +239,22 @@ def assign_uids(signatures, num_partitions: int = 16, max_salt: int = 4):
     except Exception:
         n_rows = None
 
+    schema = signatures.schema()
+    has_uid = schema is not None and "uid" in (schema.names or [])
     for salt in range(max_salt):
         # materialize ONCE per salt attempt: the uid'd table is consumed
         # by every downstream stage (exact index, three explodes, the
         # verify lookup) — leaving it lazy re-runs the uid map over the
         # full ~1 KiB/row signature payload per consumer, measured ~20 s
-        # per pass at 1.9M docs
-        with_uid = add_uid(signatures, salt).materialize()
+        # per pass at 1.9M docs. When the signature stage already derived
+        # the salt-0 uid (_signature_batch), salt 0 is a zero-copy no-op.
+        if salt == 0 and has_uid:
+            with_uid = signatures
+        else:
+            with_uid = add_uid(
+                signatures.drop_columns(["uid"]) if has_uid else signatures,
+                salt,
+            ).materialize()
         dups = _ray.get(
             duplicate_bucket_keys(
                 with_uid.map_batches(
