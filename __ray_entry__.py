@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q.curate_corpus,
         # --- new in round 2: deterministic train/val/test split ----------
         "corpus_split": q.corpus_split,
+        # --- new in round 2: URL canonicalization dedup -------------------
+        "url_dedup_normalized": q.url_dedup_normalized,
     }
 
 
@@ -604,5 +606,27 @@ SELECT url,
        WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
        ELSE 'test' END AS split
 FROM pages_meta
+""",
+        # URL canonicalization dedup — normal form matches
+        # functions/urlnorm.py token for token (lower scheme+host, strip
+        # trailing slash + fragment, drop utm_*, sort query params)
+        "url_dedup_normalized": """
+WITH u AS (
+  SELECT 'https://' || source || '.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '?a=1&b=2' AS url
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || upper(source) || '.EXAMPLE/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/?b=2&utm_source=x&a=1#top' AS url
+  FROM documents WHERE doc_id % 4 = 0
+),
+n AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+')) ||
+    regexp_replace(coalesce(nullif(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), ''), '/'), '/+$', '') ||
+    coalesce('?' || nullif(array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), ''), '')
+    AS norm_url
+  FROM u
+)
+SELECT norm_url, CAST(count(*) AS BIGINT) AS n_urls, min(url) AS canonical_url
+FROM n GROUP BY norm_url HAVING count(*) > 1
 """,
     }

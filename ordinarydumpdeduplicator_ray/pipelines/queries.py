@@ -1554,3 +1554,48 @@ def corpus_split(sf_dir: str) -> ray.data.Dataset:
         )
 
     return pages.map_batches(assign, batch_format="pyarrow")
+
+
+def url_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-record dedup by URL canonicalization (the reference's
+    path-identity algebra, Common/FsEntity.cs:38-51, in webtext form):
+    a messy-url corpus — every doc crawled once with a clean url, every
+    fourth doc ALSO seen with an uppercase host, trailing slash,
+    reordered query, a utm_ tracking param and a fragment — collapses
+    by the normal form (functions/urlnorm.py). Emits groups with >1
+    variant: (norm_url, n_urls, canonical_url). One stateless map + one
+    groupby over the normalized key."""
+    from ordinarydumpdeduplicator_ray.functions.urlnorm import normalize_url
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        urls = []
+        for d, s in zip(ids, srcs):
+            urls.append(f"https://{s}.example/{d:08d}?a=1&b=2")
+            if d % 4 == 0:
+                urls.append(
+                    f"https://{s.upper()}.EXAMPLE/{d:08d}/?b=2&utm_source=x&a=1#top"
+                )
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "norm_url": pa.array(
+                    [normalize_url(u) for u in t["url"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(build, batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow")
+        .groupby("norm_url")
+        .aggregate(Count(alias_name="n_urls"), Min("url", alias_name="canonical_url"))
+        .filter(expr="n_urls > 1")
+    )

@@ -335,3 +335,31 @@ class TestSimhashProperties:
                 if 2 * int(bits[k]) > len(row):
                     expect |= np.uint64(1) << np.uint64(k)
             assert got[i] == expect, f"row {i}"
+
+
+class TestUrlNormalize:
+    def test_normal_forms(self):
+        from ordinarydumpdeduplicator_ray.functions.urlnorm import normalize_url
+
+        cases = {
+            "https://EXAMPLE.com/a/b?utm_source=x&b=2&a=1#frag":
+                "https://example.com/a/b?a=1&b=2",
+            "https://example.com/a/b?a=1&b=2":
+                "https://example.com/a/b?a=1&b=2",
+            "http://Example.Com/a/b/": "http://example.com/a/b",
+            "https://example.com/a/b?utm_campaign=z": "https://example.com/a/b",
+            "https://example.com/x?q=1&utm_medium=m&p=2":
+                "https://example.com/x?p=2&q=1",
+            "https://example.com/": "https://example.com",
+            "https://example.com": "https://example.com",
+            "not a url": "not a url",
+        }
+        for raw, want in cases.items():
+            assert normalize_url(raw) == want, raw
+
+    def test_idempotent(self):
+        from ordinarydumpdeduplicator_ray.functions.urlnorm import normalize_url
+
+        for raw in ["https://A.b/c/?z=1&utm_x=2&y=3#f", "http://h/p?b=1&a=2"]:
+            once = normalize_url(raw)
+            assert normalize_url(once) == once
