@@ -92,6 +92,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "decontaminate",
         "snapshot_diff",
         "dedup_actions_by_ts",
+        "curate_corpus",
+        "corpus_split",
+        "url_dedup_normalized",
+        "top_tokens",
+        "doc_length_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:
