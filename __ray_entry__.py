@@ -166,6 +166,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": q.corpus_split,
         # --- new in round 2: URL canonicalization dedup -------------------
         "url_dedup_normalized": q.url_dedup_normalized,
+        # --- new in round 2: corpus-wide line dedup (CCNet-style) ---------
+        "line_dedup": q.line_dedup,
+        # --- new in round 2: PII redaction ---------------------------------
+        "pii_scrub": q.pii_scrub,
+        # --- new in round 2: gopher-style repetition signals ---------------
+        "repetition_stats": q.repetition_stats,
     }
 
 
@@ -628,5 +634,71 @@ n AS (
 )
 SELECT norm_url, CAST(count(*) AS BIGINT) AS n_urls, min(url) AS canonical_url
 FROM n GROUP BY norm_url HAVING count(*) > 1
+""",
+        # corpus-wide line dedup: a "line" over this single-line corpus is
+        # each consecutive 10-token window (same construction as
+        # stages/linededup.py token_window mode); lines in >= 2 distinct
+        # docs are removed everywhere
+        "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS pos,
+         array_to_string(list_slice(w, (k - 1) * 10 + 1, k * 10), ' ') AS line
+  FROM toks, unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(k)
+),
+dup AS (
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END, ' ' ORDER BY l.pos), '') AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(d.line) AS BIGINT) AS n_removed
+FROM lines l LEFT JOIN dup d USING (line)
+GROUP BY l.doc_id
+""",
+        # PII scrub: byte-identical RE2 patterns (DuckDB's regex engine is
+        # RE2, same as pyarrow.compute) over the same doc_id-derived
+        # augmented text
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+         || CAST(doc_id % 7 AS VARCHAR) || '.example or 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+         || CAST(doc_id % 100 AS VARCHAR) || ' now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_clean,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+FROM aug
+""",
+        # gopher-style repetition: top-token / top-bigram mass fractions
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+tstat AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS mx FROM tc GROUP BY 1),
+lw AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[k] || ' ' || w[k + 1] AS g
+  FROM lw, unnest(generate_series(1, len(w) - 1)) AS t(k)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, sum(c) AS nb, max(c) AS mb FROM bc GROUP BY 1)
+SELECT t.doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(t.mx AS DOUBLE) / t.n_tokens AS top_token_fraction,
+  coalesce(CAST(b.mb AS DOUBLE) / b.nb, 0.0) AS top_bigram_fraction
+FROM tstat t LEFT JOIN bstat b USING (doc_id)
 """,
     }

@@ -97,6 +97,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "url_dedup_normalized",
         "top_tokens",
         "doc_length_stats",
+        "line_dedup",
+        "pii_scrub",
+        "repetition_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:

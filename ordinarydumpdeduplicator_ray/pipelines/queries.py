@@ -1599,3 +1599,106 @@ def url_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_urls"), Min("url", alias_name="canonical_url"))
         .filter(expr="n_urls > 1")
     )
+
+
+# --- round 2: corpus-wide line dedup / PII scrub / repetition stats --------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style corpus-wide exact line dedup (stages/linededup.py):
+    every "line" occurring in >= 2 distinct documents is removed from
+    ALL of them. The harness corpus is single-line token streams, so a
+    line here is each consecutive 10-token window (``token_window``
+    mode — the oracle builds the identical windows with
+    ``list_slice``); real webtext uses ``mode="newline"``. Sub-document
+    analogue of the reference's whole-blob hashing
+    (OrdinaryDumpDeduplicator.cs:107-130)."""
+    from ordinarydumpdeduplicator_ray.stages import linededup as ld
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+    return ld.line_dedup(
+        docs, mode="token_window", window=10,
+        num_partitions=_nparts(), approx_rows=n_docs * 8,
+    )
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over webtext: replace emails / IPv4s with typed
+    placeholder tokens and count the hits — the standard pre-training
+    privacy scrub. Whole operator is three vectorized RE2 kernels
+    (``pc.count_substring_regex`` / ``pc.replace_substring_regex``) per
+    batch; DuckDB's regex engine is RE2 too, so the oracle applies the
+    byte-identical patterns. The harness corpus carries no PII, so a
+    deterministic doc_id-derived email + IP is appended to each text
+    first (same derivation in the SQL)."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        # harness-only augmentation (the operator starts at `aug`)
+        aug = pa.array(
+            [
+                f"{x} contact user{d}@mail{d % 7}.example or "
+                f"10.{d % 256}.{(d * 7) % 256}.{d % 100} now"
+                for d, x in zip(ids, texts)
+            ],
+            type=pa.string(),
+        )
+        n_emails = pc.count_substring_regex(aug, pattern=_EMAIL_RE)
+        n_ipv4 = pc.count_substring_regex(aug, pattern=_IPV4_RE)
+        clean = pc.replace_substring_regex(
+            aug, pattern=_EMAIL_RE, replacement="<EMAIL>"
+        )
+        clean = pc.replace_substring_regex(
+            clean, pattern=_IPV4_RE, replacement="<IP>"
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_clean": clean,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_ipv4": pc.cast(n_ipv4, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style within-document repetition signals: fraction of all
+    tokens taken by the most frequent token, and of all 2-grams by the
+    most frequent 2-gram (Rae et al. 2021 repetition filters). Stateless
+    per-doc kernel; at 100 TB this is one streaming map."""
+    from collections import Counter
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tokens, top_tok, top_bg = [], [], []
+        for txt in t["text"].to_pylist():
+            toks = txt.split(" ") if txt else []
+            n = len(toks)
+            n_tokens.append(n)
+            top_tok.append(
+                (max(Counter(toks).values()) / n) if n else 0.0
+            )
+            if n >= 2:
+                bgs = Counter(zip(toks, toks[1:]))
+                top_bg.append(max(bgs.values()) / (n - 1))
+            else:
+                top_bg.append(0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, type=pa.int64()),
+                "top_token_fraction": pa.array(top_tok, type=pa.float64()),
+                "top_bigram_fraction": pa.array(top_bg, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")

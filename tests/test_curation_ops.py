@@ -1,0 +1,186 @@
+"""Corpus-wide line dedup, PII scrub and repetition stats — brute-force
+oracles in pure Python over small synthetic corpora."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+
+def _multiline_corpus(n_docs: int = 40, seed: int = 11) -> pa.Table:
+    """Docs with newline-separated lines: a shared boilerplate header and
+    footer on most docs, a couple of cross-doc repeated body lines, a
+    line repeated WITHIN one doc only, empty lines, and unique lines."""
+    rng = np.random.default_rng(seed)
+    ids, texts = [], []
+    for d in range(n_docs):
+        lines = []
+        if d % 2 == 0:
+            lines.append("COOKIE BANNER accept all cookies")
+        lines.append(f"unique headline {d}")
+        if d == 7:
+            # same line twice inside ONE doc only -> must be kept
+            lines += ["only in doc seven", "only in doc seven"]
+        for k in range(int(rng.integers(1, 5))):
+            lines.append(f"body {d} {k} " + "x" * int(rng.integers(1, 9)))
+        if d % 3 == 0:
+            lines.append("")  # empty line: never a dedup candidate
+        if d % 5 == 0:
+            lines.append("shared promo line visit example dot com")
+        lines.append("footer all rights reserved")
+        ids.append(d)
+        texts.append("\n".join(lines))
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+
+
+def _brute_line_dedup(tbl: pa.Table) -> dict[int, tuple[str, int, int]]:
+    docs = tbl.to_pylist()
+    per_line_docs: dict[str, set[int]] = {}
+    for r in docs:
+        for ln in set(r["text"].split("\n")):
+            if ln:
+                per_line_docs.setdefault(ln, set()).add(r["doc_id"])
+    dup = {ln for ln, s in per_line_docs.items() if len(s) >= 2}
+    out = {}
+    for r in docs:
+        lines = r["text"].split("\n")
+        kept = [x for x in lines if not (x and x in dup)]
+        out[r["doc_id"]] = (
+            "\n".join(kept), len(lines), len(lines) - len(kept)
+        )
+    return out
+
+
+class TestLineDedup:
+    def test_newline_mode_matches_brute_force(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.linededup import line_dedup
+
+        tbl = _multiline_corpus()
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+            for r in line_dedup(
+                ray.data.from_arrow(tbl).repartition(5), mode="newline"
+            ).take_all()
+        }
+        want = _brute_line_dedup(tbl)
+        assert got == want
+        # the within-one-doc repeated line survived
+        assert "only in doc seven" in got[7][0]
+        # boilerplate really was removed from some doc
+        assert all("footer all rights reserved" not in v[0] for v in got.values())
+
+    def test_token_window_mode_matches_brute_force(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.linededup import (
+            line_dedup,
+            split_doc,
+        )
+
+        rng = np.random.default_rng(4)
+        vocab = [f"w{i}" for i in range(30)]
+        ids, texts = [], []
+        for d in range(60):
+            toks = list(rng.choice(vocab, size=int(rng.integers(3, 35))))
+            if d % 4 == 0:
+                # force a shared exact 10-token window across docs
+                toks = ["p%d" % i for i in range(10)] + toks
+            ids.append(d)
+            texts.append(" ".join(toks))
+        tbl = pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "text": pa.array(texts, type=pa.string())}
+        )
+
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+            for r in line_dedup(
+                ray.data.from_arrow(tbl).repartition(4),
+                mode="token_window", window=10,
+            ).take_all()
+        }
+
+        per_line_docs: dict[str, set[int]] = {}
+        for r in tbl.to_pylist():
+            for ln in set(split_doc(r["text"], "token_window", 10)):
+                if ln:
+                    per_line_docs.setdefault(ln, set()).add(r["doc_id"])
+        dup = {ln for ln, s in per_line_docs.items() if len(s) >= 2}
+        for r in tbl.to_pylist():
+            lines = split_doc(r["text"], "token_window", 10)
+            kept = [x for x in lines if not (x and x in dup)]
+            assert got[r["doc_id"]] == (
+                " ".join(kept), len(lines), len(lines) - len(kept)
+            )
+        # the forced shared window was removed somewhere
+        assert any(v[2] > 0 for v in got.values())
+
+    def test_distributed_key_path_matches_driver_path(self, ray_session):
+        import ray
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.linededup import (
+            duplicated_line_keys,
+        )
+
+        tbl = _multiline_corpus(n_docs=80, seed=2)
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        drv = ray.get(duplicated_line_keys(ds, mode="newline", approx_rows=10))
+        # approx_rows=None forces the distributed keys-only sort path
+        dist = ray.get(duplicated_line_keys(ds, mode="newline", approx_rows=None))
+        assert np.array_equal(drv, dist)
+
+
+class TestPiiScrub:
+    def test_matches_python_re(self, ray_session):
+        import re
+
+        from ordinarydumpdeduplicator_ray.pipelines.queries import (
+            _EMAIL_RE,
+            _IPV4_RE,
+            pii_scrub,
+        )
+
+        rows = pii_scrub("/root/testdata/sf0.001").take_all()
+        assert rows
+        email, ip = re.compile(_EMAIL_RE), re.compile(_IPV4_RE)
+        for r in rows[:50]:
+            assert "<EMAIL>" in r["text_clean"]
+            assert "<IP>" in r["text_clean"]
+            assert r["n_emails"] >= 1 and r["n_ipv4"] >= 1
+            assert not email.search(r["text_clean"])
+            assert not ip.search(r["text_clean"])
+
+
+class TestRepetitionStats:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.pipelines.queries import (
+            repetition_stats,
+        )
+
+        got = {r["doc_id"]: r for r in repetition_stats("/root/testdata/sf0.001").take_all()}
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+        assert len(got) == len(docs)
+        for r in docs:
+            toks = r["text"].split(" ") if r["text"] else []
+            g = got[r["doc_id"]]
+            assert g["n_tokens"] == len(toks)
+            if toks:
+                assert abs(
+                    g["top_token_fraction"]
+                    - max(Counter(toks).values()) / len(toks)
+                ) < 1e-12
+            if len(toks) >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                assert abs(
+                    g["top_bigram_fraction"] - max(bg.values()) / (len(toks) - 1)
+                ) < 1e-12
