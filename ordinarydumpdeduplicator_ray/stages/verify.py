@@ -114,15 +114,43 @@ def _emit_edges(
 def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
     """Distinct uids referenced by the pairs as a SORTED int64 numpy
     array, or None once the set exceeds ``cap`` (caller falls back to
-    the shuffle-join attach). Chunks collapse through ``np.unique``
-    periodically so driver memory stays O(distinct)."""
+    the shuffle-join attach).
+
+    The per-block unique runs DISTRIBUTED (one packed binary row per
+    block) and the driver fetches the small packed rows with one
+    parallel ``ray.get`` — the previous serial ``iter_batches`` pull
+    deserialized every pair block in driver-sequence and showed up as a
+    ~1.6-core-busy window in /proc/stat during the 32-CPU leg at 3.84M
+    docs. Driver memory stays O(sum of per-block distinct), collapsed
+    through ``np.unique`` periodically."""
+
+    def block_uids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["uid_a"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["uid_b"].combine_chunks().to_numpy(zero_copy_only=False),
+        ])) if len(t) else np.empty(0, dtype=np.int64)
+        return pa.table({"p": pa.array([u.tobytes()], type=pa.binary())})
+
+    mat = pairs.map_batches(
+        block_uids, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    refs = [
+        r
+        for bundle in mat.iter_internal_ref_bundles()
+        for r, m in bundle.blocks
+        if m.num_rows is None or m.num_rows > 0
+    ]
     chunks: list[np.ndarray] = []
     pending = 0
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        chunks.append(b["uid_a"].combine_chunks().to_numpy(zero_copy_only=False))
-        chunks.append(b["uid_b"].combine_chunks().to_numpy(zero_copy_only=False))
-        pending += len(b) * 2
-        if pending >= 4_000_000:
+    for blk in ray.get(refs):
+        if isinstance(blk, pa.RecordBatch):
+            blk = pa.Table.from_batches([blk])
+        for v in blk["p"].to_pylist():
+            a = np.frombuffer(v, dtype=np.int64)
+            if len(a):
+                chunks.append(a)
+                pending += len(a)
+        if pending >= 8_000_000:
             chunks = [np.unique(np.concatenate(chunks))]
             pending = 0
             if len(chunks[0]) > cap:
@@ -562,11 +590,32 @@ def _recheck_broadcast(
 ) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
 
-    urls: set = set()
-    for b in pending.iter_batches(batch_format="pyarrow"):
-        urls.update(b["url_a"].to_pylist())
-        urls.update(b["url_b"].to_pylist())
-    url_ref = ray.put(pa.array(sorted(urls), type=pa.string()))
+    # distinct pending urls, distributed per-block unique + parallel
+    # fetch (the serial iter_batches + python-set build was a
+    # driver-serial window at millions of docs)
+    def block_urls(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+        )
+        return pa.table({"url": pc.unique(both)})
+
+    umat = pending.map_batches(
+        block_urls, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    parts = [
+        blk if isinstance(blk, pa.Table) else pa.Table.from_batches([blk])
+        for blk in ray.get([
+            r
+            for bundle in umat.iter_internal_ref_bundles()
+            for r, m in bundle.blocks
+            if m.num_rows is None or m.num_rows > 0
+        ])
+    ]
+    if parts:
+        url_arr = pc.unique(pa.concat_tables(parts)["url"])
+    else:
+        url_arr = pa.array([], type=pa.string())
+    url_ref = ray.put(url_arr)
 
     def filter_extract(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -582,12 +631,19 @@ def _recheck_broadcast(
     # serves Arrow buffers zero-copy, while a 100+ MB pickled dict costs
     # each worker process a 10+ s unpickle under object-store pressure
     # (measured — it dominated the recheck stage wall at 1.9M docs)
+    tmat = pages.map_batches(
+        filter_extract, batch_format="pyarrow"
+    ).materialize()
     batches = [
-        b
-        for b in pages.map_batches(filter_extract, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if len(b)
+        blk if isinstance(blk, pa.Table) else pa.Table.from_batches([blk])
+        for blk in ray.get([
+            r
+            for bundle in tmat.iter_internal_ref_bundles()
+            for r, m in bundle.blocks
+            if m.num_rows is None or m.num_rows > 0
+        ])
     ]
+    batches = [b for b in batches if len(b)]
     if batches:
         texts_tbl = pa.concat_tables(batches).combine_chunks()
     else:

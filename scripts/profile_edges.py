@@ -90,10 +90,30 @@ def main() -> None:
     d()
     t["pairs"] = pairs.count()
 
-    # verify WITHOUT recheck (attach joins + vectorized compare)
-    d = clock("verify_joins")
-    edges = V.verify_pairs(pairs, sigs, cfg, nparts).materialize()
+    # verify sub-steps (broadcast path, mirrors verify_pairs)
+    d = clock("verify_collect_uids")
+    pairs = pairs.materialize()
+    pair_uids = V._collect_pair_uids(pairs, V._BROADCAST_VERIFY_URL_CAP)
     d()
+    t["pair_uids"] = int(len(pair_uids)) if pair_uids is not None else -1
+
+    if pair_uids is not None and len(pair_uids):
+        import functools
+
+        d = clock("verify_build_lookup")
+        lookup_ref = V._build_sig_lookup(sigs, pair_uids, cfg)
+        d()
+        d = clock("verify_map")
+        edges = pairs.map_batches(
+            functools.partial(V._broadcast_verify_batch, config=cfg,
+                              lookup_ref=lookup_ref, recheck=False),
+            batch_format="pyarrow", batch_size=8192,
+        ).materialize()
+        d()
+    else:
+        d = clock("verify_joins")
+        edges = V.verify_pairs(pairs, sigs, cfg, nparts).materialize()
+        d()
     t["edges_raw"] = edges.count()
 
     # margin split + exact recheck (the part verify_pairs adds with
