@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.pii_scrub,
         # --- new in round 2: gopher-style repetition signals ---------------
         "repetition_stats": q.repetition_stats,
+        # --- new in round 2: as-of join + per-domain cap --------------------
+        "asof_latest_order": q.asof_latest_order,
+        "host_capped_docs": q.host_capped_docs,
     }
 
 
@@ -700,5 +703,26 @@ SELECT t.doc_id,
   CAST(t.mx AS DOUBLE) / t.n_tokens AS top_token_fraction,
   coalesce(CAST(b.mb AS DOUBLE) / b.nb, 0.0) AS top_bigram_fraction
 FROM tstat t LEFT JOIN bstat b USING (doc_id)
+""",
+        # as-of join: latest order at or before each event's ts, ties on
+        # o_orderdate broken by max o_orderkey (deterministic — raw ASOF
+        # JOIN leaves the tie arbitrary, so the oracle spells the
+        # tie-break out with a LATERAL top-1)
+        "asof_latest_order": """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON TRUE
+""",
+        # per-domain cap: first 10 docs (smallest doc_id) of every source
+        "host_capped_docs": """
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
 """,
     }

@@ -1702,3 +1702,47 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each event picks the customer's latest order at or
+    before the event timestamp (ties on date broken by max o_orderkey).
+    Generalizes the reference's latest-state-per-location selection
+    (DataControllerSimple.cs:228-236) to per-probe-timestamp; Ray Data
+    has no as-of join, so stages/asof.py runs ONE sort over the tagged
+    union plus an O(blocks) border-carry scan — no per-group Python, no
+    driver-side row data."""
+    from ordinarydumpdeduplicator_ray.stages.asof import asof_join
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        events,
+        orders,
+        by=("user_id", "o_custkey"),
+        on=("ts", "o_orderdate"),
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie=("event_id", "o_orderkey"),
+    )
+    return out
+
+
+def host_capped_docs(sf_dir: str, cap: int = 10) -> ray.data.Dataset:
+    """Per-domain document cap — keep the first `cap` docs (smallest
+    doc_id) of every source, the standard webtext domain-mix control.
+    Windowed rank without per-group Python: ONE sort by (source,
+    doc_id), vectorized in-block ranks, O(blocks) border-count carry
+    (stages/asof.py:cap_rows_per_key)."""
+    from ordinarydumpdeduplicator_ray.stages.asof import cap_rows_per_key
+
+    docs = _read_documents(
+        sf_dir, columns=["doc_id", "source", "lang", "n_chars"]
+    )
+    return cap_rows_per_key(docs, key="source", order_col="doc_id", cap=cap)
