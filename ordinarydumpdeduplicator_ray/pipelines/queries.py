@@ -1746,3 +1746,90 @@ def host_capped_docs(sf_dir: str, cap: int = 10) -> ray.data.Dataset:
         sf_dir, columns=["doc_id", "source", "lang", "n_chars"]
     )
     return cap_rows_per_key(docs, key="source", order_col="doc_id", cap=cap)
+
+
+def events_within_order_window(sf_dir: str, hours: int = 24) -> ray.data.Dataset:
+    """Range join: per 'purchase' event, count the same user's events
+    with ts in (purchase_ts, purchase_ts + `hours`h]. Ray Data has no
+    inequality join, so the range condition becomes an equi-join on
+    (user, time-bucket): each purchase explodes into the <=2
+    window-sized buckets its window overlaps, every event carries its
+    own bucket, and the exact window predicate filters the
+    equi-matches — the standard banding trick that keeps the shuffle an
+    ordinary hash join at 100 TB (no all-pairs per user)."""
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    w_us = hours * 3_600 * 1_000_000
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def ev_bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "r_user": t["user_id"],
+                "ts_us": ts,
+                "bucket": pc.divide(ts.combine_chunks(), w_us),
+            }
+        )
+
+    def purchase_explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = t["ts"].cast(pa.int64()).combine_chunks()
+        b0 = pc.divide(ts, w_us)
+        parts = [
+            pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "p_ts_us": ts,
+                    "bucket": b,
+                }
+            )
+            for b in (b0, pc.add(b0, 1))
+        ]
+        return pa.concat_tables(parts)
+
+    ev_b = events.map_batches(ev_bucket, batch_format="pyarrow")
+    purch = events.map_batches(purchase_explode, batch_format="pyarrow")
+    joined = inner_join(
+        purch, ev_b, on=("user_id", "bucket"), right_on=("r_user", "bucket")
+    )
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].combine_chunks()
+        p = t["p_ts_us"].combine_chunks()
+        keep = pc.and_(pc.greater(ts, p), pc.less_equal(ts, pc.add(p, w_us)))
+        return t.filter(keep).select(["event_id"])
+
+    counts = (
+        joined.map_batches(in_window, batch_format="pyarrow")
+        .groupby("event_id")
+        .aggregate(Count(alias_name="n_following"))
+        .materialize()
+    )
+
+    # left-outer fill: purchases with no in-window events report 0
+    cnt_tbl = pa.concat_tables(
+        counts.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks() if counts.count() else None
+    ref = ray.put(cnt_tbl)
+
+    def fill(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        lut = _get_broadcast(ref)
+        if lut is None:
+            n = pa.array(np.zeros(len(t), dtype=np.int64))
+        else:
+            idx = pc.index_in(t["event_id"], value_set=lut["event_id"])
+            n = pc.fill_null(pc.take(lut["n_following"], idx), 0)
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "n_following": n}
+        )
+
+    return events.map_batches(fill, batch_format="pyarrow")

@@ -141,3 +141,56 @@ class TestCapRowsPerKey:
         hot = out[out["source"] == "hot"]["doc_id"].tolist()
         assert sorted(hot) == [0, 1, 2, 3]
         assert len(out[out["source"] == "cold"]) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def test_matches_brute_force_across_bucket_borders(self, tmp_path):
+        """Synthetic events with ts values placed right at / around the
+        24h bucket edges so window matches cross the banding buckets."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        from ordinarydumpdeduplicator_ray.pipelines.queries import (
+            events_within_order_window,
+        )
+
+        rng = np.random.default_rng(11)
+        base = datetime.datetime(2024, 1, 1)
+        h = 3_600
+        rows = []
+        eid = 0
+        for u in range(5):
+            for _ in range(40):
+                # cluster ts near multiples of 24h to stress bucket edges
+                day = int(rng.integers(0, 4))
+                off = int(rng.choice([0, 1, h, 23 * h, 24 * h - 1, 24 * h, 25 * h]))
+                ts = base + datetime.timedelta(seconds=day * 24 * h + off)
+                et = "purchase" if rng.random() < 0.3 else "view"
+                rows.append((eid, u, ts, et))
+                eid += 1
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+
+        out = events_within_order_window(str(tmp_path), hours=24).to_pandas()
+        w = datetime.timedelta(hours=24)
+        expect = {
+            r[0]: sum(
+                1
+                for e in rows
+                if e[1] == r[1] and r[2] < e[2] <= r[2] + w
+            )
+            for r in rows
+            if r[3] == "purchase"
+        }
+        got = dict(zip(out["event_id"], out["n_following"]))
+        assert got == expect
+        assert any(v > 0 for v in expect.values())
