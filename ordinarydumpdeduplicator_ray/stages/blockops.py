@@ -1,0 +1,50 @@
+"""Parallel reductions over a materialized Dataset's own blocks.
+
+Every separate streaming-executor launch costs ~0.5-1.5 s of
+cluster-idle spin-up on this box (measured: /proc/stat busy fraction
+p10 ~= 0.05 during the 32-CPU scaling leg — the cores sit idle between
+executions, and those gaps, not compute, dominate the 8-vs-32-CPU
+efficiency shortfall at <=1M docs). A ``materialize()`` barrier already
+pins the blocks in the object store; reducing them with raw ray tasks
+over the block refs costs NO new launch and no extra object-store copy.
+
+Use these helpers ONLY for small reductions of already-materialized
+intermediates (collect a key set, split off a tiny band, pack a
+broadcast lookup). Real per-record dataflow stays in Dataset
+executions — streaming, backpressure and spill all still apply there.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_table(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_batches([block])
+
+
+def block_refs(ds: ray.data.Dataset) -> list:
+    """Block refs of a materialized Dataset, empty blocks skipped."""
+    return [
+        r
+        for bundle in ds.iter_internal_ref_bundles()
+        for r, m in bundle.blocks
+        if m.num_rows is None or m.num_rows > 0
+    ]
+
+
+def map_blocks(ds: ray.data.Dataset, fn: Callable[[pa.Table], object]) -> list:
+    """``fn`` over every non-empty block of a MATERIALIZED Dataset as
+    raw ray tasks (one per block, zero-copy plasma reads), results
+    fetched with one parallel ``ray.get``, in block order."""
+    refs = block_refs(ds)
+    if not refs:
+        return []
+    task = ray.remote(lambda blk: fn(_as_table(blk)))
+    return ray.get([task.remote(r) for r in refs])

@@ -387,74 +387,74 @@ _DRIVER_KEYS_CAP = 2_000_000
 
 
 def duplicate_bucket_keys(
-    cells: ray.data.Dataset, num_partitions: int, approx_rows: int | None = None
+    cells: ray.data.Dataset,
+    num_partitions: int,
+    approx_rows: int | None = None,
+    col: str = "bucket",
 ):
-    """Bucket-key-only Dataset -> ``ray.put`` ref of the SORTED int64
-    array of buckets holding >= 2 rows — the only buckets that can emit
-    a pair.
+    """Dataset with an int64 ``col`` -> ``ray.put`` ref of the SORTED
+    int64 array of keys holding >= 2 rows — the only buckets that can
+    emit a pair.
 
-    Small inputs (``approx_rows`` <= ``_DRIVER_KEYS_CAP``): stream the
-    key column to the driver and sort locally — barrier-free.
+    Small inputs (``approx_rows`` <= ``_DRIVER_KEYS_CAP``): per-block
+    ``np.unique`` as raw tasks over the (materialized) input's own
+    blocks (``stages/blockops.py`` — when the caller passes an
+    already-pinned dataset this costs no streaming-executor launch);
+    the driver merges per-block uniques: a key is a duplicate if it
+    repeats inside a block OR appears in >= 2 blocks' unique sets.
 
     Large inputs: distributed-sort the single int64 column (no string
     payload; this box sorts 21M int64 driver-side in ~35s, the
-    distributed column sort takes ~5s) and emit each sorted block's
-    adjacent-equal keys. Per-block dup lists are each sorted and blocks
-    are range-ordered, so their concatenation (plus block-border equals)
-    is already globally sorted: the driver only concatenates and masks
-    adjacent equals — no driver-side sort. The result is ~the true
-    number of duplicate buckets, orders of magnitude smaller than the
-    row count. Exact — no hashing, no lost candidates. At 100-TB scale
-    if even that outgrows the driver, the same filter runs as a
-    broadcast-join per key range."""
+    distributed column sort takes ~5s) and reduce each sorted block's
+    adjacent-equal keys with raw tasks over the sorted blocks. Per-block
+    dup lists are each sorted and blocks are range-ordered, so their
+    concatenation (plus block-border equals) is already globally sorted.
+    Exact — no hashing, no lost candidates. At 100-TB scale if even
+    that outgrows the driver, the same filter runs as a broadcast-join
+    per key range."""
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
     if approx_rows is not None and approx_rows <= _DRIVER_KEYS_CAP:
-        # materialize the single-column projection, then fetch all
-        # blocks with one parallel ray.get — the serial iter_batches
-        # pull dominated this path at millions of rows
         mat = cells.materialize()
-        refs = [
-            r
-            for bundle in mat.iter_internal_ref_bundles()
-            for r, m in bundle.blocks
-            if m.num_rows is None or m.num_rows > 0
-        ]
-        chunks = []
-        for blk in ray.get(refs):
-            if isinstance(blk, pa.RecordBatch):
-                blk = pa.Table.from_batches([blk])
-            if len(blk):
-                chunks.append(
-                    blk["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
-                )
-        if not chunks:
+
+        def block_uniq(t: pa.Table):
+            if not len(t):
+                e = np.empty(0, dtype=np.int64)
+                return e, e
+            u, c = np.unique(
+                t[col].combine_chunks().to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return u, u[c > 1]
+
+        parts = map_blocks(mat, block_uniq)
+        if not parts:
             return ray.put(np.empty(0, dtype=np.int64))
-        keys = np.sort(np.concatenate(chunks))
-        return ray.put(np.unique(keys[1:][keys[1:] == keys[:-1]]))
+        uniqs = np.sort(np.concatenate([p[0] for p in parts]))
+        cross = uniqs[1:][uniqs[1:] == uniqs[:-1]]
+        dups = np.unique(np.concatenate([cross] + [p[1] for p in parts]))
+        return ray.put(dups)
+
+    if col != "bucket" or len(cells.schema().names) > 1:
+        cells = cells.map_batches(
+            lambda t: pa.table({"bucket": t[col]}), batch_format="pyarrow"
+        )
     sort_parts = max(2 * num_partitions, 8)
     srt = cells.repartition(sort_parts).sort("bucket").materialize()
 
-    def block_dups(t: pa.Table) -> pa.Table:
+    def block_dups(t: pa.Table):
         if len(t) == 0:
-            return pa.schema(
-                [("d", pa.binary()), ("first", pa.int64()), ("last", pa.int64())]
-            ).empty_table()
+            return None
         c = t["bucket"].to_numpy(zero_copy_only=False)
-        d = np.unique(c[1:][c[1:] == c[:-1]])
-        return pa.table(
-            {"d": pa.array([d.tobytes()], type=pa.binary()),
-             "first": pa.array([int(c[0])], type=pa.int64()),
-             "last": pa.array([int(c[-1])], type=pa.int64())}
-        )
+        return (np.unique(c[1:][c[1:] == c[:-1]]), int(c[0]), int(c[-1]))
 
-    parts = srt.map_batches(
-        block_dups, batch_format="pyarrow", batch_size=None
-    ).take_all()
+    parts = [r for r in map_blocks(srt, block_dups) if r is not None]
     # interleave [block dups, border dup?] in block order -> sorted
     pieces: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
-    for k, r in enumerate(parts):
-        pieces.append(np.frombuffer(r["d"], dtype=np.int64))
-        if k + 1 < len(parts) and r["last"] == parts[k + 1]["first"]:
-            pieces.append(np.array([r["last"]], dtype=np.int64))
+    for k, (d, first, last) in enumerate(parts):
+        pieces.append(d)
+        if k + 1 < len(parts) and last == parts[k + 1][1]:
+            pieces.append(np.array([last], dtype=np.int64))
     keep = np.concatenate(pieces)
     if len(keep) > 1:
         keep = keep[np.concatenate([[True], keep[1:] != keep[:-1]])]
@@ -470,11 +470,10 @@ def _prefilter_singleton_buckets(
     near-dup), so the expensive sort shrinks ~3-5x. Duplicate-bucket
     detection via ``duplicate_bucket_keys``; the broadcast kept set
     filters rows with one vectorized ``searchsorted`` per batch."""
+    # buckets is materialized by the caller: count is block metadata and
+    # the driver-cap path reduces its pinned blocks launch-free
     keep_ref = duplicate_bucket_keys(
-        buckets.map_batches(lambda t: t.select(["bucket"]), batch_format="pyarrow"),
-        num_partitions,
-        # buckets is materialized by the caller — count is block metadata
-        approx_rows=buckets.count(),
+        buckets, num_partitions, approx_rows=buckets.count()
     )
     if len(ray.get(keep_ref)) == 0:
         # no bucket anywhere has two rows: nothing can pair
@@ -540,7 +539,15 @@ def candidate_pairs(
         return keep.select(["fbucket", "f_first", "f_last", "f_n", "f_members"])
 
     pairs = emitted.map_batches(pair_rows, batch_format="pyarrow")
-    frags = emitted.map_batches(frag_rows, batch_format="pyarrow").take_all()
+    # fragment rows are <=2 per sorted block — reduce them from the
+    # pinned emit blocks with raw tasks (no extra execution launch)
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
+    frags = [
+        r
+        for t in map_blocks(emitted, frag_rows)
+        for r in t.to_pylist()
+    ]
     if frags:
         pairs = pairs.union(
             ray.data.from_arrow(_reconcile_fragments(frags, cap, member, mtype, is_int))

@@ -257,11 +257,7 @@ def assign_uids(signatures, num_partitions: int = 16, max_salt: int = 4):
             ).materialize()
         dups = _ray.get(
             duplicate_bucket_keys(
-                with_uid.map_batches(
-                    lambda t: _pa.table({"bucket": t["uid"]}), batch_format="pyarrow"
-                ),
-                num_partitions,
-                approx_rows=n_rows,
+                with_uid, num_partitions, approx_rows=n_rows, col="uid"
             )
         )
         if len(dups) == 0:

@@ -112,44 +112,31 @@ def _emit_edges(
 
 
 def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
-    """Distinct uids referenced by the pairs as a SORTED int64 numpy
-    array, or None once the set exceeds ``cap`` (caller falls back to
-    the shuffle-join attach).
+    """Distinct uids referenced by the (MATERIALIZED) pairs as a SORTED
+    int64 numpy array, or None once the set exceeds ``cap`` (caller
+    falls back to the shuffle-join attach).
 
-    The per-block unique runs DISTRIBUTED (one packed binary row per
-    block) and the driver fetches the small packed rows with one
-    parallel ``ray.get`` — the previous serial ``iter_batches`` pull
-    deserialized every pair block in driver-sequence and showed up as a
-    ~1.6-core-busy window in /proc/stat during the 32-CPU leg at 3.84M
-    docs. Driver memory stays O(sum of per-block distinct), collapsed
-    through ``np.unique`` periodically."""
+    Per-block unique runs as raw tasks over the pairs' own pinned
+    blocks (stages/blockops.py) — no extra streaming-executor launch
+    (each launch idles the cluster ~0.5-1.5 s on this box) and no
+    object-store copy. Driver memory stays O(sum of per-block
+    distinct), collapsed through ``np.unique`` periodically."""
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
 
-    def block_uids(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
+    def block_uids(t: pa.Table) -> np.ndarray:
+        if not len(t):
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate([
             t["uid_a"].combine_chunks().to_numpy(zero_copy_only=False),
             t["uid_b"].combine_chunks().to_numpy(zero_copy_only=False),
-        ])) if len(t) else np.empty(0, dtype=np.int64)
-        return pa.table({"p": pa.array([u.tobytes()], type=pa.binary())})
+        ]))
 
-    mat = pairs.map_batches(
-        block_uids, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    refs = [
-        r
-        for bundle in mat.iter_internal_ref_bundles()
-        for r, m in bundle.blocks
-        if m.num_rows is None or m.num_rows > 0
-    ]
     chunks: list[np.ndarray] = []
     pending = 0
-    for blk in ray.get(refs):
-        if isinstance(blk, pa.RecordBatch):
-            blk = pa.Table.from_batches([blk])
-        for v in blk["p"].to_pylist():
-            a = np.frombuffer(v, dtype=np.int64)
-            if len(a):
-                chunks.append(a)
-                pending += len(a)
+    for a in map_blocks(pairs, block_uids):
+        if len(a):
+            chunks.append(a)
+            pending += len(a)
         if pending >= 8_000_000:
             chunks = [np.unique(np.concatenate(chunks))]
             pending = 0
@@ -161,12 +148,13 @@ def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
     return None if len(uniq) > cap else uniq
 
 
-def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> pa.Table:
-    """Filter one signature block to the pair uids and pack it into ONE
-    row of flat binary buffers (uids, minhash matrix, simhash, 32-byte
-    sha as 4 uint64 words, n_bytes, validity masks) + the url list. The
-    expensive Arrow->dense-matrix packing runs HERE, in parallel tasks —
-    the driver only concatenates buffers."""
+def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> dict | None:
+    """Filter one signature block to the pair uids and pack it into flat
+    binary buffers (uids, minhash matrix, simhash, 32-byte sha as 4
+    uint64 words, n_bytes, validity masks) + the url list. The expensive
+    Arrow->dense-matrix packing runs HERE, in parallel tasks — the
+    driver only concatenates buffers. Returns None when no uid of this
+    block is referenced by any pair."""
     k = ray.get(uid_ref)
     u = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
     if len(k):
@@ -174,14 +162,8 @@ def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> pa.Table:
         t = t.filter(pa.array(k[pos] == u))
     else:
         t = t.slice(0, 0)
-    empty = pa.schema(
-        [("uids", pa.binary()), ("mh", pa.binary()), ("mh_valid", pa.binary()),
-         ("sh", pa.binary()), ("sh_valid", pa.binary()),
-         ("sha", pa.binary()), ("sha_valid", pa.binary()),
-         ("nb", pa.binary()), ("urls", pa.list_(pa.string()))]
-    )
     if len(t) == 0:
-        return empty.empty_table()
+        return None
     uids = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
     mh_mat, mh_valid = packed_minhash(t["minhash"], num_perm)
     sh_col = t["simhash"].combine_chunks()
@@ -192,19 +174,17 @@ def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> pa.Table:
     sha_mat, sha_valid = packed_minhash(t["text_sha256"], 4)
     nb = pc.fill_null(t["n_bytes"].combine_chunks(), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "uids": pa.array([uids.tobytes()], type=pa.binary()),
-            "mh": pa.array([np.ascontiguousarray(mh_mat).tobytes()], type=pa.binary()),
-            "mh_valid": pa.array([mh_valid.tobytes()], type=pa.binary()),
-            "sh": pa.array([sh.tobytes()], type=pa.binary()),
-            "sh_valid": pa.array([sh_valid.tobytes()], type=pa.binary()),
-            "sha": pa.array([np.ascontiguousarray(sha_mat).tobytes()], type=pa.binary()),
-            "sha_valid": pa.array([sha_valid.tobytes()], type=pa.binary()),
-            "nb": pa.array([nb.tobytes()], type=pa.binary()),
-            "urls": pa.array([t["url"].to_pylist()], type=pa.list_(pa.string())),
-        }
-    )
+    return {
+        "uids": uids.tobytes(),
+        "mh": np.ascontiguousarray(mh_mat).tobytes(),
+        "mh_valid": mh_valid.tobytes(),
+        "sh": sh.tobytes(),
+        "sh_valid": sh_valid.tobytes(),
+        "sha": np.ascontiguousarray(sha_mat).tobytes(),
+        "sha_valid": sha_valid.tobytes(),
+        "nb": nb.tobytes(),
+        "urls": t["url"].to_pylist(),
+    }
 
 
 def _build_sig_lookup(
@@ -213,63 +193,70 @@ def _build_sig_lookup(
     """Filter-project signatures to the pair uids and pack them into a
     dense uid-sorted lookup: int64 uid vector + aligned url Arrow array
     + minhash matrix (n, k) uint64 + simhash / sha-word / n_bytes
-    arrays. The per-block packing runs distributed
-    (``_pack_lookup_block``); the driver work is buffer concatenation +
-    ONE argsort + numpy gathers (memcpy-bound — the previous
-    driver-side Arrow concat/take/pack measured ~24 s at 626k uids).
-    Returns a ``ray.put`` ref (numpy parts read zero-copy per node), or
-    None when nothing matched."""
+    arrays. The per-block packing runs as raw tasks over the
+    signatures' own pinned blocks (``stages/blockops.py`` — in the
+    flagship the salt-0 uid column is derived inside the signature
+    stage, so ``signatures`` is already materialized and this costs no
+    extra streaming-executor launch); the driver work is buffer
+    concatenation + ONE argsort + numpy gathers (memcpy-bound — the
+    previous driver-side Arrow concat/take/pack measured ~24 s at 626k
+    uids). Returns a ``ray.put`` ref (numpy parts read zero-copy per
+    node), or None when nothing matched."""
     import functools
+
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
 
     uid_ref = ray.put(pair_uids)
     k = config.num_perm
+    signatures = signatures.materialize()
     rows = [
         r
-        for r in signatures.map_batches(
+        for r in map_blocks(
+            signatures,
             functools.partial(_pack_lookup_block, uid_ref=uid_ref, num_perm=k),
-            batch_format="pyarrow", batch_size=None,
-        ).take_all()
-        if r["uids"]
+        )
+        if r is not None
     ]
     if not rows:
         return None
-    uids = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in rows])
-    order = np.argsort(uids, kind="stable")
-    uids = uids[order]
+    raw = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in rows])
+    order = np.argsort(raw, kind="stable")
+    uids = raw[order]
     if len(uids) > 1 and (uids[1:] == uids[:-1]).any():
         raise RuntimeError(
             "duplicate uid in signature lookup — assign_uids should have "
             "re-salted; corpus may contain duplicate urls"
         )
+    # matrices stay in CONCAT order; ``perm`` maps a sorted-uid position
+    # to its concat row. Re-sorting the ~1 KiB/row payloads here was a
+    # measured ~5 s serial driver gather at 154k uids x 32 CPUs — the
+    # perm lookup instead rides the per-batch gathers in
+    # _broadcast_verify_batch, which touch only batch-sized index arrays.
     mh = np.concatenate(
         [np.frombuffer(r["mh"], dtype=np.uint64) for r in rows]
-    ).reshape(-1, k)[order]
+    ).reshape(-1, k)
     mh_valid = np.concatenate(
         [np.frombuffer(r["mh_valid"], dtype=bool) for r in rows]
-    )[order]
-    sh = np.concatenate(
-        [np.frombuffer(r["sh"], dtype=np.uint64) for r in rows]
-    )[order]
+    )
+    sh = np.concatenate([np.frombuffer(r["sh"], dtype=np.uint64) for r in rows])
     sh_valid = np.concatenate(
         [np.frombuffer(r["sh_valid"], dtype=bool) for r in rows]
-    )[order]
+    )
     sha = np.concatenate(
         [np.frombuffer(r["sha"], dtype=np.uint64) for r in rows]
-    ).reshape(-1, 4)[order]
+    ).reshape(-1, 4)
     sha_valid = np.concatenate(
         [np.frombuffer(r["sha_valid"], dtype=bool) for r in rows]
-    )[order]
-    nb = np.concatenate(
-        [np.frombuffer(r["nb"], dtype=np.int64) for r in rows]
-    )[order]
+    )
+    nb = np.concatenate([np.frombuffer(r["nb"], dtype=np.int64) for r in rows])
     urls = pa.array(
         [u for r in rows for u in r["urls"]], type=pa.string()
-    ).take(pa.array(order))
+    )
     return ray.put(
-        {"uids": uids, "urls": urls,
-         "mh": np.ascontiguousarray(mh), "mh_valid": mh_valid,
+        {"uids": uids, "perm": order, "urls": urls,
+         "mh": mh, "mh_valid": mh_valid,
          "sh": sh, "sh_valid": sh_valid,
-         "sha": np.ascontiguousarray(sha), "sha_valid": sha_valid, "nb": nb}
+         "sha": sha, "sha_valid": sha_valid, "nb": nb}
     )
 
 
@@ -291,13 +278,15 @@ def _get_broadcast(ref):
     return val
 
 
-def _resolve_uids(col, sorted_uids: np.ndarray) -> np.ndarray:
-    """Vectorized uid -> lookup-row index; -1 where absent."""
+def _resolve_uids(col, lk: dict) -> np.ndarray:
+    """Vectorized uid -> CONCAT-order lookup-row index (searchsorted on
+    the sorted uid vector, then through ``perm``); -1 where absent."""
     u = col.combine_chunks().to_numpy(zero_copy_only=False)
+    sorted_uids = lk["uids"]
     if len(sorted_uids) == 0:
         return np.full(len(u), -1, dtype=np.int64)
     pos = np.minimum(np.searchsorted(sorted_uids, u), len(sorted_uids) - 1)
-    return np.where(sorted_uids[pos] == u, pos, -1)
+    return np.where(sorted_uids[pos] == u, lk["perm"][pos], -1)
 
 
 def _broadcast_verify_batch(
@@ -309,8 +298,8 @@ def _broadcast_verify_batch(
     if len(t) == 0:
         return _EDGE_SCHEMA.empty_table()
     lk = _get_broadcast(lookup_ref)
-    ia = _resolve_uids(t["uid_a"], lk["uids"])
-    ib = _resolve_uids(t["uid_b"], lk["uids"])
+    ia = _resolve_uids(t["uid_a"], lk)
+    ib = _resolve_uids(t["uid_b"], lk)
     found = (ia >= 0) & (ib >= 0)
     ia0, ib0 = np.where(ia >= 0, ia, 0), np.where(ib >= 0, ib, 0)
     mh, mh_valid = lk["mh"], lk["mh_valid"]
@@ -381,12 +370,36 @@ def verify_pairs(
         edges = _verify_join(pairs, signatures, config, num_partitions, recheck)
     if not recheck:
         return edges
+    # the margin band is a narrow est window — split it off with raw
+    # per-block tasks over the pinned edge blocks (blockops) instead of
+    # two filter executions + a count execution: three fewer
+    # streaming-executor launches (~0.5-1.5 s of cluster idle each).
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
     edges = edges.materialize()
-    pending = edges.filter(expr="source == 'minhash_margin'").materialize()
+    n_pending = sum(
+        map_blocks(
+            edges,
+            lambda t: int(pc.sum(pc.equal(t["source"], "minhash_margin")).as_py() or 0),
+        )
+    )
     accepted = edges.filter(expr="source != 'minhash_margin'")
-    if pending.count() == 0:
+    if n_pending == 0:
         return accepted
-    resolved = exact_jaccard_recheck(pending, pages, config, num_partitions)
+    if n_pending <= _BROADCAST_PENDING_CAP:
+        parts = [
+            t
+            for t in map_blocks(
+                edges,
+                lambda t: t.filter(pc.equal(t["source"], "minhash_margin")),
+            )
+            if len(t)
+        ]
+        pending_tbl = pa.concat_tables(parts).combine_chunks()
+        resolved = _recheck_broadcast_tbl(pending_tbl, pages, config)
+    else:
+        pending = edges.filter(expr="source == 'minhash_margin'")
+        resolved = _recheck_join(pending, pages, config, num_partitions)
     return accepted.union(resolved)
 
 
@@ -583,38 +596,61 @@ def exact_jaccard_recheck(
     return _recheck_join(pending, pages, config, num_partitions)
 
 
+def _recheck_broadcast_tbl(
+    pending_tbl: pa.Table,
+    pages: ray.data.Dataset,
+    config: DedupConfig,
+) -> ray.data.Dataset:
+    """Broadcast recheck with the (small) pending band already on the
+    driver: the url set derives locally — no collection execution."""
+    url_arr = pc.unique(
+        pa.chunked_array([
+            pending_tbl["url_a"].combine_chunks(),
+            pending_tbl["url_b"].combine_chunks(),
+        ])
+    )
+    return _recheck_broadcast_core(
+        url_arr, ray.data.from_arrow(pending_tbl), len(pending_tbl),
+        pages, config,
+    )
+
+
 def _recheck_broadcast(
     pending: ray.data.Dataset,
     pages: ray.data.Dataset,
     config: DedupConfig,
 ) -> ray.data.Dataset:
-    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+    # distinct pending urls via raw per-block tasks over the pinned
+    # pending blocks (blockops) — no extra execution launch
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
 
-    # distinct pending urls, distributed per-block unique + parallel
-    # fetch (the serial iter_batches + python-set build was a
-    # driver-serial window at millions of docs)
-    def block_urls(t: pa.Table) -> pa.Table:
+    pending = pending.materialize()
+
+    def block_urls(t: pa.Table) -> pa.Array:
         both = pa.chunked_array(
             [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
         )
-        return pa.table({"url": pc.unique(both)})
+        return pc.unique(both)
 
-    umat = pending.map_batches(
-        block_urls, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    parts = [
-        blk if isinstance(blk, pa.Table) else pa.Table.from_batches([blk])
-        for blk in ray.get([
-            r
-            for bundle in umat.iter_internal_ref_bundles()
-            for r, m in bundle.blocks
-            if m.num_rows is None or m.num_rows > 0
-        ])
-    ]
+    parts = [a for a in map_blocks(pending, block_urls) if len(a)]
     if parts:
-        url_arr = pc.unique(pa.concat_tables(parts)["url"])
+        url_arr = pc.unique(pa.chunked_array(parts))
     else:
         url_arr = pa.array([], type=pa.string())
+    return _recheck_broadcast_core(
+        url_arr, pending, pending.count(), pages, config
+    )
+
+
+def _recheck_broadcast_core(
+    url_arr,
+    pending: ray.data.Dataset,
+    n_pending: int,
+    pages: ray.data.Dataset,
+    config: DedupConfig,
+) -> ray.data.Dataset:
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
     url_ref = ray.put(url_arr)
 
     def filter_extract(t: pa.Table) -> pa.Table:
@@ -631,19 +667,14 @@ def _recheck_broadcast(
     # serves Arrow buffers zero-copy, while a 100+ MB pickled dict costs
     # each worker process a 10+ s unpickle under object-store pressure
     # (measured — it dominated the recheck stage wall at 1.9M docs)
+    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
+
     tmat = pages.map_batches(
         filter_extract, batch_format="pyarrow"
     ).materialize()
     batches = [
-        blk if isinstance(blk, pa.Table) else pa.Table.from_batches([blk])
-        for blk in ray.get([
-            r
-            for bundle in tmat.iter_internal_ref_bundles()
-            for r, m in bundle.blocks
-            if m.num_rows is None or m.num_rows > 0
-        ])
+        t for t in (_as_table(b) for b in ray.get(block_refs(tmat))) if len(t)
     ]
-    batches = [b for b in batches if len(b)]
     if batches:
         texts_tbl = pa.concat_tables(batches).combine_chunks()
     else:
@@ -657,7 +688,7 @@ def _recheck_broadcast(
     # blocks would run the whole shingle recheck on one core. Split it
     # so the per-pair work spreads across the session's CPUs.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    want_blocks = min(n_cpus, max(1, pending.count() // 1024))
+    want_blocks = min(n_cpus, max(1, n_pending // 1024))
     if pending.num_blocks() < want_blocks:
         pending = pending.repartition(want_blocks)
     return pending.map_batches(
