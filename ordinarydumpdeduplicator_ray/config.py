@@ -76,6 +76,17 @@ class DedupConfig:
                                    # working set stays cache-resident (512 was
                                    # measured ~2x faster than 1024 per doc)
     sig_concurrency: int | tuple = 8  # actor-pool size for signature stage
+    singleton_prefilter: bool = False  # pre-drop singleton buckets with a
+                                   # key-only sort before the (bucket,
+                                   # member) sort. OFF by default: at
+                                   # sandbox scale the extra all-to-all
+                                   # launch + barrier costs more than the
+                                   # 16 B/row it saves from the main sort
+                                   # (measured 21 s vs 13 s at 21M bucket
+                                   # rows / 32 CPUs, identical pairs); at
+                                   # true multi-node 100-TB scale network
+                                   # bytes dominate and the 3-5x shuffle
+                                   # shrink wins — flip it on there.
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:
@@ -91,7 +102,7 @@ class DedupConfig:
     # execution-only knobs: tuning them must NOT invalidate checkpoints
     # (queries derive sig_concurrency from the session CPU count, so
     # hashing them would make resumes machine-dependent)
-    _EXEC_FIELDS = ("batch_size", "sig_concurrency")
+    _EXEC_FIELDS = ("batch_size", "sig_concurrency", "singleton_prefilter")
 
     def config_hash(self) -> str:
         """Stable fingerprint of every SEMANTIC parameter — stamped into

@@ -25,7 +25,6 @@ from ordinarydumpdeduplicator_ray.sources.pages import read_pages
 from ordinarydumpdeduplicator_ray.stages.actions import apply_actions, plan_deletion, plan_isolation
 from ordinarydumpdeduplicator_ray.stages.candidates import (
     candidate_pairs,
-    duplicate_bucket_keys,
     explode_minhash_bands,
     explode_sha_buckets,
     explode_simhash_blocks,
@@ -183,13 +182,12 @@ class DedupPipeline:
             # verified, so correctness is unaffected. The merged verifier
             # attaches (sha, minhash, simhash) per side in two joins and
             # emits exact / minhash / simhash edges from one pass.
-            # candidate_pairs applies the singleton-bucket pre-filter
-            # internally (materialize explode output once, distributed
-            # column sort of the keys, broadcast-filter). A fully fused
-            # variant that re-ran the explodes with the keep set inline
-            # (explode twice, no bucket materialization) measured SLOWER
-            # here: recomputing the minhash band kernels costs more than
-            # one object-store round trip of the bucket table.
+            # the bucket union stays LAZY into candidate_pairs: with
+            # config.singleton_prefilter off (default — see config.py
+            # for the measured tradeoff) the sort is its only consumer,
+            # so the explodes fuse into the sort execution with no
+            # materialize barrier; the sorted-run emitter skips
+            # singleton buckets natively.
             reps = representative_signatures(index, sigs_uid)
             bands = explode_minhash_bands(reps, cfg, member="uid")
             blocks = explode_simhash_blocks(reps, cfg, member="uid")

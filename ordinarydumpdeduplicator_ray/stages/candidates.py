@@ -503,13 +503,16 @@ def candidate_pairs(
     pairs, member_a < member_b. See module docstring for the sorted-run
     design and member-dtype genericity.
     ``prefiltered``: the caller already dropped singleton buckets (e.g.
-    inline in the explodes via ``duplicate_bucket_keys``)."""
+    inline in the explodes via ``duplicate_bucket_keys``). Otherwise the
+    singleton pre-filter runs only when ``config.singleton_prefilter``
+    is set (see config.py — off by default at single-node scale; the
+    sorted-run emitter skips singleton runs natively either way)."""
     cap = config.max_group_pairs
     schema = bucket_rows.schema()
     member = next(n for n in schema.names if n != "bucket")
     mtype = dict(zip(schema.names, schema.types))[member]
     is_int = pa.types.is_integer(mtype)
-    if not prefiltered:
+    if not prefiltered and config.singleton_prefilter:
         # the pre-filter consumes the bucket lineage twice (key sort +
         # filter pass) — pin the explode output so it computes once
         bucket_rows = bucket_rows.materialize()
