@@ -18,6 +18,7 @@ complete stage.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
@@ -193,7 +194,9 @@ class DedupPipeline:
             blocks = explode_simhash_blocks(reps, cfg, member="uid")
             shas = explode_sha_buckets(sigs_uid, member="uid")
             buckets = bands.union(blocks).union(shas)
-            pairs = candidate_pairs(buckets, cfg, np_)
+            pairs = candidate_pairs(
+                buckets, cfg, np_, member_field=("uid", pa.int64())
+            )
             # pages passed through => margin-band pairs are re-verified
             # EXACTLY on shingle sets (config.py contract)
             return verify_pairs(pairs, sigs_uid, cfg, pages=self._pages())

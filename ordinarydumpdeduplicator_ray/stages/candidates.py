@@ -498,6 +498,7 @@ def candidate_pairs(
     config: DedupConfig,
     num_partitions: int = 16,
     prefiltered: bool = False,
+    member_field: tuple[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
     """(bucket, member) rows -> distinct candidate (member_a, member_b)
     pairs, member_a < member_b. See module docstring for the sorted-run
@@ -506,11 +507,18 @@ def candidate_pairs(
     inline in the explodes via ``duplicate_bucket_keys``). Otherwise the
     singleton pre-filter runs only when ``config.singleton_prefilter``
     is set (see config.py — off by default at single-node scale; the
-    sorted-run emitter skips singleton runs natively either way)."""
+    sorted-run emitter skips singleton runs natively either way).
+    ``member_field``: (name, arrow type) of the non-bucket column. Pass
+    it when the caller knows it statically — ``Dataset.schema()`` on a
+    lazy lineage runs a limit-1 probe execution through the explode
+    kernels, a ~0.5-2 s cluster-idle launch that this avoids."""
     cap = config.max_group_pairs
-    schema = bucket_rows.schema()
-    member = next(n for n in schema.names if n != "bucket")
-    mtype = dict(zip(schema.names, schema.types))[member]
+    if member_field is not None:
+        member, mtype = member_field
+    else:
+        schema = bucket_rows.schema()
+        member = next(n for n in schema.names if n != "bucket")
+        mtype = dict(zip(schema.names, schema.types))[member]
     is_int = pa.types.is_integer(mtype)
     if not prefiltered and config.singleton_prefilter:
         # the pre-filter consumes the bucket lineage twice (key sort +

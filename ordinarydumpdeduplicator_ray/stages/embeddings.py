@@ -126,7 +126,9 @@ def embedding_near_dup_pairs(
         batch_format="pyarrow",
         batch_size=4096,
     )
-    pairs = candidate_pairs(bucket_rows, cfg, num_partitions).materialize()
+    pairs = candidate_pairs(
+        bucket_rows, cfg, num_partitions, member_field=("url", pa.string())
+    ).materialize()
 
     pair_ids = _collect_pair_ids(pairs, _BROADCAST_ID_CAP)
     if pair_ids is not None:

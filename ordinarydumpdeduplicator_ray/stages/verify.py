@@ -203,12 +203,22 @@ def _build_sig_lookup(
     uids). Returns a ``ray.put`` ref (numpy parts read zero-copy per
     node), or None when nothing matched."""
     import functools
+    import os
+    import time as _time
 
     from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
+    _prof = os.environ.get("GRAFT_PROF") == "1"
+    _marks: list[tuple[str, float]] = [("start", _time.perf_counter())]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            _marks.append((label, _time.perf_counter()))
 
     uid_ref = ray.put(pair_uids)
     k = config.num_perm
     signatures = signatures.materialize()
+    _mark("materialize")
     rows = [
         r
         for r in map_blocks(
@@ -217,6 +227,7 @@ def _build_sig_lookup(
         )
         if r is not None
     ]
+    _mark("pack_blocks")
     if not rows:
         return None
     raw = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in rows])
@@ -249,15 +260,27 @@ def _build_sig_lookup(
         [np.frombuffer(r["sha_valid"], dtype=bool) for r in rows]
     )
     nb = np.concatenate([np.frombuffer(r["nb"], dtype=np.int64) for r in rows])
+    _mark("concat")
     urls = pa.array(
         [u for r in rows for u in r["urls"]], type=pa.string()
     )
-    return ray.put(
+    _mark("urls")
+    ref = ray.put(
         {"uids": uids, "perm": order, "urls": urls,
          "mh": mh, "mh_valid": mh_valid,
          "sh": sh, "sh_valid": sh_valid,
          "sha": sha, "sha_valid": sha_valid, "nb": nb}
     )
+    _mark("put")
+    if _prof:
+        import sys
+
+        segs = " ".join(
+            f"{lbl}={_marks[i + 1][1] - _marks[i][1]:.2f}s"
+            for i, (lbl, _) in enumerate(_marks[1:])
+        )
+        print(f"[GRAFT_PROF] build_sig_lookup {segs}", file=sys.stderr, flush=True)
+    return ref
 
 
 # process-level cache of the last fetched broadcast object: broadcast
