@@ -48,3 +48,21 @@ def map_blocks(ds: ray.data.Dataset, fn: Callable[[pa.Table], object]) -> list:
         return []
     task = ray.remote(lambda blk: fn(_as_table(blk)))
     return ray.get([task.remote(r) for r in refs])
+
+
+def map_blocks_scatter(
+    ds: ray.data.Dataset, fn: Callable[[pa.Table], tuple]
+) -> tuple[list, list]:
+    """Like ``map_blocks`` for a ``fn`` returning ``(small, payload)``:
+    the small parts are fetched to the driver (one parallel ray.get, in
+    block order), the payload parts STAY in the object store and their
+    refs are returned — pass those to a downstream ``ray.remote`` task
+    so large per-block results are assembled worker-side and never
+    transit the driver heap."""
+    refs = block_refs(ds)
+    if not refs:
+        return [], []
+    task = ray.remote(num_returns=2)(lambda blk: fn(_as_table(blk)))
+    out = [task.remote(r) for r in refs]
+    smalls = ray.get([a for a, _ in out])
+    return smalls, [b for _, b in out]

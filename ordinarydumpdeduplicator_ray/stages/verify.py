@@ -148,12 +148,14 @@ def _collect_pair_uids(pairs: ray.data.Dataset, cap: int) -> np.ndarray | None:
     return None if len(uniq) > cap else uniq
 
 
-def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> dict | None:
+def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> tuple[int, dict | None]:
     """Filter one signature block to the pair uids and pack it into flat
     binary buffers (uids, minhash matrix, simhash, 32-byte sha as 4
     uint64 words, n_bytes, validity masks) + the url list. The expensive
-    Arrow->dense-matrix packing runs HERE, in parallel tasks — the
-    driver only concatenates buffers. Returns None when no uid of this
+    Arrow->dense-matrix packing runs HERE, in parallel tasks. Returns
+    ``(row_count, payload)`` for ``map_blocks_scatter``: the count goes
+    to the driver, the payload stays in plasma for the worker-side
+    assembly (``_assemble_lookup``). ``(0, None)`` when no uid of this
     block is referenced by any pair."""
     k = ray.get(uid_ref)
     u = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -163,7 +165,7 @@ def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> dict | None:
     else:
         t = t.slice(0, 0)
     if len(t) == 0:
-        return None
+        return 0, None
     uids = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
     mh_mat, mh_valid = packed_minhash(t["minhash"], num_perm)
     sh_col = t["simhash"].combine_chunks()
@@ -174,7 +176,7 @@ def _pack_lookup_block(t: pa.Table, uid_ref, num_perm: int) -> dict | None:
     sha_mat, sha_valid = packed_minhash(t["text_sha256"], 4)
     nb = pc.fill_null(t["n_bytes"].combine_chunks(), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    return {
+    return len(t), {
         "uids": uids.tobytes(),
         "mh": np.ascontiguousarray(mh_mat).tobytes(),
         "mh_valid": mh_valid.tobytes(),
@@ -197,16 +199,18 @@ def _build_sig_lookup(
     signatures' own pinned blocks (``stages/blockops.py`` — in the
     flagship the salt-0 uid column is derived inside the signature
     stage, so ``signatures`` is already materialized and this costs no
-    extra streaming-executor launch); the driver work is buffer
-    concatenation + ONE argsort + numpy gathers (memcpy-bound — the
-    previous driver-side Arrow concat/take/pack measured ~24 s at 626k
-    uids). Returns a ``ray.put`` ref (numpy parts read zero-copy per
-    node), or None when nothing matched."""
+    extra streaming-executor launch); per-block payloads stay in plasma
+    (``map_blocks_scatter``) and the buffer concatenation + ONE argsort
+    run in a single remote ``_assemble_lookup`` task whose output IS the
+    broadcast object — the ~300 MB+ matrix never transits the driver
+    heap (the driver-side concat measured 1-2.4 s at 310k uids, all
+    first-touch allocation). Returns an ObjectRef (numpy parts read
+    zero-copy per node), or None when nothing matched."""
     import functools
     import os
     import time as _time
 
-    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks_scatter
 
     _prof = os.environ.get("GRAFT_PROF") == "1"
     _marks: list[tuple[str, float]] = [("start", _time.perf_counter())]
@@ -219,17 +223,35 @@ def _build_sig_lookup(
     k = config.num_perm
     signatures = signatures.materialize()
     _mark("materialize")
-    rows = [
-        r
-        for r in map_blocks(
-            signatures,
-            functools.partial(_pack_lookup_block, uid_ref=uid_ref, num_perm=k),
-        )
-        if r is not None
-    ]
+    counts, payload_refs = map_blocks_scatter(
+        signatures,
+        functools.partial(_pack_lookup_block, uid_ref=uid_ref, num_perm=k),
+    )
     _mark("pack_blocks")
-    if not rows:
+    keep = [r for c, r in zip(counts, payload_refs) if c]
+    if not keep:
         return None
+    ref = _assemble_lookup.remote(k, *keep)
+    _mark("assemble_submit")
+    if _prof:
+        import sys
+
+        segs = " ".join(
+            f"{lbl}={_marks[i + 1][1] - _marks[i][1]:.2f}s"
+            for i, (lbl, _) in enumerate(_marks[1:])
+        )
+        print(f"[GRAFT_PROF] build_sig_lookup {segs}", file=sys.stderr, flush=True)
+    return ref
+
+
+@ray.remote
+def _assemble_lookup(k: int, *rows: dict) -> dict:
+    """Worker-side assembly of the packed per-block payloads into the
+    dense uid-sorted broadcast lookup. Runs as ONE remote task: reads
+    the payloads from plasma, concatenates buffers, computes the sort
+    permutation, and returns the dict — Ray stores the task output in
+    the object store directly, so no driver copy and no extra
+    ``ray.put``."""
     raw = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in rows])
     order = np.argsort(raw, kind="stable")
     uids = raw[order]
@@ -260,27 +282,13 @@ def _build_sig_lookup(
         [np.frombuffer(r["sha_valid"], dtype=bool) for r in rows]
     )
     nb = np.concatenate([np.frombuffer(r["nb"], dtype=np.int64) for r in rows])
-    _mark("concat")
     urls = pa.array(
         [u for r in rows for u in r["urls"]], type=pa.string()
     )
-    _mark("urls")
-    ref = ray.put(
-        {"uids": uids, "perm": order, "urls": urls,
-         "mh": mh, "mh_valid": mh_valid,
-         "sh": sh, "sh_valid": sh_valid,
-         "sha": sha, "sha_valid": sha_valid, "nb": nb}
-    )
-    _mark("put")
-    if _prof:
-        import sys
-
-        segs = " ".join(
-            f"{lbl}={_marks[i + 1][1] - _marks[i][1]:.2f}s"
-            for i, (lbl, _) in enumerate(_marks[1:])
-        )
-        print(f"[GRAFT_PROF] build_sig_lookup {segs}", file=sys.stderr, flush=True)
-    return ref
+    return {"uids": uids, "perm": order, "urls": urls,
+            "mh": mh, "mh_valid": mh_valid,
+            "sh": sh, "sh_valid": sh_valid,
+            "sha": sha, "sha_valid": sha_valid, "nb": nb}
 
 
 # process-level cache of the last fetched broadcast object: broadcast
