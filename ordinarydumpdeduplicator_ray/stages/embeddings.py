@@ -153,7 +153,7 @@ def _collect_pair_ids(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
     import pyarrow.compute as pc
 
     chunks: list[pa.Array] = []
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
         chunks.append(_parse_ids(b["url_a"].combine_chunks()))
         chunks.append(_parse_ids(b["url_b"].combine_chunks()))
     if not chunks:

@@ -182,7 +182,7 @@ def representative_signatures(
 
     chunks = [
         b["canonical_uid"].combine_chunks().to_numpy(zero_copy_only=False)
-        for b in index.iter_batches(batch_format="pyarrow")
+        for b in index.iter_batches(batch_size=None, batch_format="pyarrow")
         if len(b)
     ]
     uids = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)

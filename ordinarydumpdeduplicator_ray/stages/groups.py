@@ -127,7 +127,9 @@ def component_groups(
         if joined.count() <= 5_000_000:
             import pyarrow as _pa
 
-            tbl = _pa.concat_tables(joined.iter_batches(batch_format="pyarrow"))
+            tbl = _pa.concat_tables(
+                joined.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
             return ray.data.from_arrow(_component_groups_local(tbl))
     else:
         sizes = signatures.map_batches(

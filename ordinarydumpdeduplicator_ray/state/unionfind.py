@@ -51,19 +51,25 @@ class UnionFind:
         self.size[ra] += self.size[rb]
 
 
-def _min_rank_components(ca, cb, urls_np):
+def _min_rank_components(ca, cb, urls):
     """Vectorized exact connected components over integer-coded edge
     arrays: min-rank label propagation with pointer doubling
     (O(E) ``np.minimum.at`` per round, O(log diameter) rounds).
-    Returns, for every code, the url of its component's lexicographic
-    minimum. Shared by the driver path (whole edge set) and the
-    distributed path (per-block local contraction)."""
+    ``urls`` is the Arrow string dictionary the codes index into — the
+    lexicographic rank comes from ``pc.sort_indices`` (C++ string sort;
+    the previous object-dtype ``np.argsort`` plus ``to_pylist`` cost
+    ~10+ s at 1.2M urls on the driver). Returns ``(rank_order,
+    labels)`` over codes. Shared by the driver path (whole edge set)
+    and the distributed path (per-block local contraction)."""
     import numpy as np
+    import pyarrow.compute as pc
 
-    m = len(urls_np)
+    m = len(urls)
     # rank space: label r means "min url seen so far is the r-th
     # smallest" — min-rank propagation == min-url propagation
-    rank_order = np.argsort(urls_np)          # rank -> code
+    rank_order = pc.sort_indices(urls).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)                        # rank -> code
     labels = np.empty(m, dtype=np.int64)      # code -> current min rank
     labels[rank_order] = np.arange(m)
     for _ in range(200):
@@ -123,14 +129,13 @@ def components_from_edges(edges: ray.data.Dataset) -> pa.Table:
         return empty
     n_edges = len(codes) // 2
     ca, cb = codes[:n_edges], codes[n_edges:]
-    urls_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    m = len(urls_np)
-    rank_order, labels = _min_rank_components(ca, cb, urls_np)
-    comp_urls = urls_np[rank_order[labels]]
+    urls_dict = enc.dictionary
+    m = len(urls_dict)
+    rank_order, labels = _min_rank_components(ca, cb, urls_dict)
     out_order = rank_order  # emit sorted by url for determinism
     cols = {
-        "url": pa.array(urls_np[out_order], type=pa.string()),
-        "component_id": pa.array(comp_urls[out_order], type=pa.string()),
+        "url": urls_dict.take(pa.array(out_order)),
+        "component_id": urls_dict.take(pa.array(rank_order[labels][out_order])),
     }
     if have_nb:
         na = pc.fill_null(
@@ -261,12 +266,12 @@ def label_propagation(
         )
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ne = len(codes) // 2
-        urls_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        rank_order, lab = _min_rank_components(codes[:ne], codes[ne:], urls_np)
+        urls_dict = enc.dictionary
+        rank_order, lab = _min_rank_components(codes[:ne], codes[ne:], urls_dict)
         return pa.table(
             {
-                "url": pa.array(urls_np, type=pa.string()),
-                "label": pa.array(urls_np[rank_order[lab]], type=pa.string()),
+                "url": urls_dict,
+                "label": urls_dict.take(pa.array(rank_order[lab])),
             }
         )
 
