@@ -368,3 +368,48 @@ class TestDriverFastPaths:
         assert sorted(set(drv)) == sorted(set(dist))
         # driver path itself must be exactly distinct
         assert len(drv) == len(set(drv))
+
+
+class TestBlockopsScatter:
+    def test_scatter_order_and_payload_refs(self, ray_session):
+        """map_blocks_scatter: small parts come back in block order;
+        payload refs stay in the object store and resolve to the
+        per-block payloads a downstream task can consume."""
+        import ray
+        import ray.data
+
+        from ordinarydumpdeduplicator_ray.stages.blockops import (
+            map_blocks_scatter,
+        )
+
+        t = pa.table({"x": pa.array(list(range(100)), type=pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(7).materialize()
+
+        def fn(tbl: pa.Table):
+            s = int(pa.compute.sum(tbl["x"]).as_py() or 0)
+            return len(tbl), {"sum": s}
+
+        smalls, refs = map_blocks_scatter(ds, fn)
+        assert sum(smalls) == 100
+        assert len(smalls) == len(refs)
+        payloads = ray.get(list(refs))
+        assert sum(p["sum"] for p in payloads) == sum(range(100))
+
+        @ray.remote
+        def assemble(*rows):
+            return sum(r["sum"] for r in rows)
+
+        assert ray.get(assemble.remote(*refs)) == sum(range(100))
+
+    def test_scatter_empty_dataset(self, ray_session):
+        import ray.data
+
+        from ordinarydumpdeduplicator_ray.stages.blockops import (
+            map_blocks_scatter,
+        )
+
+        empty = ray.data.from_arrow(
+            pa.table({"x": pa.array([], type=pa.int64())})
+        ).materialize()
+        smalls, refs = map_blocks_scatter(empty, lambda t: (len(t), None))
+        assert smalls == [] and refs == []
