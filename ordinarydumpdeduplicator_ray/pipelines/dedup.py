@@ -26,9 +26,8 @@ from ordinarydumpdeduplicator_ray.sources.pages import read_pages
 from ordinarydumpdeduplicator_ray.stages.actions import apply_actions, plan_deletion, plan_isolation
 from ordinarydumpdeduplicator_ray.stages.candidates import (
     candidate_pairs,
-    explode_minhash_bands,
+    explode_band_and_block_buckets,
     explode_sha_buckets,
-    explode_simhash_blocks,
 )
 from ordinarydumpdeduplicator_ray.stages.groups import (
     component_groups,
@@ -190,10 +189,14 @@ class DedupPipeline:
             # materialize barrier; the sorted-run emitter skips
             # singleton buckets natively.
             reps = representative_signatures(index, sigs_uid)
-            bands = explode_minhash_bands(reps, cfg, member="uid")
-            blocks = explode_simhash_blocks(reps, cfg, member="uid")
+            # band + simhash-table families in ONE fused pass over the
+            # reps lineage (a lazy union would re-run the rep filter and
+            # sketch-column decode per family — a full extra pass over
+            # ~1 KiB/row of sketch bytes); bucket values bit-identical
+            # to the unfused explodes
+            bb = explode_band_and_block_buckets(reps, cfg, member="uid")
             shas = explode_sha_buckets(sigs_uid, member="uid")
-            buckets = bands.union(blocks).union(shas)
+            buckets = bb.union(shas)
             pairs = candidate_pairs(
                 buckets, cfg, np_, member_field=("uid", pa.int64())
             )

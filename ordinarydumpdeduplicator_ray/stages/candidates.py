@@ -237,6 +237,66 @@ def explode_sha_buckets(
     return signatures.map_batches(explode, batch_format="pyarrow")
 
 
+def explode_band_and_block_buckets(
+    signatures: ray.data.Dataset,
+    config: DedupConfig,
+    member: str = "url",
+) -> ray.data.Dataset:
+    """Fused LSH-band + SimHash-table explode: one ``map_batches`` pass
+    emits BOTH bucket families. Semantically identical to
+    ``explode_minhash_bands(...).union(explode_simhash_blocks(...))``
+    but consumes the (large — ~1 KiB/row of sketch bytes) signature
+    lineage ONCE instead of twice: with a lazy upstream the union
+    re-executes the representative filter and batch decode per family,
+    a full extra pass over the sketch columns (~3.3 GB at 3.2M reps).
+    Band keys are salted per band index and table keys per Manku
+    combination exactly as in the unfused explodes, so bucket values
+    are bit-identical."""
+    b, r = config.lsh_bands, config.lsh_rows
+    k = config.num_perm
+    blocks = config.simhash_blocks
+    clean = config.simhash_clean_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mtype = batch.schema.field(member).type if member in batch.column_names \
+            else pa.string()
+        is_int = pa.types.is_integer(mtype)
+        if len(batch) == 0:
+            return _bucket_schema(member, mtype).empty_table()
+        members_np = _member_np(batch[member], is_int)
+        flats: list[np.ndarray] = []
+        mems: list[np.ndarray] = []
+        mat, valid = packed_minhash(batch["minhash"], k)
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            mat = mat[idx]
+            keys = np.empty((len(idx), b), dtype=np.uint64)
+            for band in range(b):
+                keys[:, band] = combine_hash_rows(
+                    mat[:, band * r : (band + 1) * r], salt=band
+                )
+            flats.append(keys.reshape(-1).view(np.int64))
+            mems.append(np.repeat(members_np[idx], b))
+        col = batch["simhash"].combine_chunks() \
+            if isinstance(batch["simhash"], pa.ChunkedArray) else batch["simhash"]
+        svalid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        sidx = np.flatnonzero(svalid)
+        if len(sidx):
+            sims = pc.fill_null(col, 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)[sidx]
+            skeys = simhash_block_keys(sims, blocks, clean)
+            flats.append(skeys.reshape(-1).view(np.int64))
+            mems.append(np.repeat(members_np[sidx], skeys.shape[1]))
+        if not flats:
+            return _bucket_schema(member, mtype).empty_table()
+        return _bucket_table(
+            np.concatenate(flats), np.concatenate(mems), None, member, mtype
+        )
+
+    return signatures.map_batches(explode, batch_format="pyarrow")
+
+
 def _all_pairs(run: np.ndarray, out_a: list, out_b: list) -> None:
     i, j = np.triu_indices(len(run), k=1)
     out_a.append(run[i])

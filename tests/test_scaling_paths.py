@@ -413,3 +413,51 @@ class TestBlockopsScatter:
         ).materialize()
         smalls, refs = map_blocks_scatter(empty, lambda t: (len(t), None))
         assert smalls == [] and refs == []
+
+
+class TestFusedExplode:
+    def test_fused_equals_union_of_unfused(self, ray_session):
+        """explode_band_and_block_buckets must emit exactly the same
+        (bucket, uid) multiset as the union of the two unfused
+        explodes — the flagship swaps one for the other purely to cut
+        a second pass over the sketch columns."""
+        import ray.data
+
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.schemas import STATUS_BROKEN
+        from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+        from ordinarydumpdeduplicator_ray.stages.candidates import (
+            explode_band_and_block_buckets,
+            explode_minhash_bands,
+            explode_simhash_blocks,
+        )
+        from ordinarydumpdeduplicator_ray.stages.grouped import (
+            exact_group_index,
+            representative_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            assign_uids,
+            compute_signatures,
+        )
+
+        pages, _ = generate_pages(120, seed=11)
+        cfg = DedupConfig(sig_concurrency=2)
+        sigs = compute_signatures(ray.data.from_arrow(pages), cfg).materialize()
+        sigs, _salt = assign_uids(sigs, 4)
+        index = exact_group_index(
+            sigs.filter(expr=f"status != '{STATUS_BROKEN}'"), sort_partitions=4
+        ).materialize()
+        reps = representative_signatures(index, sigs).materialize()
+
+        fused = _sorted_rows(
+            explode_band_and_block_buckets(reps, cfg, member="uid"),
+            ["bucket", "uid"],
+        )
+        unfused = _sorted_rows(
+            explode_minhash_bands(reps, cfg, member="uid").union(
+                explode_simhash_blocks(reps, cfg, member="uid")
+            ),
+            ["bucket", "uid"],
+        )
+        assert len(fused) > 0
+        assert fused == unfused
