@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_stats": q.user_session_stats,
         "page_locations": q.page_locations,
         "snapshot_diff": q.snapshot_diff,
+        "incremental_dedup_stats": q.incremental_dedup_stats,
         "dedup_actions_by_ts": q.dedup_actions_by_ts,
         "lang_dup_stats": q.lang_dup_stats,
         "latest_page_versions": q.latest_page_versions,
@@ -325,6 +326,22 @@ lv AS (
 )
 SELECT level, prefix, count(*) AS n_dup_pages, CAST(sum(nb) AS BIGINT) AS dup_bytes
 FROM lv GROUP BY 1, 2
+""",
+        # the incremental scan's reuse decision per url: present in BOTH
+        # snapshots with identical text (the %11 / %13 / %7 snapshot
+        # derivation, see _snapshot_pages) — column names match the Ray
+        # result exactly (sig_source, n)
+        "incremental_dedup_stats": """
+WITH cur AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0)
+SELECT sig_source, n FROM (
+  SELECT CAST('recomputed' AS VARCHAR) AS sig_source,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cur WHERE doc_id % 11 = 0 OR doc_id % 7 = 0
+  UNION ALL
+  SELECT CAST('reused' AS VARCHAR),
+         CAST(count(*) AS BIGINT)
+  FROM cur WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 0
+) ORDER BY sig_source
 """,
         "snapshot_diff": f"""
 WITH {_SNAP_PREV_CTE},

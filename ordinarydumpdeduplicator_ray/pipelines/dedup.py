@@ -63,6 +63,7 @@ class DedupPipeline:
         self.max_driver_edges = 50_000_000
         self._input: str | ray.data.Dataset | None = None
         self._fingerprint: str | None = None
+        self._prior_sigs: ray.data.Dataset | None = None
         self.results: dict[str, ray.data.Dataset] = {}
         # per-stage run metrics (rows out, wall sec, resumed?) — the
         # CountFilesAndSize analogue (OrdinaryDumpDeduplicator.cs:208-222)
@@ -109,6 +110,21 @@ class DedupPipeline:
         self.results[name] = ds
         return ds
 
+    def register_prior_signatures(
+        self, prior: "str | ray.data.Dataset"
+    ) -> "DedupPipeline":
+        """Signatures of the PREVIOUS run (a Dataset, or the parquet dir
+        of the previous run's ``signatures`` stage checkpoint):
+        ``run_scan`` then reuses the prior sketch rows for urls whose
+        extracted text is unchanged and recomputes only new/changed
+        pages (the reference's re-inspection semantics,
+        ``DataControllerSimple.cs:190-213`` — see
+        ``stages/incremental.py``)."""
+        if isinstance(prior, str):
+            prior = ray.data.read_parquet(prior)
+        self._prior_sigs = prior
+        return self
+
     # --- reference verb: DoInspection ------------------------------------
     def run_scan(self) -> ray.data.Dataset:
         """pages -> signatures (extract + sha256 + minhash + simhash).
@@ -117,7 +133,22 @@ class DedupPipeline:
         INPUT SHARD (state/checkpoint.write_scan_sharded): a killed job
         resumes mid-stage, re-hashing only the shards whose output is
         missing — stage-granularity resume alone would re-run the whole
-        (longest) stage."""
+        (longest) stage. With prior signatures registered, the scan is
+        INCREMENTAL instead: unchanged urls reuse the prior sketches."""
+        if self._prior_sigs is not None:
+            from ordinarydumpdeduplicator_ray.stages.incremental import (
+                incremental_signatures,
+            )
+
+            def build() -> ray.data.Dataset:
+                sigs, info = incremental_signatures(
+                    self._pages(), self._prior_sigs, self.config,
+                    self.num_partitions,
+                )
+                self.metrics["signatures_reuse"] = info
+                return sigs
+
+            return self._stage("signatures", build)
         if self.checkpoint_dir and isinstance(self._input, str):
             import time as _time
 

@@ -1205,6 +1205,37 @@ def snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def incremental_dedup_stats(sf_dir: str) -> "pa.Table":
+    """Incremental re-crawl scan (stages/incremental.py — the
+    reference's re-inspection, DataControllerSimple.cs:190-213): run
+    the full signature stage on the PREVIOUS snapshot, then scan the
+    CURRENT snapshot reusing prior sketch rows for urls whose extracted
+    text is unchanged. Emits the reused/recomputed row split, which the
+    deterministic snapshot construction makes SQL-derivable; a pytest
+    asserts the incremental signatures are bit-identical to a full
+    recompute."""
+    from ordinarydumpdeduplicator_ray.stages.incremental import (
+        incremental_signatures,
+    )
+    from ordinarydumpdeduplicator_ray.stages.signatures import compute_signatures
+
+    cfg = _qcfg()
+    prior = compute_signatures(
+        _snapshot_pages(sf_dir, "prev"), cfg
+    ).materialize()
+    _sigs, info = incremental_signatures(
+        _snapshot_pages(sf_dir, "cur"), prior, cfg, _nparts()
+    )
+    return pa.table(
+        {
+            "sig_source": pa.array(["recomputed", "reused"], type=pa.string()),
+            "n": pa.array(
+                [info["n_recomputed"], info["n_reused"]], type=pa.int64()
+            ),
+        }
+    )
+
+
 def latest_page_versions(sf_dir: str) -> ray.data.Dataset:
     """Scope-to-latest-inspection (DataControllerSimple.cs:190-208):
     union of both snapshots -> the latest version per url (sorted-run

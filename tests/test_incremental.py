@@ -1,0 +1,107 @@
+"""Incremental re-crawl scan (stages/incremental.py): reusing the prior
+run's sketch rows must be invisible in the OUTPUT — bit-identical
+signatures and identical downstream dedup results — and visible only in
+the work split (n_reused / n_recomputed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _sig_rows(ds):
+    cols = ["url", "status", "content_sha256", "text_sha256", "n_bytes",
+            "n_tokens", "minhash", "simhash"]
+    rows = [tuple(r[c] for c in cols) for r in ds.take_all()]
+    return sorted(rows)
+
+
+def _two_snapshots(n=220, seed=7):
+    """prev: original texts; cur: every 5th url's text edited, every
+    9th url new (absent from prev), every 11th prev url removed."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+
+    pages, _ = generate_pages(n, seed=seed)
+    urls = pages["url"].to_pylist()
+    texts = pages["text"].to_pylist()
+    htmls = pages["html"].to_pylist()
+
+    prev_rows = {"url": [], "html": [], "text": []}
+    cur_rows = {"url": [], "html": [], "text": []}
+    for i, (u, h, t) in enumerate(zip(urls, htmls, texts)):
+        if i % 9 != 0:
+            prev_rows["url"].append(u)
+            prev_rows["html"].append(h)
+            prev_rows["text"].append(t)
+        if i % 11 != 0:
+            cur_rows["url"].append(u)
+            cur_rows["html"].append(h)
+            cur_rows["text"].append(
+                (t + " edited") if (t is not None and i % 5 == 0) else t
+            )
+    mk = lambda d: ray.data.from_arrow(pa.table({
+        "url": pa.array(d["url"], type=pa.string()),
+        "html": pa.array(d["html"], type=pa.binary()),
+        "text": pa.array(d["text"], type=pa.string()),
+    }))
+    return mk(prev_rows), mk(cur_rows)
+
+
+class TestIncrementalSignatures:
+    def test_bit_identical_to_full_recompute(self, ray_session):
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.incremental import (
+            incremental_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots()
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev, cfg).materialize()
+        full = compute_signatures(cur, cfg)
+        inc, info = incremental_signatures(cur, prior, cfg, num_partitions=4)
+
+        assert _sig_rows(inc) == _sig_rows(full)
+        assert info["n_reused"] > 0 and info["n_recomputed"] > 0
+        assert info["n_reused"] + info["n_recomputed"] == cur.count()
+        # every edited-url and every url absent from prev must recompute
+        reused_allowed = {
+            r["url"] for r in prev.select_columns(["url"]).take_all()
+        }
+        # count expectation straight from the construction
+        cur_urls = [r["url"] for r in cur.select_columns(["url"]).take_all()]
+        assert info["n_recomputed"] >= len(
+            [u for u in cur_urls if u not in reused_allowed]
+        )
+
+    def test_pipeline_with_prior_matches_fresh_run(self, ray_session):
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots()
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev, cfg).materialize()
+
+        fresh = DedupPipeline(cfg, num_partitions=4)
+        out_fresh = fresh.run(cur)
+
+        inc = DedupPipeline(cfg, num_partitions=4)
+        inc.register_prior_signatures(prior)
+        out_inc = inc.run(cur)
+
+        assert inc.metrics["signatures_reuse"]["n_reused"] > 0
+        for key in ("groups_exact", "components", "groups_near", "actions"):
+            a = sorted(
+                tuple(sorted(r.items())) for r in out_fresh[key].take_all()
+            )
+            b = sorted(
+                tuple(sorted(r.items())) for r in out_inc[key].take_all()
+            )
+            assert a == b, key
