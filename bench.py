@@ -97,6 +97,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_fingerprints",
         "decontaminate",
         "snapshot_diff",
+        "incremental_dedup_stats",
         "dedup_actions_by_ts",
         "curate_corpus",
         "corpus_split",
