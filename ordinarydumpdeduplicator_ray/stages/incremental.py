@@ -24,12 +24,18 @@ re-crawled corpus:
    reference's Removed scope — dedup runs on the latest snapshot,
    ``DataControllerSimple.cs:250-258``).
 
-Scale note: the reuse join shuffles ~1 KiB of sketch bytes per
-unchanged row, which is far cheaper than recomputing the sketches
-(~hundreds of µs/doc/core) and is the only exchange this stage adds;
-the key side is 70 B/row. At 100 TB the prior signatures are the
-previous run's ``signatures`` stage checkpoint (partitioned Parquet) —
-no page payload is ever re-read for unchanged urls.
+Scale note: below ``_INCR_BROADCAST_CAP`` distinct urls per side the
+reuse is MAP-ONLY — the narrow (url, sha[, content_sha]) key tables
+broadcast once via ``ray.put`` and each side filters its own rows in
+place, so the ~1 KiB/row sketch bytes never enter a shuffle (the same
+sketches-never-shuffle rule as ``representative_signatures``; a
+measured sketch-shuffle variant was SLOWER than full recompute at 960k
+docs / 32 CPUs because these kernels are fast). Above the cap the
+hash-join fallback shuffles the sketch payload once — still cheaper
+than recompute when docs are long or the kernel config is heavy. At
+100 TB the prior signatures are the previous run's ``signatures``
+stage checkpoint (partitioned Parquet) — no page payload is ever
+re-read for unchanged urls.
 """
 
 from __future__ import annotations
@@ -66,25 +72,320 @@ _SIG_SCHEMA = pa.schema(
 )
 
 
+# per-side distinct-url cap for the map-only broadcast reuse: the
+# broadcast key tables are ~120 B/row (url + two shas), so the cap is a
+# ~1 GiB plasma object — beyond it the shuffle-join fallback takes over
+_INCR_BROADCAST_CAP = 8_000_000
+
+
+def _sig_cols(has_ts: bool) -> list[str]:
+    return SIG_COLUMNS + (["warc_ts"] if has_ts else [])
+
+
+def _sig_schema(has_ts: bool, ts_type: pa.DataType | None = None) -> pa.Schema:
+    if not has_ts:
+        return _SIG_SCHEMA
+    return _SIG_SCHEMA.append(
+        pa.field("warc_ts", ts_type or pa.timestamp("us"))
+    )
+
+
+
+def _url_index(tbl: pa.Table) -> dict:
+    """Broadcastable url index over a key table: sorted int64 SipHash
+    uids + the row permutation mapping sorted position -> table row.
+    Per-batch matching is then one vectorized ``np.searchsorted`` plus
+    an exact url string confirm on the candidates — O(batch log n) per
+    batch instead of ``pc.index_in``'s O(n) value-set hash rebuild per
+    batch (measured: the rebuild made a 3-pass ts+sha reuse SLOWER than
+    recompute at 960k urls)."""
+    import numpy as np
+
+    uids = tbl["__uid"].combine_chunks().to_numpy(zero_copy_only=False)
+    tbl = tbl.drop_columns(["__uid"])
+    order = np.argsort(uids, kind="stable")
+    return {"tbl": tbl, "uids": uids[order], "order": order}
+
+
+def _match_urls(t: pa.Table, idx: dict) -> tuple:
+    """(candidate mask over t's rows, matched lut rows aligned with the
+    kept rows). Exact: uid collisions are rejected by the url string
+    compare, so the mask admits only true url matches."""
+    import numpy as np
+
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+
+    lut, uids, order = idx["tbl"], idx["uids"], idx["order"]
+    if len(lut) == 0 or len(t) == 0:
+        return np.zeros(len(t), dtype=bool), lut.slice(0, 0)
+    u = url_uids(t["url"])
+    pos = np.minimum(np.searchsorted(uids, u), len(uids) - 1)
+    cand = uids[pos] == u
+    rows = order[pos]
+    taken = lut.take(pa.array(np.where(cand, rows, 0)))
+    same_url = pc.fill_null(pc.equal(t["url"], taken["url"]), False) \
+        .to_numpy(zero_copy_only=False)
+    mask = cand & same_url
+    return mask, taken.filter(pa.array(mask))
+
+
 def incremental_signatures(
     pages: ray.data.Dataset,
     prior: ray.data.Dataset,
     config: DedupConfig | None = None,
     num_partitions: int | None = None,
+    trust_ts: bool = False,
 ) -> tuple[ray.data.Dataset, dict]:
     """(current pages, prior run's signatures) -> (current signatures,
     stats). Output rows are bit-identical to ``compute_signatures`` on
     the current snapshot alone; only the work differs — sketches are
     recomputed solely for urls whose extracted text changed or is new.
+    Urls must be unique per side (a crawl snapshot / a prior run's
+    signature table).
 
-    Stats: ``{"n_reused": int, "n_recomputed": int}``."""
+    ``trust_ts``: when both sides carry ``warc_ts``, rows whose
+    (url, warc_ts) matches the prior run are reused WITHOUT being
+    extracted or hashed — the reference's metadata gate (file size/dates
+    decide "unchanged" without reading content,
+    ``FileSystemProvider.cs:21-25``, ``DataControllerSimple.cs:190-208``).
+    This skips the page read-side work entirely for the unchanged bulk
+    of a re-crawl; it is exact only under the crawl's guarantee that an
+    unchanged timestamp implies unchanged content.
+
+    Stats: ``{"n_reused": int, "n_recomputed": int[, "n_reused_ts":
+    int]}`` — ``n_reused`` counts sha-verified reuse."""
+    import ray
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
     cfg = config or DedupConfig()
+    prior = prior.materialize()
+    reused_ts = None
+    n_reused_ts = 0
+    if trust_ts:
+        pages = pages.materialize()
+        p_names = (pages.schema().names or [])
+        pr_names = (prior.schema().names or [])
+        if (
+            "warc_ts" in p_names
+            and "warc_ts" in pr_names
+            and pages.count() <= _INCR_BROADCAST_CAP
+            and prior.count() <= _INCR_BROADCAST_CAP
+        ):
+            cur_ts_ref = ray.put(
+                _url_index(_keys_table(pages, ["url", "warc_ts"]))
+            )
+            prior_ts_ref = ray.put(
+                _url_index(_keys_table(prior, ["url", "warc_ts"]))
+            )
+            ts_type = pages.schema().types[p_names.index("warc_ts")]
+            out_cols = _sig_cols(True)
+
+            def _ts_mask(t: pa.Table, ref):
+                import numpy as np
+
+                mask, taken = _match_urls(t, _get_broadcast(ref))
+                if not mask.any():
+                    return mask
+                same = pc.and_kleene(
+                    pc.is_valid(t.filter(pa.array(mask))["warc_ts"]),
+                    pc.equal(
+                        t.filter(pa.array(mask))["warc_ts"],
+                        taken["warc_ts"],
+                    ),
+                )
+                same_np = pc.fill_null(same, False).to_numpy(
+                    zero_copy_only=False
+                )
+                out = np.zeros(len(t), dtype=bool)
+                out[np.flatnonzero(mask)] = same_np
+                return out
+
+            def emit_ts_reused(t: pa.Table) -> pa.Table:
+                keep = t.filter(pa.array(_ts_mask(t, cur_ts_ref)))
+                if len(keep) == 0:
+                    return _sig_schema(True, ts_type).empty_table()
+                return keep.select(out_cols)
+
+            def drop_ts_matched(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                return t.filter(pa.array(~_ts_mask(t, prior_ts_ref)))
+
+            reused_ts = prior.map_batches(
+                emit_ts_reused, batch_format="pyarrow"
+            ).materialize()
+            n_reused_ts = reused_ts.count()
+            pages = pages.map_batches(
+                drop_ts_matched, batch_format="pyarrow"
+            )
     cur = pages.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size
     ).materialize()
+    if (
+        cur.count() <= _INCR_BROADCAST_CAP
+        and prior.count() <= _INCR_BROADCAST_CAP
+    ):
+        signatures, info = _incremental_broadcast(cur, prior, cfg)
+    else:
+        signatures, info = _incremental_join(cur, prior, cfg, num_partitions)
+    if reused_ts is not None:
+        info["n_reused_ts"] = n_reused_ts
+        if n_reused_ts:
+            # lazy union of MATERIALIZED parts: re-executes nothing and
+            # skips a ~GiB object-store copy of the sketch blocks
+            signatures = (
+                reused_ts
+                if info["n_reused"] + info["n_recomputed"] == 0
+                else signatures.union(reused_ts)
+            )
+    return signatures, info
+
+
+def _keys_table(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
+    """Narrow key-column table of a MATERIALIZED dataset plus a
+    ``__uid`` int64 column (SipHash of url), assembled via per-block
+    projection tasks — the uid hashing runs in the parallel tasks, not
+    on the driver (hashing ~1M object urls driver-side measured ~2 s
+    per index build)."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select(columns)
+        return t.append_column(
+            "__uid", pa.array(url_uids(t["url"]), type=pa.int64())
+        )
+
+    parts = [t for t in map_blocks(ds, project) if len(t)]
+    if not parts:
+        schema = ds.schema()
+        fields = [
+            pa.field(c, schema.types[schema.names.index(c)]) for c in columns
+        ] + [pa.field("__uid", pa.int64())]
+        return pa.schema(fields).empty_table()
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def _incremental_broadcast(
+    cur: ray.data.Dataset, prior: ray.data.Dataset, cfg: DedupConfig
+) -> tuple[ray.data.Dataset, dict]:
+    """Map-only reuse: broadcast the current snapshot's narrow keys to
+    the prior side (which emits its reusable sketch rows in place —
+    sketches never shuffle) and the prior keys to the current side
+    (which recomputes only unmatched rows)."""
+    import functools
+
+    import ray
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    schema = cur.schema()
+    has_ts = "warc_ts" in (schema.names or [])
+    ts_type = (
+        schema.types[schema.names.index("warc_ts")] if has_ts else None
+    )
+    key_cols = ["url", "text_sha256", "content_sha256"] + (
+        ["warc_ts"] if has_ts else []
+    )
+    cur_ref = ray.put(_url_index(_keys_table(cur, key_cols)))
+    prior_ref = ray.put(
+        _url_index(_keys_table(prior, ["url", "text_sha256"]))
+    )
+
+    def _sha_mask(t: pa.Table, ref):
+        import numpy as np
+
+        mask, taken = _match_urls(t, _get_broadcast(ref))
+        if not mask.any():
+            return mask, taken
+        cand = t.filter(pa.array(mask))
+        same = pc.and_kleene(
+            pc.is_valid(cand["text_sha256"]),
+            pc.equal(cand["text_sha256"], taken["text_sha256"]),
+        )
+        same_np = pc.fill_null(same, False).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(t), dtype=bool)
+        out[np.flatnonzero(mask)] = same_np
+        return out, taken.filter(pa.array(same_np))
+
+    def emit_reused(t: pa.Table) -> pa.Table:
+        keep_mask, sha_cur = _sha_mask(t, cur_ref)
+        if not keep_mask.any():
+            return _sig_schema(has_ts, ts_type).empty_table()
+        keep = t.filter(pa.array(keep_mask))
+        cols = {
+            "url": keep["url"],
+            "status": keep["status"],
+            "content_sha256": sha_cur["content_sha256"],
+            "text_sha256": keep["text_sha256"],
+            "n_bytes": keep["n_bytes"],
+            "n_tokens": keep["n_tokens"],
+            "minhash": keep["minhash"],
+            "simhash": keep["simhash"],
+        }
+        if has_ts:
+            # the CURRENT crawl's timestamp, not the prior one — output
+            # must be bit-identical to a full recompute of cur
+            cols["warc_ts"] = sha_cur["warc_ts"]
+        return pa.table(cols)
+
+    def filter_changed(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        reused_mask, _ = _sha_mask(t, prior_ref)
+        return t.filter(pa.array(~reused_mask))
+
+    reused = prior.map_batches(
+        emit_reused, batch_format="pyarrow"
+    ).materialize()
+    n_reused = reused.count()
+    recomputed = (
+        cur.map_batches(filter_changed, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_signature_batch, config=cfg, keep_text=False),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        .map_batches(
+            lambda t: t.select(_sig_cols(has_ts))
+            if len(t)
+            else _sig_schema(has_ts, ts_type).empty_table(),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_recomputed = recomputed.count()
+    if n_reused == 0:
+        signatures = recomputed
+    elif n_recomputed == 0:
+        signatures = reused
+    else:
+        signatures = reused.union(recomputed)
+    return signatures, {"n_reused": n_reused, "n_recomputed": n_recomputed}
+
+
+def _incremental_join(
+    cur: ray.data.Dataset,
+    prior: ray.data.Dataset,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Shuffle-join fallback beyond the broadcast cap: ships the prior
+    sketch payload through one hash join on url."""
+    import functools
+
+    schema = cur.schema()
+    has_ts = "warc_ts" in (schema.names or [])
+    ts_type = (
+        schema.types[schema.names.index("warc_ts")] if has_ts else None
+    )
+    key_cols = ["url", "text_sha256", "content_sha256"] + (
+        ["warc_ts"] if has_ts else []
+    )
 
     def cur_keys(t: pa.Table) -> pa.Table:
-        return t.select(["url", "text_sha256", "content_sha256"])
+        return t.select(key_cols)
 
     def prior_payload(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -109,6 +410,9 @@ def incremental_signatures(
                 ("url", pa.string()),
                 ("text_sha256", pa.binary()),
                 ("content_sha256", pa.binary()),
+            ]
+            + ([("warc_ts", ts_type)] if has_ts else [])
+            + [
                 ("sha_prev", pa.binary()),
                 ("status_prev", pa.string()),
                 ("n_bytes_prev", pa.int64()),
@@ -128,18 +432,19 @@ def incremental_signatures(
             pc.equal(t["text_sha256"], t["sha_prev"]),
         )
         keep = t.filter(pc.fill_null(both, False))
-        return pa.table(
-            {
-                "url": keep["url"],
-                "status": keep["status_prev"],
-                "content_sha256": keep["content_sha256"],
-                "text_sha256": keep["text_sha256"],
-                "n_bytes": keep["n_bytes_prev"],
-                "n_tokens": keep["n_tokens_prev"],
-                "minhash": keep["minhash_prev"],
-                "simhash": keep["simhash_prev"],
-            }
-        )
+        cols = {
+            "url": keep["url"],
+            "status": keep["status_prev"],
+            "content_sha256": keep["content_sha256"],
+            "text_sha256": keep["text_sha256"],
+            "n_bytes": keep["n_bytes_prev"],
+            "n_tokens": keep["n_tokens_prev"],
+            "minhash": keep["minhash_prev"],
+            "simhash": keep["simhash_prev"],
+        }
+        if has_ts:
+            cols["warc_ts"] = keep["warc_ts"]
+        return pa.table(cols)
 
     reused = joined.map_batches(
         finish_reused, batch_format="pyarrow"
@@ -160,7 +465,9 @@ def incremental_signatures(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     ).map_batches(
-        lambda t: t.select(SIG_COLUMNS) if len(t) else _SIG_SCHEMA.empty_table(),
+        lambda t: t.select(_sig_cols(has_ts))
+        if len(t)
+        else _sig_schema(has_ts, ts_type).empty_table(),
         batch_format="pyarrow",
     ).materialize()
     n_recomputed = recomputed.count()
@@ -170,5 +477,5 @@ def incremental_signatures(
     elif n_recomputed == 0:
         signatures = reused
     else:
-        signatures = reused.union(recomputed).materialize()
+        signatures = reused.union(recomputed)
     return signatures, {"n_reused": n_reused, "n_recomputed": n_recomputed}

@@ -76,7 +76,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         text_sha.append(sha256_digest(tb))
         n_bytes.append(len(tb))
 
-    return pa.table(
+    out = pa.table(
         {
             "url": urls,
             "text": pa.array(out_text, type=pa.string()),
@@ -86,6 +86,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             "n_bytes": pa.array(n_bytes, type=pa.int64()),
         }
     )
+    # crawl timestamp passthrough (the reference's file dates,
+    # FileSystemProvider.cs:21-25) — lets the incremental scan trust
+    # (url, warc_ts) equality and skip extraction for unchanged rows.
+    # The flagship's read prunes to PIPELINE_COLUMNS, so its signature
+    # schema is unchanged unless the caller opts warc_ts in.
+    if "warc_ts" in batch.column_names:
+        out = out.append_column("warc_ts", batch["warc_ts"])
+    return out
 
 
 class SignatureActor:

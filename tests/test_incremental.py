@@ -105,3 +105,94 @@ class TestIncrementalSignatures:
                 tuple(sorted(r.items())) for r in out_inc[key].take_all()
             )
             assert a == b, key
+
+    def test_join_fallback_matches_broadcast_path(self, ray_session, monkeypatch):
+        """Above the broadcast cap the shuffle-join fallback must
+        produce the same bit-identical signature set."""
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages import incremental as I
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots(n=120, seed=3)
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev, cfg).materialize()
+
+        via_broadcast, info_b = I.incremental_signatures(
+            cur, prior, cfg, num_partitions=4
+        )
+        monkeypatch.setattr(I, "_INCR_BROADCAST_CAP", 0)
+        via_join, info_j = I.incremental_signatures(
+            cur, prior, cfg, num_partitions=4
+        )
+        assert info_b == info_j
+        assert _sig_rows(via_broadcast) == _sig_rows(via_join)
+
+    def test_trust_ts_skips_extraction_and_stays_identical(self, ray_session):
+        """With warc_ts on both sides, ts-matched urls reuse prior rows
+        without extraction; under the ts-implies-unchanged guarantee the
+        output equals a full recompute (including the warc_ts column)."""
+        import ray.data
+
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.incremental import (
+            incremental_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots(n=200, seed=13)
+        ts_prev, ts_cur = 1_700_000_000_000_000, 1_700_086_400_000_000
+
+        def with_ts(ds, changed_urls, base, bumped):
+            t = pa.concat_tables(
+                ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            ts = [
+                bumped if u in changed_urls else base
+                for u in t["url"].to_pylist()
+            ]
+            return ray.data.from_arrow(
+                t.append_column(
+                    "warc_ts", pa.array(ts, type=pa.timestamp("us"))
+                )
+            )
+
+        # changed-in-cur = edited texts (i % 5 == 0) or urls new in cur;
+        # recompute the set from the raw tables
+        prev_rows = {
+            r["url"]: r["text"]
+            for r in prev.select_columns(["url", "text"]).take_all()
+        }
+        changed = {
+            r["url"]
+            for r in cur.select_columns(["url", "text"]).take_all()
+            if prev_rows.get(r["url"]) != r["text"]
+        }
+        prev_ts = with_ts(prev, set(), ts_prev, ts_prev)
+        cur_ts = with_ts(cur, changed, ts_prev, ts_cur)
+
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev_ts, cfg).materialize()
+        assert "warc_ts" in prior.schema().names
+
+        full = compute_signatures(cur_ts, cfg)
+        inc, info = incremental_signatures(
+            cur_ts, prior, cfg, num_partitions=4, trust_ts=True
+        )
+        cols = ["url", "status", "content_sha256", "text_sha256",
+                "n_bytes", "n_tokens", "minhash", "simhash", "warc_ts"]
+        rows = lambda ds: sorted(
+            tuple(r[c] for c in cols) for r in ds.take_all()
+        )
+        assert rows(inc) == rows(full)
+        assert info["n_reused_ts"] > 0
+        n_cur = cur_ts.count()
+        assert (
+            info["n_reused_ts"] + info["n_reused"] + info["n_recomputed"]
+            == n_cur
+        )
+        # every ts-unchanged url reused via the metadata gate alone
+        assert info["n_reused_ts"] == n_cur - len(changed)
