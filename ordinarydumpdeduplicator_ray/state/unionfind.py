@@ -18,7 +18,6 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from ordinarydumpdeduplicator_ray.stages.join import inner_join
 
 
 class UnionFind:
