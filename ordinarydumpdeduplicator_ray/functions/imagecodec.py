@@ -1,0 +1,308 @@
+"""Pure-stdlib image decoding for the multimodal feature stage.
+
+The container ships no codec libraries, but PNG (zlib + struct), BMP and
+GIF are decodable with the standard library alone — so the
+``MediaFeatureActor(real=True)`` path reads ACTUAL bytes into ACTUAL
+pixels/dimensions, mirroring the reference's only byte-interpreting
+operation (streaming file bytes through a hash,
+``Common/FsUtils.cs:39-54``, ``OrdinaryDumpDeduplicator.cs:107-156``) —
+extended from "hash the bytes" to "decode the bytes".
+
+Coverage (deliberate, documented):
+
+- **PNG**: full pixel decode — IHDR parse, IDAT zlib inflate, per-scanline
+  filter reversal (types 0-4: None/Sub/Up/Average/Paeth), 8-bit
+  greyscale / RGB / RGBA / grey+alpha, non-interlaced. Adam7 interlace,
+  palette images and 16-bit channels raise ``UnsupportedImageError``
+  (rare in web corpora; a production deployment swaps in a codec lib
+  behind the same function signature).
+- **BMP**: BITMAPINFOHEADER 24/32-bit uncompressed, bottom-up or
+  top-down, 4-byte row padding.
+- **GIF**: header decode — logical screen dimensions plus the frame
+  count (image-descriptor walk across the block structure; LZW pixel
+  expansion is intentionally out of scope — dims + frames are what the
+  feature stage consumes for non-PNG/BMP media).
+
+All decoders are deterministic and never read outside the payload
+buffer; malformed input raises ``UnsupportedImageError`` (callers map it
+to the broken-row policy, never failing the job — the reference's
+per-file error tolerance, ``OrdinaryDumpDeduplicator.cs:114-127``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+BMP_MAGIC = b"BM"
+
+
+class UnsupportedImageError(ValueError):
+    """Payload is not decodable by the stdlib decoders."""
+
+
+def sniff_format(payload: bytes) -> str | None:
+    if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload.startswith(GIF_MAGICS):
+        return "gif"
+    if payload.startswith(BMP_MAGIC):
+        return "bmp"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+# color type -> samples per pixel (8-bit only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (height, width, channels) uint8 pixel array."""
+    if not payload.startswith(PNG_MAGIC):
+        raise UnsupportedImageError("not a PNG")
+    pos = len(PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise UnsupportedImageError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if width is None or not idat:
+        raise UnsupportedImageError("missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise UnsupportedImageError(
+            f"unsupported bit depth/color type ({bit_depth}/{color_type})"
+        )
+    if interlace:
+        raise UnsupportedImageError("Adam7 interlace unsupported")
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise UnsupportedImageError(f"IDAT inflate failed: {e}") from e
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedImageError("pixel data size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = int(data[row_start])
+        line = data[row_start + 1 : row_start + 1 + stride].astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pa_ = abs(b - c)
+                    pb_ = abs(a - c)
+                    pc_ = abs(a + b - 2 * c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise UnsupportedImageError(f"unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(height, width, ch)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) — used by tests to build
+    real fixtures without a codec library. Accepts (h, w) or (h, w, ch)
+    uint8 with ch in {1, 2, 3, 4}."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes -> (height, width, 3) uint8 RGB array (24/32-bit
+    uncompressed BITMAPINFOHEADER only)."""
+    if not payload.startswith(BMP_MAGIC) or len(payload) < 54:
+        raise UnsupportedImageError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, width, height_raw = struct.unpack("<IiI", payload[14:26])
+    height = struct.unpack("<i", payload[22:26])[0]
+    if hdr_size < 40:
+        raise UnsupportedImageError("pre-BITMAPINFOHEADER BMP")
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp not in (24, 32) or compression != 0:
+        raise UnsupportedImageError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_bytes = (width * bytes_pp + 3) & ~3
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        raise UnsupportedImageError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer for test fixtures."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    assert ch == 3
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    data_off = 54
+    file_size = data_off + len(body)
+    header = (
+        BMP_MAGIC
+        + struct.pack("<IHHI", file_size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# GIF (header + frame count)
+# ---------------------------------------------------------------------------
+
+
+def decode_gif_header(payload: bytes) -> tuple[int, int, int]:
+    """GIF bytes -> (width, height, n_frames) via the block-structure
+    walk: logical screen descriptor, then skip color tables / extension
+    sub-blocks, counting image descriptors (0x2C)."""
+    if not payload.startswith(GIF_MAGICS) or len(payload) < 13:
+        raise UnsupportedImageError("not a GIF")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        raise UnsupportedImageError("truncated GIF sub-blocks")
+
+    while pos < len(payload):
+        introducer = payload[pos]
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif introducer == 0x2C:  # image descriptor
+            n_frames += 1
+            if pos + 10 > len(payload):
+                raise UnsupportedImageError("truncated image descriptor")
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+        else:
+            raise UnsupportedImageError(f"unknown GIF block 0x{introducer:02x}")
+    return width, height, max(n_frames, 1)
+
+
+def encode_gif_header(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Structurally valid GIF (header + empty-ish frames) for tests —
+    each frame carries a minimal LZW data stream."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x00, 0, 0])  # no global color table
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([2])       # LZW min code size
+        out += bytes([1, 0x44]) # one 1-byte data sub-block
+        out += b"\x00"          # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def pixel_features(px: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 pixels -> unit-norm float32 feature vector of
+    length 8: per-channel means and stds (grey broadcast to RGB), mean
+    luma, mean absolute horizontal gradient (a cheap edge-density
+    signal). Content-determined: identical pixels embed identically."""
+    f = px.astype(np.float32) / np.float32(255.0)
+    ch = f.shape[2]
+    if ch == 1:
+        rgb = np.repeat(f, 3, axis=2)
+    elif ch == 2:  # grey + alpha
+        rgb = np.repeat(f[:, :, :1], 3, axis=2)
+    else:
+        rgb = f[:, :, :3]
+    means = rgb.mean(axis=(0, 1))
+    stds = rgb.std(axis=(0, 1))
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    grad = (
+        np.abs(np.diff(luma, axis=1)).mean() if luma.shape[1] > 1 else np.float32(0)
+    )
+    v = np.array(
+        [means[0], means[1], means[2], stds[0], stds[1], stds[2],
+         luma.mean(), grad],
+        dtype=np.float32,
+    )
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v

@@ -17,11 +17,13 @@ the driver and shipped the whole normalized matrix to each worker):
    cos 0.99 agrees per bit w.p. ``1 - acos(.99)/pi ~ .9857``; the miss
    probability ``(1 - .9857^16)^8 < 1e-11`` — recall is 1 for exact
    scaled copies and ~1 through the threshold band.
-3. **Candidates**: the (bucket, key) rows flow through the skew-capped
+3. **Candidates**: the (bucket, vec_id) rows flow through the skew-capped
    sorted-run pair emission of ``stages/candidates.py`` — one sort, O(n)
    hot-bucket handling (identical-code clusters larger than
    ``max_group_pairs`` emit star+chain, which keeps connectivity; the
    pairs list for such clusters is intentionally not all-C(n,2)).
+   Members are the int64 vec_ids themselves — 8-byte sort keys, no
+   string round-trip anywhere in the explode or the pair table.
 4. **Verify** (exact): below ``_BROADCAST_ID_CAP`` distinct
    pair-participating ids, the (pre-normalized) vectors for ONLY those
    ids pack into a broadcast (ids, matrix) lookup resolved per pair
@@ -44,21 +46,9 @@ import ray.data
 
 from ordinarydumpdeduplicator_ray.config import DedupConfig
 from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows
+from ordinarydumpdeduplicator_ray.functions.vectors import list_to_matrix
 from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
 from ordinarydumpdeduplicator_ray.stages.join import inner_join
-
-_KEY_WIDTH = 12  # zero-padded vec_id -> lexicographic == numeric order
-
-
-def _key_of(ids: np.ndarray) -> pa.Array:
-    return pa.array([f"v{int(i):0{_KEY_WIDTH}d}" for i in ids], type=pa.string())
-
-
-def _id_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pa.array(
-        [int(k[1:]) for k in col.to_pylist()], type=pa.int64()
-    )
-
 
 # per-process hyperplane cache: band coding runs as TASKS on prestarted
 # workers (fresh actor pools pay ~10s import spin-up); the seeded plane
@@ -77,12 +67,12 @@ def _planes_of(dim: int, nbits: int, seed: int) -> np.ndarray:
 
 
 def _band_codes(t: pa.Table, nbits: int, band_bits: int, seed: int) -> pa.Table:
-    """One batch of (vec_id, embedding) -> (bucket, url) band rows."""
+    """One batch of (vec_id, embedding) -> (bucket, vec_id) band rows."""
     if len(t) == 0:
         return pa.table({"bucket": pa.array([], type=pa.int64()),
-                         "url": pa.array([], type=pa.string())})
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+                         "vec_id": pa.array([], type=pa.int64())})
+    ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = list_to_matrix(t["embedding"])
     planes = _planes_of(mat.shape[1], nbits, seed)
     bits = (mat @ planes) > 0  # (n, nbits)
     n_bands = nbits // band_bits
@@ -93,11 +83,10 @@ def _band_codes(t: pa.Table, nbits: int, band_bits: int, seed: int) -> pa.Table:
         for j in range(chunk.shape[1]):
             packed = (packed << np.uint64(1)) | chunk[:, j].astype(np.uint64)
         keys[:, b] = combine_hash_rows(packed.reshape(-1, 1), salt=b)
-    urls = np.asarray([f"v{int(i):0{_KEY_WIDTH}d}" for i in ids], dtype=object)
     return pa.table(
         {
             "bucket": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-            "url": pa.array(np.repeat(urls, n_bands), type=pa.string()),
+            "vec_id": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
         }
     )
 
@@ -127,7 +116,7 @@ def embedding_near_dup_pairs(
         batch_size=4096,
     )
     pairs = candidate_pairs(
-        bucket_rows, cfg, num_partitions, member_field=("url", pa.string())
+        bucket_rows, cfg, num_partitions, member_field=("vec_id", pa.int64())
     ).materialize()
 
     pair_ids = _collect_pair_ids(pairs, _BROADCAST_ID_CAP)
@@ -142,20 +131,13 @@ def embedding_near_dup_pairs(
 _BROADCAST_ID_CAP = 2_000_000
 
 
-def _parse_ids(col) -> pa.Array:
-    """'v%012d' key column -> int64 ids, vectorized."""
-    import pyarrow.compute as pc
-
-    return pc.cast(pc.utf8_slice_codeunits(col, start=1), pa.int64())
-
-
 def _collect_pair_ids(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
     import pyarrow.compute as pc
 
     chunks: list[pa.Array] = []
     for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        chunks.append(_parse_ids(b["url_a"].combine_chunks()))
-        chunks.append(_parse_ids(b["url_b"].combine_chunks()))
+        chunks.append(b["vec_id_a"].combine_chunks())
+        chunks.append(b["vec_id_b"].combine_chunks())
     if not chunks:
         return pa.array([], type=pa.int64())
     uniq = pc.unique(pa.chunked_array(chunks))
@@ -187,7 +169,7 @@ def _rerank_broadcast(
             return pa.table({"ids": pa.array([], type=pa.binary()),
                              "mat": pa.array([], type=pa.binary())})
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t["embedding"])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pa.table({"ids": pa.array([ids.tobytes()], type=pa.binary()),
                          "mat": pa.array([mat.tobytes()], type=pa.binary())})
@@ -213,8 +195,8 @@ def _rerank_broadcast(
 
         lk = _get_broadcast(lookup_ref)
         ids_s, mat_s = lk["ids"], lk["mat"]
-        a_ids = _parse_ids(t["url_a"].combine_chunks()).to_numpy(zero_copy_only=False)
-        b_ids = _parse_ids(t["url_b"].combine_chunks()).to_numpy(zero_copy_only=False)
+        a_ids = t["vec_id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b_ids = t["vec_id_b"].combine_chunks().to_numpy(zero_copy_only=False)
         ia = np.searchsorted(ids_s, a_ids)
         ib = np.searchsorted(ids_s, b_ids)
         ia = np.minimum(ia, len(ids_s) - 1)
@@ -242,16 +224,13 @@ def _rerank_join(
     """Shuffle-join re-rank fallback for pair-id sets too large to
     broadcast: attach the embedding per side (packed to binary — Acero
     joins reject list<double> payload columns), compute cosine
-    vectorized after the join."""
+    vectorized after the join. Join keys are the int64 vec_ids."""
 
     def keyed(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        packed = [
-            np.asarray(e, dtype=np.float64).tobytes()
-            for e in t["embedding"].to_pylist()
-        ]
+        mat = list_to_matrix(t["embedding"])
+        packed = [row.tobytes() for row in mat]
         return pa.table(
-            {"key": _key_of(ids), "embedding": pa.array(packed, type=pa.binary())}
+            {"key": t["vec_id"], "embedding": pa.array(packed, type=pa.binary())}
         )
 
     vecs = embeddings.map_batches(keyed, batch_format="pyarrow")
@@ -259,25 +238,25 @@ def _rerank_join(
     with_a = inner_join(
         pairs,
         vecs.map_batches(
-            lambda t: pa.table({"url_a": t["key"], "emb_a": t["embedding"]}),
+            lambda t: pa.table({"vec_id_a": t["key"], "emb_a": t["embedding"]}),
             batch_format="pyarrow",
         ),
-        on=("url_a",),
+        on=("vec_id_a",),
         num_partitions=num_partitions,
         empty_schema=pa.schema(
-            [("url_a", pa.string()), ("url_b", pa.string()), ("emb_a", emb_t)]
+            [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()), ("emb_a", emb_t)]
         ),
     )
     with_ab = inner_join(
         with_a,
         vecs.map_batches(
-            lambda t: pa.table({"url_b": t["key"], "emb_b": t["embedding"]}),
+            lambda t: pa.table({"vec_id_b": t["key"], "emb_b": t["embedding"]}),
             batch_format="pyarrow",
         ),
-        on=("url_b",),
+        on=("vec_id_b",),
         num_partitions=num_partitions,
         empty_schema=pa.schema(
-            [("url_a", pa.string()), ("url_b", pa.string()),
+            [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()),
              ("emb_a", emb_t), ("emb_b", emb_t)]
         ),
     )
@@ -295,10 +274,11 @@ def _rerank_join(
         b = b / np.linalg.norm(b, axis=1, keepdims=True)
         cos = np.round(np.einsum("ij,ij->i", a, b), 6)
         keep = cos >= threshold
+        keep_arr = pa.array(keep)
         return pa.table(
             {
-                "vec_a": _id_of(t["url_a"].filter(pa.array(keep))),
-                "vec_b": _id_of(t["url_b"].filter(pa.array(keep))),
+                "vec_a": t["vec_id_a"].filter(keep_arr),
+                "vec_b": t["vec_id_b"].filter(keep_arr),
                 "cos_sim": pa.array(cos[keep], type=pa.float64()),
             }
         )

@@ -58,19 +58,6 @@ SIG_COLUMNS = [
     "n_tokens", "minhash", "simhash",
 ]
 
-_SIG_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("status", pa.string()),
-        ("content_sha256", pa.binary()),
-        ("text_sha256", pa.binary()),
-        ("n_bytes", pa.int64()),
-        ("n_tokens", pa.int64()),
-        ("minhash", pa.binary()),
-        ("simhash", pa.uint64()),
-    ]
-)
-
 
 # per-side distinct-url cap for the map-only broadcast reuse: the
 # broadcast key tables are ~120 B/row (url + two shas), so the cap is a
@@ -79,15 +66,37 @@ _INCR_BROADCAST_CAP = 8_000_000
 
 
 def _sig_cols(has_ts: bool) -> list[str]:
-    return SIG_COLUMNS + (["warc_ts"] if has_ts else [])
+    """Exact column ORDER of ``compute_signatures`` output: warc_ts (if
+    present) rides after n_bytes (appended by extract_batch), the salt-0
+    ``uid`` comes last (appended by _signature_batch) — the incremental
+    output is bit-identical to a full recompute INCLUDING schema, so
+    downstream ``assign_uids`` takes its zero-copy salt-0 fast path
+    instead of re-mapping the ~1 KiB/row table (ADVICE r2)."""
+    return (
+        SIG_COLUMNS[:5]
+        + (["warc_ts"] if has_ts else [])
+        + SIG_COLUMNS[5:]
+        + ["uid"]
+    )
 
 
 def _sig_schema(has_ts: bool, ts_type: pa.DataType | None = None) -> pa.Schema:
-    if not has_ts:
-        return _SIG_SCHEMA
-    return _SIG_SCHEMA.append(
-        pa.field("warc_ts", ts_type or pa.timestamp("us"))
-    )
+    fields = [
+        ("url", pa.string()),
+        ("status", pa.string()),
+        ("content_sha256", pa.binary()),
+        ("text_sha256", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+    if has_ts:
+        fields.append(("warc_ts", ts_type or pa.timestamp("us")))
+    fields += [
+        ("n_tokens", pa.int64()),
+        ("minhash", pa.binary()),
+        ("simhash", pa.uint64()),
+        ("uid", pa.int64()),
+    ]
+    return pa.schema(fields)
 
 
 
@@ -110,7 +119,11 @@ def _url_index(tbl: pa.Table) -> dict:
 def _match_urls(t: pa.Table, idx: dict) -> tuple:
     """(candidate mask over t's rows, matched lut rows aligned with the
     kept rows). Exact: uid collisions are rejected by the url string
-    compare, so the mask admits only true url matches."""
+    compare, so the mask admits only true url matches. Equal-uid RUNS in
+    the index are scanned in full (searchsorted left/right) — probing
+    only the leftmost run row would declare a url absent when two index
+    urls collide on SipHash64, silently double-emitting or dropping it
+    from the incremental output (ADVICE r2, medium)."""
     import numpy as np
 
     from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
@@ -119,13 +132,32 @@ def _match_urls(t: pa.Table, idx: dict) -> tuple:
     if len(lut) == 0 or len(t) == 0:
         return np.zeros(len(t), dtype=bool), lut.slice(0, 0)
     u = url_uids(t["url"])
-    pos = np.minimum(np.searchsorted(uids, u), len(uids) - 1)
-    cand = uids[pos] == u
-    rows = order[pos]
-    taken = lut.take(pa.array(np.where(cand, rows, 0)))
+    lo = np.searchsorted(uids, u, side="left")
+    hi = np.searchsorted(uids, u, side="right")
+    present = hi > lo
+    rows = np.where(present, order[np.minimum(lo, len(uids) - 1)], 0)
+    taken = lut.take(pa.array(rows))
     same_url = pc.fill_null(pc.equal(t["url"], taken["url"]), False) \
         .to_numpy(zero_copy_only=False)
-    mask = cand & same_url
+    mask = present & same_url
+    # rare path: probe urls whose uid run has >1 index rows and whose
+    # leftmost row wasn't the url — compare every row in the run
+    pending = np.flatnonzero(present & ~mask & (hi - lo > 1))
+    if len(pending):
+        lut_urls = lut["url"]
+        probe_urls = t["url"]
+        changed = False
+        for i in pending:
+            want = probe_urls[int(i)].as_py()
+            for p in range(int(lo[i]) + 1, int(hi[i])):
+                r = int(order[p])
+                if lut_urls[r].as_py() == want:
+                    rows[i] = r
+                    mask[i] = True
+                    changed = True
+                    break
+        if changed:
+            taken = lut.take(pa.array(rows))
     return mask, taken.filter(pa.array(mask))
 
 
@@ -162,16 +194,25 @@ def incremental_signatures(
     prior = prior.materialize()
     reused_ts = None
     n_reused_ts = 0
+    ts_gate_skipped: str | None = None
     if trust_ts:
-        pages = pages.materialize()
         p_names = (pages.schema().names or [])
         pr_names = (prior.schema().names or [])
-        if (
-            "warc_ts" in p_names
-            and "warc_ts" in pr_names
-            and pages.count() <= _INCR_BROADCAST_CAP
-            and prior.count() <= _INCR_BROADCAST_CAP
-        ):
+        if "warc_ts" not in p_names or "warc_ts" not in pr_names:
+            ts_gate_skipped = "warc_ts missing on one side"
+        else:
+            pages = pages.materialize()
+            if (
+                pages.count() > _INCR_BROADCAST_CAP
+                or prior.count() > _INCR_BROADCAST_CAP
+            ):
+                # no join-based ts gate: above the cap the sha path's
+                # shuffle join already ships the payload once, and a ts
+                # pre-join would add a second corpus-wide shuffle for a
+                # gate whose win is skipping the page READ — surfaced in
+                # stats so the caller sees the gate did not run
+                ts_gate_skipped = "side exceeds broadcast cap"
+        if ts_gate_skipped is None:
             cur_ts_ref = ray.put(
                 _url_index(_keys_table(pages, ["url", "warc_ts"]))
             )
@@ -202,10 +243,17 @@ def incremental_signatures(
                 return out
 
             def emit_ts_reused(t: pa.Table) -> pa.Table:
+                from ordinarydumpdeduplicator_ray.stages.signatures import (
+                    _add_uid_batch,
+                )
+
                 keep = t.filter(pa.array(_ts_mask(t, cur_ts_ref)))
                 if len(keep) == 0:
                     return _sig_schema(True, ts_type).empty_table()
-                return keep.select(out_cols)
+                # salt-0 uid re-derived (not taken from the prior table,
+                # whose uid may carry a bumped salt) — output identical
+                # to a fresh compute_signatures pass
+                return _add_uid_batch(keep.select(out_cols[:-1]), salt=0)
 
             def drop_ts_matched(t: pa.Table) -> pa.Table:
                 import numpy as np
@@ -229,6 +277,11 @@ def incremental_signatures(
         signatures, info = _incremental_broadcast(cur, prior, cfg)
     else:
         signatures, info = _incremental_join(cur, prior, cfg, num_partitions)
+    if trust_ts and reused_ts is None:
+        # the gate was requested but could not run — record that loudly
+        # instead of silently omitting the key (ADVICE r2, low)
+        info["n_reused_ts"] = 0
+        info["ts_gate"] = f"skipped: {ts_gate_skipped}"
     if reused_ts is not None:
         info["n_reused_ts"] = n_reused_ts
         if n_reused_ts:
@@ -310,6 +363,8 @@ def _incremental_broadcast(
         return out, taken.filter(pa.array(same_np))
 
     def emit_reused(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.signatures import _add_uid_batch
+
         keep_mask, sha_cur = _sha_mask(t, cur_ref)
         if not keep_mask.any():
             return _sig_schema(has_ts, ts_type).empty_table()
@@ -320,15 +375,19 @@ def _incremental_broadcast(
             "content_sha256": sha_cur["content_sha256"],
             "text_sha256": keep["text_sha256"],
             "n_bytes": keep["n_bytes"],
-            "n_tokens": keep["n_tokens"],
-            "minhash": keep["minhash"],
-            "simhash": keep["simhash"],
         }
         if has_ts:
             # the CURRENT crawl's timestamp, not the prior one — output
             # must be bit-identical to a full recompute of cur
             cols["warc_ts"] = sha_cur["warc_ts"]
-        return pa.table(cols)
+        cols.update(
+            {
+                "n_tokens": keep["n_tokens"],
+                "minhash": keep["minhash"],
+                "simhash": keep["simhash"],
+            }
+        )
+        return _add_uid_batch(pa.table(cols), salt=0)
 
     def filter_changed(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -424,6 +483,8 @@ def _incremental_join(
     )
 
     def finish_reused(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.signatures import _add_uid_batch
+
         # unchanged extracted text only: sha equality is the BlobInfo
         # comparison; null shas (broken rows) never compare equal and
         # fall through to recompute
@@ -438,13 +499,17 @@ def _incremental_join(
             "content_sha256": keep["content_sha256"],
             "text_sha256": keep["text_sha256"],
             "n_bytes": keep["n_bytes_prev"],
-            "n_tokens": keep["n_tokens_prev"],
-            "minhash": keep["minhash_prev"],
-            "simhash": keep["simhash_prev"],
         }
         if has_ts:
             cols["warc_ts"] = keep["warc_ts"]
-        return pa.table(cols)
+        cols.update(
+            {
+                "n_tokens": keep["n_tokens_prev"],
+                "minhash": keep["minhash_prev"],
+                "simhash": keep["simhash_prev"],
+            }
+        )
+        return _add_uid_batch(pa.table(cols), salt=0)
 
     reused = joined.map_batches(
         finish_reused, batch_format="pyarrow"

@@ -3,13 +3,18 @@ payload columns.
 
 No reference counterpart (the reference hashes file bytes without
 interpreting them — ``Common/FsUtils.cs:39-54``); these are the
-training-data-pipeline operators a 100 TB multimodal corpus needs. The
-container ships no image/audio codecs, so the *decode kernels* are
-stubbed: ``real=True`` raises ``NotImplementedError`` (the documented
-integration point for Pillow / torchaudio / pyav), ``real=False`` runs a
-deterministic fake decoder derived from the payload bytes. Everything
-Ray-side — schema, actor-pool signature, batch sizing, zero-copy binary
-columns, output layout — is real and tested.
+training-data-pipeline operators a 100 TB multimodal corpus needs.
+
+Decode kernels: ``real=True`` decodes IMAGE payloads with the
+pure-stdlib codecs in ``functions/imagecodec.py`` — PNG pixels (zlib
+inflate + filter reversal), BMP pixels, GIF header dims + frame count —
+and derives the embedding from the ACTUAL pixels; image payloads the
+stdlib codecs can't read fall back to the deterministic digest-derived
+stub (per-row error tolerance, never failing the job). AUDIO/VIDEO
+decode remains the documented stub — ``real=True`` raises
+``NotImplementedError`` on the first audio/video row (the integration
+point for torchaudio / pyav, not shipped in this container).
+``real=False`` runs the deterministic fake decoder for every row.
 
 Scale notes: payloads are large, so batches must be SMALL
 (``media_batch_size`` rows, not the text default) to keep
@@ -82,19 +87,47 @@ def frame_sample_offsets(n_frames: int, max_samples: int = 8) -> np.ndarray:
 class MediaFeatureActor:
     """Actor-pool stage: (url, media_type, payload) -> MEDIA_FEATURES.
 
-    ``real=True`` is the integration point for actual codecs (Pillow /
-    pyav); it raises ``NotImplementedError`` in this container. Rows with
-    null payloads are dropped (broken-row tolerance, same policy as the
-    text pipeline's ``status`` column).
+    ``real=True`` decodes image payloads with the stdlib codecs
+    (``functions/imagecodec.py``): width/height/n_frames and the
+    embedding come from the actual bytes — the reference's
+    byte-interpreting hash pass (``Common/FsUtils.cs:39-54``) extended
+    to pixel decode. Undecodable image payloads fall back to the
+    deterministic stub; audio/video rows raise ``NotImplementedError``
+    (the codec-library integration point). Rows with null payloads are
+    dropped (broken-row tolerance, same policy as the text pipeline's
+    ``status`` column).
     """
 
     def __init__(self, real: bool = False) -> None:
-        if real:
-            raise NotImplementedError(
-                "real media decoding needs Pillow/pyav, not shipped in this "
-                "container — run with real=False for the deterministic stub"
-            )
         self.real = real
+
+    def _decode(self, payload: bytes, mt: str, digest: bytes):
+        """-> (width, height, n_frames, embedding) per the mode."""
+        if self.real:
+            from ordinarydumpdeduplicator_ray.functions import imagecodec as ic
+
+            if mt in ("audio", "video"):
+                raise NotImplementedError(
+                    f"real {mt} decoding needs torchaudio/pyav, not shipped "
+                    "in this container — image payloads decode for real"
+                )
+            try:
+                fmt = ic.sniff_format(payload)
+                if fmt == "png":
+                    px = ic.decode_png(payload)
+                    return px.shape[1], px.shape[0], 1, ic.pixel_features(px)
+                if fmt == "bmp":
+                    px = ic.decode_bmp(payload)
+                    return px.shape[1], px.shape[0], 1, ic.pixel_features(px)
+                if fmt == "gif":
+                    w, h, nf = ic.decode_gif_header(payload)
+                    # dims/frames are real; no pixel expansion -> the
+                    # embedding stays digest-derived (documented)
+                    return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
+            except ic.UnsupportedImageError:
+                pass  # undecodable image -> deterministic stub below
+        w, h, nf = _fake_decode(payload, mt)
+        return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls, mtypes, nbytes, shas = [], [], [], []
@@ -107,15 +140,15 @@ class MediaFeatureActor:
             if payload is None:
                 continue
             digest = hashlib.sha256(payload).digest()
-            w, h, nf = _fake_decode(payload, mt or "image")
+            w, h, nf, emb = self._decode(payload, mt or "image", digest)
             urls.append(url)
             mtypes.append(mt or "image")
             nbytes.append(len(payload))
             shas.append(digest.hex())
             widths.append(w)
             heights.append(h)
-            frames.append(len(frame_sample_offsets(nf)))
-            embs.append(_fake_embedding(digest))
+            frames.append(nf)
+            embs.append(emb)
         emb_arr = (
             pa.FixedSizeListArray.from_arrays(
                 pa.array(np.concatenate(embs) if embs else

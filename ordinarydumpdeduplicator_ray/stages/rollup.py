@@ -8,12 +8,77 @@ from __future__ import annotations
 
 from urllib.parse import urlparse
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ordinarydumpdeduplicator_ray.schemas import ACTION_KEEP
 from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+
+def explode_url_prefix_levels(urls: pa.ChunkedArray | pa.Array) -> tuple:
+    """Vectorized url -> every path-segment prefix (the hierarchical
+    rollup explode, ``DuplicateReport.cs:114-203``): for
+    ``scheme://host/a/b`` emits level 1 ``scheme://host``, level 2
+    ``scheme://host/a``, level 3 the full url. No per-row Python — the
+    emission is numpy byte-gather over the Arrow string buffers: every
+    prefix ends at a ``/`` after the scheme (or at end-of-url), so the
+    output strings are slices of the input data buffer located with two
+    searchsorted/arange passes.
+
+    Returns ``(row_index, level, prefix_array)`` — the caller repeats its
+    payload columns with ``row_index``."""
+    arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], type=pa.string()))
+    if arr.null_count:
+        raise ValueError("null urls in prefix explode")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    # every '/' in the data buffer, assigned to its row
+    slash = np.flatnonzero(buf[offs[0] : offs[-1]] == ord("/")) + offs[0]
+    row_of = np.searchsorted(ends, slash, side="right")
+    # drop the two scheme slashes ('://') — the first two per row
+    first_two = np.zeros(len(slash), dtype=bool)
+    seen_start = np.searchsorted(row_of, np.arange(n), side="left")
+    for k in (0, 1):
+        pos = seen_start + k
+        valid = (pos < len(slash)) & (row_of[np.minimum(pos, len(slash) - 1)] == np.arange(n))
+        first_two[pos[valid]] = True
+    path_slash = slash[~first_two]
+    path_row = row_of[~first_two]
+    # cuts per emission: each path slash ends one prefix; the full url
+    # ends the deepest level. Emissions stay grouped by row and ordered
+    # shallow->deep because slash positions are ascending within a row.
+    cut_ends = np.concatenate([path_slash, ends])
+    cut_rows = np.concatenate([path_row, np.arange(n, dtype=np.int64)])
+    order = np.lexsort((cut_ends, cut_rows))
+    cut_ends, cut_rows = cut_ends[order], cut_rows[order]
+    per_row = np.bincount(cut_rows, minlength=n)
+    lvl_end = np.cumsum(per_row)
+    level = np.arange(len(cut_rows), dtype=np.int64) - np.repeat(
+        lvl_end - per_row, per_row
+    ) + 1
+    # gather the prefix bytes: emission i spans [starts[row], cut_ends[i])
+    abs_start = starts[cut_rows]
+    lens = cut_ends - abs_start
+    out_ends = np.cumsum(lens)
+    out_starts = out_ends - lens
+    idx = (np.arange(int(out_ends[-1]) if len(out_ends) else 0, dtype=np.int64)
+           - np.repeat(out_starts, lens) + np.repeat(abs_start, lens))
+    data = buf[idx]
+    new_offs = np.concatenate([[0], out_ends]).astype(np.int32)
+    prefix = pa.StringArray.from_buffers(
+        len(cut_rows), pa.py_buffer(new_offs.tobytes()), pa.py_buffer(data.tobytes())
+    )
+    return cut_rows, level, prefix
 
 
 def add_host(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:

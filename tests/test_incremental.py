@@ -196,3 +196,66 @@ class TestIncrementalSignatures:
         )
         # every ts-unchanged url reused via the metadata gate alone
         assert info["n_reused_ts"] == n_cur - len(changed)
+
+
+class TestAdviceR2Fixes:
+    def test_match_urls_scans_full_uid_collision_run(self):
+        """A SipHash uid collision between two INDEX urls must not hide
+        the later url (ADVICE r2 medium): the equal-uid run is scanned in
+        full, so the probe still finds its exact string match."""
+        import numpy as np
+
+        from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+        from ordinarydumpdeduplicator_ray.stages.incremental import _match_urls
+
+        lut = pa.table({"url": pa.array(["a", "b"]), "v": pa.array([1, 2])})
+        h = url_uids(pa.array(["b"]))[0]
+        # forged index: both rows collide on url 'b''s uid, 'a' first
+        idx = {"tbl": lut, "uids": np.array([h, h], dtype=np.int64),
+               "order": np.array([0, 1])}
+        probe = pa.table({"url": pa.array(["b", "zzz-absent"])})
+        mask, taken = _match_urls(probe, idx)
+        assert mask.tolist() == [True, False]
+        assert taken["url"].to_pylist() == ["b"]
+        assert taken["v"].to_pylist() == [2]
+
+    def test_incremental_output_carries_salt0_uid(self, ray_session):
+        """Both branches emit the salt-0 uid column (ADVICE r2 low), so
+        downstream assign_uids skips its extra full pass."""
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.incremental import (
+            incremental_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots(n=60, seed=5)
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev, cfg).materialize()
+        inc, info = incremental_signatures(cur, prior, cfg, num_partitions=4)
+        full = compute_signatures(cur, cfg)
+        assert list(inc.schema().names) == list(full.schema().names)
+        got = {r["url"]: r["uid"] for r in inc.take_all()}
+        want = {r["url"]: r["uid"] for r in full.take_all()}
+        assert got == want
+
+    def test_trust_ts_gate_skip_is_reported(self, ray_session):
+        """trust_ts without warc_ts must surface the skip in stats
+        instead of silently omitting the key (ADVICE r2 low)."""
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages.incremental import (
+            incremental_signatures,
+        )
+        from ordinarydumpdeduplicator_ray.stages.signatures import (
+            compute_signatures,
+        )
+
+        prev, cur = _two_snapshots(n=40, seed=9)  # no warc_ts column
+        cfg = DedupConfig(sig_concurrency=2)
+        prior = compute_signatures(prev, cfg).materialize()
+        _, info = incremental_signatures(
+            cur, prior, cfg, num_partitions=4, trust_ts=True
+        )
+        assert info["n_reused_ts"] == 0
+        assert info["ts_gate"].startswith("skipped:")

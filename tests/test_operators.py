@@ -61,11 +61,114 @@ class TestMultimodal:
         assert np.allclose(e0, e1)  # same content -> same embedding
         assert abs(np.linalg.norm(e0) - 1.0) < 1e-5
 
-    def test_real_decode_is_explicit_stub(self):
+    def test_real_audio_video_decode_is_explicit_stub(self):
         from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
 
+        actor = MediaFeatureActor(real=True)
+        batch = pa.table(
+            {
+                "url": pa.array(["m://v"], type=pa.string()),
+                "media_type": pa.array(["video"], type=pa.string()),
+                "payload": pa.array([b"not-a-codec"], type=pa.binary()),
+            }
+        )
         with pytest.raises(NotImplementedError):
-            MediaFeatureActor(real=True)
+            actor(batch)
+
+    def test_real_image_decode_from_actual_pixels(self):
+        """real=True decodes generated PNG/BMP fixtures: dims and the
+        embedding come from the pixels, not the payload digest."""
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            encode_bmp,
+            encode_gif_header,
+            encode_png,
+            pixel_features,
+        )
+        from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
+
+        rng = np.random.default_rng(11)
+        px_png = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        px_bmp = rng.integers(0, 256, size=(9, 21, 3), dtype=np.uint8)
+        batch = pa.table(
+            {
+                "url": pa.array(["m://p", "m://b", "m://g", "m://junk"]),
+                "media_type": pa.array(["image"] * 4, type=pa.string()),
+                "payload": pa.array(
+                    [encode_png(px_png), encode_bmp(px_bmp),
+                     encode_gif_header(33, 44, n_frames=5), b"\x00not-an-image"],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        rows = {r["url"]: r for b in [MediaFeatureActor(real=True)(batch)]
+                for r in b.to_pylist()}
+        assert (rows["m://p"]["width"], rows["m://p"]["height"]) == (17, 13)
+        assert (rows["m://b"]["width"], rows["m://b"]["height"]) == (21, 9)
+        assert (rows["m://g"]["width"], rows["m://g"]["height"]) == (33, 44)
+        assert rows["m://g"]["n_frames"] == 5
+        assert np.allclose(rows["m://p"]["embedding"],
+                           pixel_features(px_png), atol=1e-6)
+        assert np.allclose(rows["m://b"]["embedding"],
+                           pixel_features(px_bmp), atol=1e-6)
+        # undecodable image payload falls back to the stub, never raises
+        assert rows["m://junk"]["width"] > 0
+
+    def test_png_filter_types_roundtrip(self):
+        """The decoder reverses every PNG filter type (0-4): re-filter a
+        known image with each type and check pixel equality."""
+        import struct
+        import zlib
+
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            PNG_MAGIC,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        h, w, ch = 6, 5, 3
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+
+        for ftype in range(5):
+            raw = bytearray()
+            flat = px.reshape(h, w * ch).astype(np.int32)
+            prev = np.zeros(w * ch, dtype=np.int32)
+            for y in range(h):
+                raw.append(ftype)
+                for x in range(w * ch):
+                    a = int(flat[y, x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                            4: paeth(a, b, c)}[ftype]
+                    raw.append((int(flat[y, x]) - pred) & 0xFF)
+                prev = flat[y]
+
+            def chunk(ctype, body):
+                return (struct.pack(">I", len(body)) + ctype + body
+                        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+            payload = (PNG_MAGIC
+                       + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                       + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                       + chunk(b"IEND", b""))
+            got = decode_png(payload)
+            assert np.array_equal(got, px), f"filter {ftype}"
+
+    def test_png_grayscale_and_rgba(self):
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            px = rng.integers(0, 256, size=(4, 3, ch), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(px)), px)
 
     def test_frame_sample_offsets(self):
         from ordinarydumpdeduplicator_ray.stages.multimodal import frame_sample_offsets
