@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_actions_by_ts": q.dedup_actions_by_ts,
         "lang_dup_stats": q.lang_dup_stats,
         "latest_page_versions": q.latest_page_versions,
+        "multi_location_latest": q.multi_location_latest,
         "isolated_pages_view": q.isolated_pages_view,
         "kept_pages_view": q.kept_pages_view,
         # --- rows-only (non-SQL-expressible operators) ------------------
@@ -363,6 +364,23 @@ allv AS (SELECT * FROM snap_prev UNION ALL SELECT * FROM snap_cur)
 SELECT url, warc_ts, sha256(text) AS sha
 FROM allv
 QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
+""",
+        # multi-root DataLocation registry: two roots (locA = both
+        # snapshots in full, locB = even-doc_id subset) unioned with a
+        # location tag, latest inspection scoped per (location, url)
+        "multi_location_latest": f"""
+WITH {_SNAP_PREV_CTE},
+{_SNAP_CUR_CTE},
+allv AS (SELECT * FROM snap_prev UNION ALL SELECT * FROM snap_cur),
+multi AS (
+  SELECT CAST('locA' AS VARCHAR) AS location, * FROM allv
+  UNION ALL
+  SELECT CAST('locB' AS VARCHAR), * FROM allv
+  WHERE CAST(substr(url, 22) AS BIGINT) % 2 = 0
+)
+SELECT location, url, warc_ts, sha256(text) AS sha
+FROM multi
+QUALIFY row_number() OVER (PARTITION BY location, url ORDER BY warc_ts DESC) = 1
 """,
         "isolated_pages_view": f"""
 WITH {_PAGES_CTE},

@@ -1267,6 +1267,79 @@ def latest_page_versions(sf_dir: str) -> ray.data.Dataset:
     return latest.map_batches(project, batch_format="pyarrow")
 
 
+def _multi_roots(sf_dir: str) -> dict:
+    """Two deterministic on-disk parquet roots derived from the snapshot
+    pages — the reference registers several scan roots
+    (``DataControllerSimple.cs:105-159``). locA = both snapshots in
+    full; locB = the even-doc_id subset of both snapshots (so urls
+    OVERLAP across locations and per-location scoping is observable).
+    Written once per sf_dir under /tmp and reused."""
+    import hashlib as _hashlib
+    import os
+
+    base = os.path.join(
+        "/tmp", "odd_multiroot_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)  # half-written prior run
+        os.makedirs(base, exist_ok=True)
+        both = _snapshot_pages(sf_dir, "prev").union(
+            _snapshot_pages(sf_dir, "cur")
+        )
+
+        def even_only(t: pa.Table) -> pa.Table:
+            # doc_id = the 8-digit suffix of "testdata://documents/NNNNNNNN"
+            ids = pc.cast(pc.utf8_slice_codeunits(t["url"], 21, 29), pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+
+        both = both.materialize()
+        both.write_parquet(os.path.join(base, "locA"))
+        both.map_batches(even_only, batch_format="pyarrow").write_parquet(
+            os.path.join(base, "locB")
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return {
+        "locA": os.path.join(base, "locA"),
+        "locB": os.path.join(base, "locB"),
+    }
+
+
+def multi_location_latest(sf_dir: str) -> ray.data.Dataset:
+    """Multiple registered DataLocation roots
+    (``Common/DataLocation.cs:10-22``,
+    ``DataControllerSimple.cs:105-159``): two on-disk parquet roots are
+    read as one union tagged with a ``location`` column
+    (``read_pages_multi``) and scoped to the latest inspection PER
+    (location, url) (``DataControllerSimple.cs:190-208``) — the same url
+    registered under two roots keeps one latest row per root."""
+    from ordinarydumpdeduplicator_ray.sources.pages import read_pages_multi
+    from ordinarydumpdeduplicator_ray.stages.snapshot import latest_pages
+
+    ds = read_pages_multi(
+        _multi_roots(sf_dir), columns=["url", "warc_ts", "html", "text"]
+    )
+    latest = latest_pages(ds, ts_col="warc_ts", key_cols=("location", "url"))
+
+    def project(t: pa.Table) -> pa.Table:
+        e = extract_batch(t)
+        shas = [s.hex() if s is not None else None
+                for s in e["text_sha256"].to_pylist()]
+        return pa.table(
+            {
+                "location": t["location"],
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return latest.map_batches(project, batch_format="pyarrow")
+
+
 def page_locations(sf_dir: str) -> ray.data.Dataset:
     """Longest-prefix location resolution (J2/J3:
     DataControllerSimple.GetDataLocations / MakeDuplicatesSet,

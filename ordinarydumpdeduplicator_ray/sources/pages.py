@@ -61,7 +61,55 @@ def read_parquet_clean(
     return ray.data.read_parquet(path, columns=columns)
 
 
-def read_pages(path: str, columns: list[str] | None = PIPELINE_COLUMNS) -> ray.data.Dataset:
+def read_pages(
+    path: "str | list[str] | dict[str, str]",
+    columns: list[str] | None = PIPELINE_COLUMNS,
+) -> ray.data.Dataset:
     """Read a pages Parquet table (file or directory of shards), pruning
-    to the pipeline columns by default."""
+    to the pipeline columns by default. A list/dict of roots reads EVERY
+    root and unions them with a ``location`` column — the reference's
+    multiple registered ``DataLocation`` roots
+    (``Common/DataLocation.cs:10-22``, ``DataControllerSimple.cs:105-159``);
+    see ``read_pages_multi``."""
+    if isinstance(path, (list, dict)):
+        return read_pages_multi(path, columns=columns)
     return read_parquet_clean(path, columns=columns)
+
+
+def read_pages_multi(
+    roots: "list[str] | dict[str, str]",
+    columns: list[str] | None = PIPELINE_COLUMNS,
+    location_col: str = "location",
+) -> ray.data.Dataset:
+    """Union of several pages roots, each row tagged with its root's
+    location name — the reference registers many scan roots and scopes
+    every query to them (``DataControllerSimple.cs:105-159``,
+    ``Common/DataLocation.cs:10-22``). ``roots`` is
+    ``{location_name: path}`` or a list of paths (location = the path).
+    The tag is a constant per root, appended lazily per batch (a
+    dictionary-encodable column, ~0 bytes at rest); downstream stages
+    scope per location by including ``location_col`` in their keys
+    (e.g. ``latest_pages(ds, key_cols=("location", "url"))``)."""
+    items = (
+        list(roots.items()) if isinstance(roots, dict) else [(p, p) for p in roots]
+    )
+    if not items:
+        raise ValueError("read_pages_multi needs at least one root")
+
+    def tag(loc: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                location_col, pa.array([loc] * len(t), type=pa.string())
+            )
+
+        return fn
+
+    parts = []
+    for loc, p in items:
+        parts.append(
+            read_parquet_clean(p, columns=columns).map_batches(
+                tag(loc), batch_format="pyarrow"
+            )
+        )
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds

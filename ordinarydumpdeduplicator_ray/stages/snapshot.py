@@ -120,16 +120,17 @@ def snapshot_diff(
 # ---------------------------------------------------------------------------
 
 
-def _latest_block(t: pa.Table) -> pa.Table:
-    """One block sorted by (url asc, warc_ts desc) -> first row per url
-    run + is_edge flags on the border runs."""
+def _latest_block(t: pa.Table, key_cols: tuple) -> pa.Table:
+    """One block sorted by (*key_cols asc, warc_ts desc) -> first row per
+    key run + is_edge flags on the border runs."""
     n = len(t)
     if n == 0:
         return t.append_column("is_edge", pa.array([], type=pa.bool_()))
-    urls = np.asarray(t["url"].to_pylist(), dtype=object)
-    starts = np.concatenate(
-        [[0], np.flatnonzero(urls[1:] != urls[:-1]) + 1]
-    )
+    diff = np.zeros(n - 1, dtype=bool)
+    for c in key_cols:
+        arr = np.asarray(t[c].to_pylist(), dtype=object)
+        diff |= arr[1:] != arr[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(diff) + 1])
     top = t.take(starts)
     is_edge = np.zeros(len(starts), dtype=bool)
     is_edge[0] = True
@@ -137,15 +138,27 @@ def _latest_block(t: pa.Table) -> pa.Table:
     return top.append_column("is_edge", pa.array(is_edge))
 
 
-def latest_pages(pages: ray.data.Dataset, ts_col: str = "warc_ts") -> ray.data.Dataset:
-    """Multi-snapshot pages (url may repeat across snapshot times) ->
-    the latest row per url. Sorted-run top-1: one sort on
-    (url, ts desc), vectorized block pass, O(blocks) driver merge of
-    block-border runs (``DataControllerSimple.cs:190-208`` — actual
-    FileStates = those of the latest inspection per location)."""
-    srt = pages.sort(["url", ts_col], descending=[False, True])
+def latest_pages(
+    pages: ray.data.Dataset,
+    ts_col: str = "warc_ts",
+    key_cols: tuple = ("url",),
+) -> ray.data.Dataset:
+    """Multi-snapshot pages (key may repeat across snapshot times) ->
+    the latest row per key. Sorted-run top-1: one sort on
+    (*key_cols, ts desc), vectorized block pass, O(blocks) driver merge
+    of block-border runs (``DataControllerSimple.cs:190-208`` — actual
+    FileStates = those of the latest inspection per location).
+    ``key_cols=("location", "url")`` gives the reference's per-
+    DataLocation scoping over a multi-root union (``read_pages_multi``)."""
+    import functools
+
+    key_cols = tuple(key_cols)
+    srt = pages.sort(
+        [*key_cols, ts_col], descending=[False] * len(key_cols) + [True]
+    )
     marked = srt.map_batches(
-        _latest_block, batch_format="pyarrow", batch_size=None
+        functools.partial(_latest_block, key_cols=key_cols),
+        batch_format="pyarrow", batch_size=None,
     ).materialize()
     interior = marked.filter(expr="is_edge == False").drop_columns(["is_edge"])
     edge = marked.filter(expr="is_edge == True").drop_columns(["is_edge"])
@@ -155,9 +168,14 @@ def latest_pages(pages: ray.data.Dataset, ts_col: str = "warc_ts") -> ray.data.D
     ) if edge.count() else None
     if edge_tbl is None or edge_tbl.num_rows == 0:
         return interior
-    urls = np.asarray(edge_tbl["url"].to_pylist(), dtype=object)
+    keys = [
+        np.asarray(edge_tbl[c].to_pylist(), dtype=object) for c in key_cols
+    ]
     ts = np.asarray(edge_tbl[ts_col].combine_chunks().cast(pa.int64()).to_numpy(
         zero_copy_only=False))
-    order = np.lexsort((-ts, urls))
-    keep = np.concatenate([[True], urls[order][1:] != urls[order][:-1]])
+    order = np.lexsort((-ts, *reversed(keys)))
+    diff = np.zeros(len(order) - 1, dtype=bool) if len(order) else np.empty(0, bool)
+    for k in keys:
+        diff |= k[order][1:] != k[order][:-1]
+    keep = np.concatenate([[True], diff]) if len(order) else np.empty(0, bool)
     return interior.union(ray.data.from_arrow(edge_tbl.take(order[keep])))

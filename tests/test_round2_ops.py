@@ -121,6 +121,53 @@ class TestSnapshotDiff:
             "u4": "new",
         }
 
+    def test_latest_pages_multi_location(self, ray_session, tmp_path):
+        """read_pages_multi tags each root with a location column and
+        latest_pages(key_cols=("location","url")) keeps one latest row
+        per (location, url) — the same url in two roots survives twice."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.sources.pages import read_pages_multi
+        from ordinarydumpdeduplicator_ray.stages.snapshot import latest_pages
+
+        def root(rows):
+            return pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], type=pa.string()),
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], type=pa.timestamp("us")
+                    ),
+                    "html": pa.nulls(len(rows), type=pa.binary()),
+                    "text": pa.array([r[2] for r in rows], type=pa.string()),
+                }
+            )
+
+        a = root([("u1", 100, "a-old"), ("u1", 200, "a-new"), ("u2", 100, "a-u2")])
+        b = root([("u1", 150, "b-mid"), ("u3", 100, "b-u3")])
+        pa_dir, pb_dir = str(tmp_path / "locA"), str(tmp_path / "locB")
+        import pyarrow.parquet as pq
+
+        import os
+        os.makedirs(pa_dir), os.makedirs(pb_dir)
+        pq.write_table(a, pa_dir + "/part.parquet")
+        pq.write_table(b, pb_dir + "/part.parquet")
+
+        ds = read_pages_multi(
+            {"locA": pa_dir, "locB": pb_dir},
+            columns=["url", "warc_ts", "html", "text"],
+        )
+        got = {
+            (r["location"], r["url"]): r["text"]
+            for r in latest_pages(
+                ds.repartition(4), key_cols=("location", "url")
+            ).take_all()
+        }
+        assert got == {
+            ("locA", "u1"): "a-new",
+            ("locA", "u2"): "a-u2",
+            ("locB", "u1"): "b-mid",
+            ("locB", "u3"): "b-u3",
+        }
+
     def test_latest_pages(self, ray_session):
         import ray.data
         from ordinarydumpdeduplicator_ray.stages.snapshot import latest_pages
