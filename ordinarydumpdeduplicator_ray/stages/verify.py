@@ -528,31 +528,23 @@ def _verify_join(
 
 
 class _ShingleRecheck:
-    """Exact unique-shingle Jaccard for the margin-band pairs.
+    """Exact unique-shingle Jaccard for the margin-band pairs arriving
+    with ``text_a``/``text_b`` columns (the shuffle-JOIN fallback path).
     Token-hash cache + config in ``__init__``; per batch, each distinct
     text is tokenized/shingled once (cross-batch cache) and pair Jaccards
-    come from sorted-array intersections.
+    come from sorted-array intersections. The broadcast path uses
+    ``_ShingleLookupRecheck`` instead — shingles there are precomputed
+    once cluster-wide in the pages filter pass."""
 
-    Texts arrive either as ``text_a``/``text_b`` columns (join path) or
-    via ``texts_ref`` — a broadcast (url, text) ARROW table in the
-    object store, read zero-copy per worker and resolved per batch with
-    a vectorized ``pc.index_in`` (a pickled url->text dict here
-    measured 10+ s of unpickle per worker process at ~150 MB)."""
-
-    def __init__(self, config: DedupConfig, texts_ref=None) -> None:
+    def __init__(self, config: DedupConfig) -> None:
         from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
 
         self.config = config
         self.hasher = TokenHasher()
-        self.texts = ray.get(texts_ref) if texts_ref is not None else None
         # shingle sets cached ACROSS batches (cluster members recur in
         # many pairs spread over batches); bounded to cap actor memory
         self._cache: dict[str, np.ndarray] = {}
         self._cache_cap = 200_000
-
-    def _lookup_texts(self, col) -> list:
-        idx = pc.index_in(col, value_set=self.texts["url"])
-        return self.texts["text"].take(idx).to_pylist()
 
     def _shingles(self, text: str | None, cache: dict) -> np.ndarray | None:
         from ordinarydumpdeduplicator_ray.functions.hashing import shingle_hashes
@@ -574,11 +566,7 @@ class _ShingleRecheck:
         cache = self._cache
         keep = np.zeros(len(t), dtype=bool)
         jac = np.zeros(len(t), dtype=np.float64)
-        if self.texts is not None:
-            ta = self._lookup_texts(t["url_a"])
-            tb = self._lookup_texts(t["url_b"])
-        else:
-            ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
         for i, (x, y) in enumerate(zip(ta, tb)):
             a = self._shingles(x, cache)
             b = self._shingles(y, cache)
@@ -673,6 +661,227 @@ def _recheck_broadcast(
     )
 
 
+# per-process TokenHasher for the distributed shingle-extract pass
+# (tasks reuse prestarted worker processes; the Zipfian token cache
+# persists across blocks in the same process)
+_EXTRACT_HASHER = None
+
+
+def _filter_shingle_block(
+    t: pa.Table, uid_ref, lowercase: bool, shingle_size: int
+) -> pa.Table:
+    """One pages block -> (url, shingles) rows for the pending-band urls
+    of THIS block. Membership is a searchsorted probe against the
+    broadcast SORTED uid vector (O(batch x log n), no per-batch hash
+    table — ``pc.is_in`` rebuilt a hash table over the whole wanted set
+    per batch and saturated memory bandwidth at 32 workers). SipHash
+    false positives just add an unused row (the pair lookup re-confirms
+    urls). Each matched text is tokenized + shingled HERE, exactly once
+    cluster-wide — per-worker shingle caches in the old pair loop meant
+    every extra worker re-tokenized the same cluster texts, the measured
+    anti-scaling of the recheck stage (21.6 s @8 -> 32.8 s @32 CPUs at
+    3.84M docs)."""
+    global _EXTRACT_HASHER
+    from ordinarydumpdeduplicator_ray.functions.hashing import (
+        TokenHasher,
+        shingle_hashes,
+        url_uids,
+    )
+    from ordinarydumpdeduplicator_ray.functions.text import tokenize
+    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
+
+    empty = pa.schema(
+        [("url", pa.string()), ("shingles", pa.large_binary())]
+    ).empty_table()
+    if len(t) == 0:
+        return empty
+    wanted = _get_broadcast(uid_ref)  # sorted int64, zero-copy per process
+    if len(wanted) == 0:
+        return empty
+    u = url_uids(t["url"])
+    pos = np.minimum(np.searchsorted(wanted, u), len(wanted) - 1)
+    t = t.filter(pa.array(wanted[pos] == u))
+    if len(t) == 0:
+        return empty
+    e = extract_batch(t)
+    if _EXTRACT_HASHER is None:
+        _EXTRACT_HASHER = TokenHasher()
+    hasher = _EXTRACT_HASHER
+    packed = []
+    for text in e["text"].to_pylist():
+        if text is None:
+            packed.append(None)
+            continue
+        toks = tokenize(text, lowercase)
+        s = shingle_hashes(hasher.hash_tokens(toks), shingle_size) \
+            if toks else np.empty(0, dtype=np.uint64)
+        packed.append(s.tobytes())
+    return pa.table(
+        {"url": e["url"], "shingles": pa.array(packed, type=pa.large_binary())}
+    )
+
+
+@ray.remote
+def _assemble_shingle_lookup(*blocks) -> dict:
+    """Worker-side assembly of the per-block (url, shingles) tables into
+    ONE packed uid-sorted lookup: sorted int64 uids + perm to concat
+    order + concat-order url array (collision confirm) + the flat
+    uint64 shingle buffer with absolute per-row word offsets. Runs as a
+    single remote task whose output IS the broadcast object — the
+    shingle payload never transits the driver heap (same pattern as
+    ``_assemble_lookup``)."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table
+
+    tables = [t for t in (_as_table(b) for b in blocks) if len(t)]
+    if not tables:
+        return {
+            "uids": np.empty(0, dtype=np.int64),
+            "perm": np.empty(0, dtype=np.int64),
+            "urls": pa.array([], type=pa.string()),
+            "flat": np.empty(0, dtype=np.uint64),
+            "starts": np.empty(0, dtype=np.int64),
+            "ends": np.empty(0, dtype=np.int64),
+        }
+    tbl = pa.concat_tables(tables).combine_chunks()
+    col = tbl["shingles"].combine_chunks()
+    # large_binary layout: buffers()[1] = int64 BYTE offsets,
+    # buffers()[2] = data; shingle rows are uint64 words, so word
+    # offsets = byte offsets / 8 (absolute into the shared data buffer)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    valid = np.asarray(pc.is_valid(col))
+    data_buf = col.buffers()[2]
+    flat = (
+        np.frombuffer(data_buf, dtype=np.uint64)
+        if data_buf is not None and len(data_buf) >= 8
+        else np.empty(0, dtype=np.uint64)
+    )
+    starts = off[:-1] // 8
+    ends = np.where(valid, off[1:] // 8, starts)  # null text -> empty run
+    raw = url_uids(tbl["url"])
+    perm = np.argsort(raw, kind="stable")
+    return {
+        "uids": raw[perm],
+        "perm": perm,
+        "urls": tbl["url"].combine_chunks(),
+        "flat": flat,
+        "starts": starts.astype(np.int64),
+        "ends": ends.astype(np.int64),
+    }
+
+
+class _ShingleLookupRecheck:
+    """Pair recheck against the packed shingle lookup: uids resolve by
+    searchsorted + vectorized url confirm (equal-uid runs scanned in
+    full on the astronomically-rare SipHash collision), and each pair's
+    exact Jaccard is a searchsorted membership count over two PRE-SORTED
+    unique shingle slices — no tokenization, no hash tables, no text in
+    the pair loop."""
+
+    def __init__(self, config: DedupConfig, lookup_ref) -> None:
+        self.config = config
+        self.lk = _get_broadcast(lookup_ref)
+
+    def _resolve(self, col) -> np.ndarray:
+        """url column -> concat-order lookup row, -1 where absent."""
+        from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+
+        lk = self.lk
+        uids, perm, urls = lk["uids"], lk["perm"], lk["urls"]
+        n = len(col)
+        if len(uids) == 0 or n == 0:
+            return np.full(n, -1, dtype=np.int64)
+        u = url_uids(col)
+        lo = np.searchsorted(uids, u, side="left")
+        present = (lo < len(uids)) & (uids[np.minimum(lo, len(uids) - 1)] == u)
+        rows = np.where(present, perm[np.minimum(lo, len(uids) - 1)], 0)
+        same = pc.fill_null(
+            pc.equal(col, urls.take(pa.array(rows))), False
+        ).to_numpy(zero_copy_only=False)
+        out = np.where(present & same, rows, -1)
+        # rare path: uid present but leftmost run row is a different url
+        # (SipHash collision inside the lookup) — scan the full run
+        misses = np.nonzero(present & ~same)[0]
+        if len(misses):
+            hi = np.searchsorted(uids, u[misses], side="right")
+            col_py = col.to_pylist()
+            for j, i in enumerate(misses):
+                for p in range(lo[i] + 1, hi[j]):
+                    r = perm[p]
+                    if urls[int(r)].as_py() == col_py[i]:
+                        out[i] = r
+                        break
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        thr = self.config.jaccard_threshold
+        lk = self.lk
+        flat, starts, ends = lk["flat"], lk["starts"], lk["ends"]
+        n = len(t)
+        keep = np.zeros(n, dtype=bool)
+        jac = np.zeros(n, dtype=np.float64)
+        ra = self._resolve(t["url_a"])
+        rb = self._resolve(t["url_b"])
+        for i in range(n):
+            ia, ib = ra[i], rb[i]
+            if ia < 0 or ib < 0:
+                continue
+            a = flat[starts[ia]:ends[ia]]
+            b = flat[starts[ib]:ends[ib]]
+            if not len(a) or not len(b):
+                continue
+            if len(a) > len(b):
+                a, b = b, a
+            pos = np.searchsorted(b, a)
+            pos_ok = pos < len(b)
+            inter = int(
+                np.count_nonzero(b[np.minimum(pos, len(b) - 1)][pos_ok] == a[pos_ok])
+            )
+            union = len(a) + len(b) - inter
+            j = inter / union if union else 0.0
+            jac[i] = j
+            keep[i] = j >= thr
+        cols = ["url_a", "url_b"] + [c for c in ("nb_a", "nb_b")
+                                     if c in t.column_names]
+        out = t.select(cols).filter(pa.array(keep))
+        m = len(out)
+        return out.append_column(
+            "source", pa.array(["minhash"] * m, type=pa.string())
+        ).append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
+
+
+# one _ShingleLookupRecheck per worker process (tasks-over-actors, same
+# rationale as _BROADCAST_CACHE); keyed by the lookup ref
+_RECHECK_STATE: dict = {}
+
+# per-process _ShingleRecheck for the join fallback path, keyed by the
+# config fields its kernels read (its text->shingles cache then persists
+# across task invocations in the same worker process)
+_JOIN_RECHECK_STATE: dict = {}
+
+
+def _join_recheck_batch(t: pa.Table, config: DedupConfig) -> pa.Table:
+    key = (config.jaccard_threshold, config.lowercase, config.shingle_size)
+    inst = _JOIN_RECHECK_STATE.get(key)
+    if inst is None:
+        inst = _ShingleRecheck(config)
+        _JOIN_RECHECK_STATE.clear()
+        _JOIN_RECHECK_STATE[key] = inst
+    return inst(t)
+
+
+def _recheck_batch(t: pa.Table, config: DedupConfig, lookup_ref) -> pa.Table:
+    key = lookup_ref.hex()
+    inst = _RECHECK_STATE.get(key)
+    if inst is None:
+        inst = _ShingleLookupRecheck(config, lookup_ref)
+        _RECHECK_STATE.clear()
+        _RECHECK_STATE[key] = inst
+    return inst(t)
+
+
 def _recheck_broadcast_core(
     url_arr,
     pending: ray.data.Dataset,
@@ -680,40 +889,29 @@ def _recheck_broadcast_core(
     pages: ray.data.Dataset,
     config: DedupConfig,
 ) -> ray.data.Dataset:
-    from ordinarydumpdeduplicator_ray.stages.signatures import extract_batch
-
-    url_ref = ray.put(url_arr)
-
-    def filter_extract(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        wanted = ray.get(url_ref)  # zero-copy plasma read, cached per worker
-        t = t.filter(pc.is_in(t["url"], value_set=wanted))
-        if len(t) == 0:
-            return pa.schema([("url", pa.string()), ("text", pa.string())]).empty_table()
-        e = extract_batch(t)
-        return pa.table({"url": e["url"], "text": e["text"]})
-
-    # broadcast the texts as ONE Arrow table, NOT a python dict: plasma
-    # serves Arrow buffers zero-copy, while a 100+ MB pickled dict costs
-    # each worker process a 10+ s unpickle under object-store pressure
-    # (measured — it dominated the recheck stage wall at 1.9M docs)
-    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
-
-    tmat = pages.map_batches(
-        filter_extract, batch_format="pyarrow"
-    ).materialize()
-    batches = [
-        t for t in (_as_table(b) for b in ray.get(block_refs(tmat))) if len(t)
-    ]
-    if batches:
-        texts_tbl = pa.concat_tables(batches).combine_chunks()
-    else:
-        texts_tbl = pa.schema(
-            [("url", pa.string()), ("text", pa.string())]
-        ).empty_table()
-    texts_ref = ray.put(texts_tbl)
+    """Distributed recheck, zero shuffles: the pending url set becomes a
+    broadcast SORTED uid vector; a map over the pages blocks filters to
+    those urls and tokenizes/shingles each matched text ONCE (the text
+    re-read is sharded by the pages' own blocks — every worker reads a
+    disjoint slice); one remote task packs the shingle sets into a
+    uid-sorted flat-buffer lookup; and the pair pass gathers two slices
+    + a searchsorted intersection count per pair."""
     import functools
+
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+    from ordinarydumpdeduplicator_ray.stages.blockops import block_refs
+
+    uid_ref = ray.put(np.sort(url_uids(url_arr)))
+    tmat = pages.map_batches(
+        functools.partial(
+            _filter_shingle_block,
+            uid_ref=uid_ref,
+            lowercase=config.lowercase,
+            shingle_size=config.shingle_size,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    lookup_ref = _assemble_shingle_lookup.remote(*block_refs(tmat))
 
     # map tasks are per-BLOCK: a pending set that arrives as one or two
     # blocks would run the whole shingle recheck on one core. Split it
@@ -723,26 +921,10 @@ def _recheck_broadcast_core(
     if pending.num_blocks() < want_blocks:
         pending = pending.repartition(want_blocks)
     return pending.map_batches(
-        functools.partial(_recheck_batch, config=config, texts_ref=texts_ref),
+        functools.partial(_recheck_batch, config=config, lookup_ref=lookup_ref),
         batch_format="pyarrow",
         batch_size=4096,
     )
-
-
-# one _ShingleRecheck instance per worker process (same
-# tasks-over-actors rationale as _BROADCAST_CACHE); its cross-batch
-# shingle cache persists across tasks in the process
-_RECHECK_STATE: dict = {}
-
-
-def _recheck_batch(t: pa.Table, config: DedupConfig, texts_ref) -> pa.Table:
-    key = texts_ref.hex()
-    inst = _RECHECK_STATE.get(key)
-    if inst is None:
-        inst = _ShingleRecheck(config, texts_ref)
-        _RECHECK_STATE.clear()
-        _RECHECK_STATE[key] = inst
-    return inst(t)
 
 
 def _recheck_join(
@@ -784,10 +966,15 @@ def _recheck_join(
         num_partitions=num_partitions,
         empty_schema=pa.schema(base + [("text_a", pa.string()), ("text_b", pa.string())]),
     )
+    # stateless TASK map (per-process _ShingleRecheck via _join_recheck
+    # _JOIN_RECHECK_STATE), not an actor pool: a fixed-size pool stacked
+    # on the two JoinOperators' aggregator actors can deadlock a small
+    # CPU budget (observed at num_cpus=4: pool + 2x join aggregators >
+    # CPUs, executor stalls); tasks size themselves to whatever is free.
+    import functools
+
     return with_ab.map_batches(
-        _ShingleRecheck,
-        fn_constructor_kwargs={"config": config},
+        functools.partial(_join_recheck_batch, config=config),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=config.sig_concurrency if isinstance(config.sig_concurrency, int) else 4,
     )

@@ -194,6 +194,102 @@ class TestVerifyAttachParity:
         assert _sorted_rows(capped, self.EDGE_COLS) == expected
 
 
+class TestShingleLookupRecheck:
+    """The broadcast margin recheck (precomputed shingle lookup) must
+    keep exactly the pairs whose TRUE unique-shingle Jaccard clears the
+    threshold — brute-force oracle, and parity with the join path."""
+
+    @staticmethod
+    def _true_jaccard(a_text, b_text, cfg):
+        from ordinarydumpdeduplicator_ray.functions.hashing import (
+            TokenHasher,
+            shingle_hashes,
+        )
+        from ordinarydumpdeduplicator_ray.functions.text import tokenize
+
+        h = TokenHasher()
+
+        def sh(x):
+            toks = tokenize(x, cfg.lowercase)
+            return (
+                shingle_hashes(h.hash_tokens(toks), cfg.shingle_size)
+                if toks else np.empty(0, dtype=np.uint64)
+            )
+
+        a, b = sh(a_text), sh(b_text)
+        if not len(a) or not len(b):
+            return 0.0
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        return inter / (a.size + b.size - inter)
+
+    def test_matches_bruteforce_and_join_path(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.config import DedupConfig
+        from ordinarydumpdeduplicator_ray.stages import verify as V
+
+        cfg = DedupConfig(jaccard_threshold=0.8)
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(400)]
+        texts, urls = [], []
+        for i in range(60):
+            base = list(rng.choice(vocab, size=80))
+            urls.append(f"u{i:03d}")
+            texts.append(" ".join(base))
+            # a perturbed twin per doc: drop k words, k sweeps the
+            # threshold region so keeps/rejects both occur
+            k = 1 + (i % 15) * 3
+            urls.append(f"u{i:03d}-tw")
+            texts.append(" ".join(base[: len(base) - k]))
+        pages = pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "html": pa.nulls(len(urls), type=pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        by_url = dict(zip(urls, texts))
+        pend_rows = [(f"u{i:03d}", f"u{i:03d}-tw") for i in range(60)]
+        # plus a pair whose url is MISSING from pages: must be skipped
+        pend_rows.append(("u000", "zz-missing"))
+        pending = pa.table(
+            {
+                "url_a": pa.array([r[0] for r in pend_rows], type=pa.string()),
+                "url_b": pa.array([r[1] for r in pend_rows], type=pa.string()),
+                "nb_a": pa.array([0] * len(pend_rows), type=pa.int64()),
+                "nb_b": pa.array([0] * len(pend_rows), type=pa.int64()),
+                "source": pa.array(
+                    ["minhash_margin"] * len(pend_rows), type=pa.string()
+                ),
+                "jaccard": pa.array([0.0] * len(pend_rows), type=pa.float64()),
+            }
+        )
+        pages_ds = ray.data.from_arrow(pages).repartition(5)
+        got = V._recheck_broadcast_tbl(pending, pages_ds, cfg)
+        got_rows = {
+            (r["url_a"], r["url_b"]): r["jaccard"] for r in got.take_all()
+        }
+        want = {}
+        for a, b in pend_rows:
+            if b not in by_url:
+                continue
+            j = self._true_jaccard(by_url[a], by_url[b], cfg)
+            if j >= cfg.jaccard_threshold:
+                want[(a, b)] = j
+        assert set(got_rows) == set(want)
+        assert want, "fixture degenerate: no pair above threshold"
+        assert len(want) < len(pend_rows) - 1, "fixture degenerate: all kept"
+        for k_, v in want.items():
+            assert abs(got_rows[k_] - v) < 1e-12
+        # parity with the shuffle-join fallback
+        joined = V._recheck_join(
+            ray.data.from_arrow(pending), pages_ds, cfg, num_partitions=4
+        )
+        j_rows = {
+            (r["url_a"], r["url_b"]): r["jaccard"] for r in joined.take_all()
+        }
+        assert j_rows == got_rows
+
+
 class TestVectorizedComponents:
     def test_matches_dict_union_find(self, ray_session):
         """components_from_edges (vectorized min-rank label prop) must
