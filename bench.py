@@ -237,6 +237,7 @@ def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
 def main_scaling(
     rows: int,
     repeats: int = int(os.environ.get("GRAFT_SCALING_REPEATS", "3")),
+    pair: tuple[int, int] = (8, 32),
 ) -> dict:
     """Interleaved rounds of (8-CPU leg, 32-CPU leg) in fresh processes.
 
@@ -271,40 +272,44 @@ def main_scaling(
             raise RuntimeError(f"scaling run at num_cpus={cpus} failed")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    lo, hi = pair
+    factor = hi / lo
     rounds = []
     for _ in range(max(1, repeats)):
-        r8 = one(8)
-        r32 = one(32)
+        rlo = one(lo)
+        rhi = one(hi)
         rounds.append(
-            {"r8": r8, "r32": r32,
-             "efficiency": round((r32["docs_per_sec"] / r8["docs_per_sec"]) / 4, 3)}
+            {"rlo": rlo, "rhi": rhi,
+             "efficiency": round(
+                 (rhi["docs_per_sec"] / rlo["docs_per_sec"]) / factor, 3)}
         )
     best = max(rounds, key=lambda r: r["efficiency"])
-    runs = {8: best["r8"], 32: best["r32"]}
-    rate8 = runs[8]["docs_per_sec"]
-    rate32 = runs[32]["docs_per_sec"]
+    runs = {lo: best["rlo"], hi: best["rhi"]}
+    rate_lo = runs[lo]["docs_per_sec"]
+    rate_hi = runs[hi]["docs_per_sec"]
     eff = best["efficiency"]
     effs = sorted(r["efficiency"] for r in rounds)
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "value": eff,
         "unit": "ratio",
         "queries": {
-            "near_dup_full_8cpu": runs[8]["wall_sec"],
-            "near_dup_full_32cpu": runs[32]["wall_sec"],
+            f"near_dup_full_{lo}cpu": runs[lo]["wall_sec"],
+            f"near_dup_full_{hi}cpu": runs[hi]["wall_sec"],
         },
         "sf": pages_dir,
-        "num_cpus": 32,
-        "docs": runs[32]["docs"],
-        "docs_per_sec_8cpu": rate8,
-        "docs_per_sec_32cpu": rate32,
+        "num_cpus": hi,
+        "docs": runs[hi]["docs"],
+        f"docs_per_sec_{lo}cpu": rate_lo,
+        f"docs_per_sec_{hi}cpu": rate_hi,
+        "scaling_factor": factor,
         "scaling_efficiency": eff,
         "efficiency_per_round": [r["efficiency"] for r in rounds],
         "efficiency_median": effs[len(effs) // 2],
-        "stages_8cpu": runs[8].get("stages", {}),
-        "stages_32cpu": runs[32].get("stages", {}),
-        "cpu_busy_8cpu": runs[8].get("cpu_busy", {}),
-        "cpu_busy_32cpu": runs[32].get("cpu_busy", {}),
+        f"stages_{lo}cpu": runs[lo].get("stages", {}),
+        f"stages_{hi}cpu": runs[hi].get("stages", {}),
+        f"cpu_busy_{lo}cpu": runs[lo].get("cpu_busy", {}),
+        f"cpu_busy_{hi}cpu": runs[hi].get("cpu_busy", {}),
     }
 
 
@@ -314,6 +319,12 @@ def main() -> None:
     ap.add_argument("--repeats", type=int,
                     default=int(os.environ.get("GRAFT_SCALING_REPEATS", "3")))
     ap.add_argument("--rows", type=int, default=SCALING_ROWS)
+    ap.add_argument(
+        "--pair", nargs=2, type=int, metavar=("N", "M"), default=[8, 32],
+        help="parallelism pair for --scaling; efficiency is "
+             "(rate_M/rate_N)/(M/N). Default 8 32 (the 4x pair); 8 16 is "
+             "the documented equal-cache-envelope N->2N proxy (BASELINE.md)",
+    )
     ap.add_argument("--one-scaling-run", nargs=2, metavar=("PAGES_DIR", "CPUS"))
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
@@ -326,7 +337,7 @@ def main() -> None:
     if args.one_scaling_run:
         result = _one_scaling_run(args.one_scaling_run[0], int(args.one_scaling_run[1]))
     elif args.scaling:
-        result = main_scaling(args.rows, args.repeats)
+        result = main_scaling(args.rows, args.repeats, tuple(args.pair))
     else:
         result = main_bench(args.sf_dir, args.num_cpus)
 

@@ -407,7 +407,18 @@ def verify_pairs(
     # streaming-executor launches (~0.5-1.5 s of cluster idle each).
     from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("GRAFT_PROF") == "1"
+    _tv0 = _time.perf_counter()
     edges = edges.materialize()
+    if _prof:
+        print(
+            f"[GRAFT_PROF] verify_edges_materialize {_time.perf_counter() - _tv0:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
     n_pending = sum(
         map_blocks(
             edges,
@@ -431,6 +442,14 @@ def verify_pairs(
     else:
         pending = edges.filter(expr="source == 'minhash_margin'")
         resolved = _recheck_join(pending, pages, config, num_partitions)
+    if _prof:
+        _tr = _time.perf_counter()
+        resolved = resolved.materialize()
+        print(
+            f"[GRAFT_PROF] recheck_consume {_time.perf_counter() - _tr:.2f}s "
+            f"rows={resolved.count()}",
+            file=_sys.stderr, flush=True,
+        )
     return accepted.union(resolved)
 
 
@@ -901,6 +920,12 @@ def _recheck_broadcast_core(
     from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
     from ordinarydumpdeduplicator_ray.stages.blockops import block_refs
 
+    import os
+    import sys
+    import time as _t
+
+    _prof = os.environ.get("GRAFT_PROF") == "1"
+    _t0 = _t.perf_counter()
     uid_ref = ray.put(np.sort(url_uids(url_arr)))
     tmat = pages.map_batches(
         functools.partial(
@@ -911,7 +936,15 @@ def _recheck_broadcast_core(
         ),
         batch_format="pyarrow",
     ).materialize()
+    _t1 = _t.perf_counter()
     lookup_ref = _assemble_shingle_lookup.remote(*block_refs(tmat))
+    if _prof:
+        ray.wait([lookup_ref])
+        print(
+            f"[GRAFT_PROF] recheck n_urls={len(url_arr)} n_pending={n_pending} "
+            f"filter_shingle={_t1 - _t0:.2f}s assemble={_t.perf_counter() - _t1:.2f}s",
+            file=sys.stderr, flush=True,
+        )
 
     # map tasks are per-BLOCK: a pending set that arrives as one or two
     # blocks would run the whole shingle recheck on one core. Split it
