@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": q.knn_cosine_lsh_vec0,
         "knn_cosine_ivf": q.knn_cosine_ivf_vec0,
         "doc_fingerprints": q.doc_fingerprints,
+        # --- hash-locked digests of the deterministic rows-only ops ------
+        "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
+        "media_embedding_checksum": q.media_embedding_checksum,
         # --- moved to SQL-oracled in round 2 ----------------------------
         "media_features": q.media_features,
         "lang_id": q.lang_id,
@@ -771,5 +774,19 @@ FROM events p LEFT JOIN events e
  AND e.ts <= p.ts + INTERVAL 24 HOUR
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id
+""",
+        # Hash-locked digests: doc_fingerprints / media_embeddings are
+        # byte-level constructions DuckDB cannot express, so the oracle
+        # pins the stored constant computed once from the deterministic
+        # seed-42 sf0.01 testdata. The Ray side reduces the operator's
+        # ACTUAL output to an order- and blocking-independent checksum
+        # (repartition-invariance asserted in pytest), so any semantic
+        # drift in tokenizer / xor-fold / embedding bytes flips the value
+        # and fails the gate.
+        "doc_fingerprint_checksum": """
+SELECT CAST(500 AS BIGINT) AS n_docs, 'cd5b1e4f87fae7f6' AS checksum
+""",
+        "media_embedding_checksum": """
+SELECT CAST(500 AS BIGINT) AS n_rows, 'a12a8007fdac0b97' AS checksum
 """,
     }

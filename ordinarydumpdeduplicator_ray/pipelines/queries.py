@@ -1943,3 +1943,95 @@ def events_within_order_window(sf_dir: str, hours: int = 24) -> ray.data.Dataset
         )
 
     return events.map_batches(fill, batch_format="pyarrow")
+
+
+# --- hash-lock checksum digests (VERDICT r2 #5) -----------------------------
+# The two remaining deterministic rows-only operators (doc_fingerprints,
+# media_embeddings) are byte-level constructions DuckDB cannot express.
+# These 1-row digests make them driver-checkable anyway: the Ray side
+# reduces the operator's ACTUAL output to an order- and blocking-
+# independent checksum (pytest asserts repartition invariance), and the
+# oracle pins the stored constant computed once from the deterministic
+# seed-42 testdata — any change in tokenizer / hash / fold / embedding
+# semantics flips the checksum and fails the gate. Same pattern as the
+# blocking-independent label checksum in state/unionfind.py.
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style finalizer over uint64 (vectorized, wrapping)."""
+    with np.errstate(over="ignore"):
+        x = x.copy()
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def _checksum_reduce(parts: list, n_name: str) -> pa.Table:
+    """Sum the per-batch (n, h) partials mod 2^64 into the 1-row digest."""
+    n = int(sum(p["n"] for p in parts))
+    total = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for p in parts:
+            total += np.uint64(np.int64(p["h"]))
+    return pa.table(
+        {
+            n_name: pa.array([n], type=pa.int64()),
+            "checksum": pa.array([f"{int(total):016x}"], type=pa.string()),
+        }
+    )
+
+
+def doc_fingerprint_checksum(sf_dir: str) -> pa.Table:
+    """1-row digest of ``doc_fingerprints``: (n_docs, checksum) with
+    checksum = sum mod 2^64 of mix64(fingerprint ^ mix64(doc_id)) over
+    the operator's own output rows."""
+    fps = doc_fingerprints(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        v = np.fromiter(
+            (int(x, 16) for x in t["fingerprint"].to_pylist()),
+            dtype=np.uint64, count=len(t),
+        )
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.sum(_mix64(v ^ _mix64(ids)), dtype=np.uint64)
+        return pa.table({"n": pa.array([len(t)], type=pa.int64()),
+                         "h": pa.array([np.int64(s)], type=pa.int64())})
+
+    parts = fps.map_batches(partial, batch_format="pyarrow").take_all()
+    return _checksum_reduce(parts, "n_docs")
+
+
+def media_embedding_checksum(sf_dir: str) -> pa.Table:
+    """1-row digest of ``media_embeddings``: (n_rows, checksum) with
+    checksum = sum mod 2^64 of mix64(uid(url) ^ mix64-fold of the
+    embedding's raw float32 bit pattern)."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+
+    med = media_embeddings(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.view(np.uint32).reshape(len(t), -1).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            fold = np.zeros(len(t), dtype=np.uint64)
+            for j in range(mat.shape[1]):  # D iterations, row-vectorized
+                fold = _mix64(fold ^ mat[:, j])
+            u = url_uids(t["url"]).view(np.uint64)
+            s = np.sum(_mix64(u ^ _mix64(fold)), dtype=np.uint64)
+        return pa.table({"n": pa.array([len(t)], type=pa.int64()),
+                         "h": pa.array([np.int64(s)], type=pa.int64())})
+
+    parts = med.map_batches(partial, batch_format="pyarrow").take_all()
+    return _checksum_reduce(parts, "n_rows")
