@@ -8,13 +8,16 @@ training-data-pipeline operators a 100 TB multimodal corpus needs.
 Decode kernels: ``real=True`` decodes IMAGE payloads with the
 pure-stdlib codecs in ``functions/imagecodec.py`` — PNG pixels (zlib
 inflate + filter reversal), BMP pixels, GIF header dims + frame count —
-and derives the embedding from the ACTUAL pixels; image payloads the
-stdlib codecs can't read fall back to the deterministic digest-derived
-stub (per-row error tolerance, never failing the job). AUDIO/VIDEO
-decode remains the documented stub — ``real=True`` raises
-``NotImplementedError`` on the first audio/video row (the integration
-point for torchaudio / pyav, not shipped in this container).
-``real=False`` runs the deterministic fake decoder for every row.
+and derives the embedding from the ACTUAL pixels; AUDIO payloads with
+the pure-stdlib WAV decoder in ``functions/audiocodec.py`` (RIFF PCM
+chunk walk + segment-RMS/zero-crossing features from the actual
+samples). Payloads the stdlib codecs can't read (exotic images,
+compressed audio codecs) fall back to the deterministic digest-derived
+stub (per-row error tolerance, never failing the job). VIDEO decode
+remains the documented stub — ``real=True`` raises
+``NotImplementedError`` on the first video row (the pyav/ffmpeg
+integration point, not shipped in this container). ``real=False`` runs
+the deterministic fake decoder for every row.
 
 Scale notes: payloads are large, so batches must be SMALL
 (``media_batch_size`` rows, not the text default) to keep
@@ -88,13 +91,16 @@ class MediaFeatureActor:
     """Actor-pool stage: (url, media_type, payload) -> MEDIA_FEATURES.
 
     ``real=True`` decodes image payloads with the stdlib codecs
-    (``functions/imagecodec.py``): width/height/n_frames and the
+    (``functions/imagecodec.py``) and WAV audio payloads with
+    ``functions/audiocodec.py``: width/height/n_frames and the
     embedding come from the actual bytes — the reference's
     byte-interpreting hash pass (``Common/FsUtils.cs:39-54``) extended
-    to pixel decode. Undecodable image payloads fall back to the
-    deterministic stub; audio/video rows raise ``NotImplementedError``
-    (the codec-library integration point). Rows with null payloads are
-    dropped (broken-row tolerance, same policy as the text pipeline's
+    to sample decode. For audio rows the dimension columns carry
+    (width=sample_rate, height=n_channels, n_frames=PCM frame count).
+    Undecodable image/audio payloads fall back to the deterministic
+    stub; video rows raise ``NotImplementedError`` (the codec-library
+    integration point). Rows with null payloads are dropped
+    (broken-row tolerance, same policy as the text pipeline's
     ``status`` column).
     """
 
@@ -106,11 +112,21 @@ class MediaFeatureActor:
         if self.real:
             from ordinarydumpdeduplicator_ray.functions import imagecodec as ic
 
-            if mt in ("audio", "video"):
+            if mt == "video":
                 raise NotImplementedError(
-                    f"real {mt} decoding needs torchaudio/pyav, not shipped "
-                    "in this container — image payloads decode for real"
+                    "real video decoding needs pyav/ffmpeg, not shipped in "
+                    "this container — image and WAV audio decode for real"
                 )
+            if mt == "audio":
+                from ordinarydumpdeduplicator_ray.functions import audiocodec as ac
+
+                try:
+                    rate, n_ch, samples = ac.decode_wav(payload)
+                    return rate, n_ch, len(samples), ac.sample_features(rate, samples)
+                except ac.UnsupportedAudioError:
+                    pass  # compressed codec -> deterministic stub below
+                w, h, nf = _fake_decode(payload, mt)
+                return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
             try:
                 fmt = ic.sniff_format(payload)
                 if fmt == "png":

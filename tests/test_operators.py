@@ -61,7 +61,7 @@ class TestMultimodal:
         assert np.allclose(e0, e1)  # same content -> same embedding
         assert abs(np.linalg.norm(e0) - 1.0) < 1e-5
 
-    def test_real_audio_video_decode_is_explicit_stub(self):
+    def test_real_video_decode_is_explicit_stub(self):
         from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
 
         actor = MediaFeatureActor(real=True)
@@ -74,6 +74,53 @@ class TestMultimodal:
         )
         with pytest.raises(NotImplementedError):
             actor(batch)
+
+    def test_wav_codec_roundtrip(self):
+        from ordinarydumpdeduplicator_ray.functions.audiocodec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        mono = rng.uniform(-1, 1, size=1000).astype(np.float32)
+        rate, n_ch, out = decode_wav(encode_wav(mono, sample_rate=8000, bits=16))
+        assert (rate, n_ch, len(out)) == (8000, 1, 1000)
+        assert np.allclose(out[:, 0], mono, atol=1 / 32767 * 2)
+        stereo = rng.uniform(-1, 1, size=(300, 2)).astype(np.float32)
+        rate, n_ch, out = decode_wav(encode_wav(stereo, sample_rate=44100, bits=8))
+        assert (rate, n_ch, len(out)) == (44100, 2, 300)
+        assert np.allclose(out, stereo, atol=1 / 127 * 2)
+
+    def test_real_audio_decode_from_actual_samples(self):
+        """real=True decodes WAV fixtures: rate/channels/frames and the
+        embedding come from the PCM samples; compressed-codec payloads
+        fall back to the stub (same policy as undecodable images)."""
+        from ordinarydumpdeduplicator_ray.functions.audiocodec import (
+            decode_wav,
+            encode_wav,
+            sample_features,
+        )
+        from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
+
+        rng = np.random.default_rng(13)
+        wav = encode_wav(
+            rng.uniform(-1, 1, size=(512, 2)).astype(np.float32),
+            sample_rate=16000, bits=16,
+        )
+        batch = pa.table(
+            {
+                "url": pa.array(["m://a", "m://mp3"]),
+                "media_type": pa.array(["audio", "audio"], type=pa.string()),
+                "payload": pa.array([wav, b"ID3\x04not-really-mp3"],
+                                    type=pa.binary()),
+            }
+        )
+        rows = {r["url"]: r for r in MediaFeatureActor(real=True)(batch).to_pylist()}
+        a = rows["m://a"]
+        assert (a["width"], a["height"], a["n_frames"]) == (16000, 2, 512)
+        rate, _, samples = decode_wav(wav)
+        assert np.allclose(a["embedding"], sample_features(rate, samples), atol=1e-6)
+        assert rows["m://mp3"]["width"] > 0  # stub fallback, never raises
 
     def test_real_image_decode_from_actual_pixels(self):
         """real=True decodes generated PNG/BMP fixtures: dims and the
