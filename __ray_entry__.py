@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": q.asof_latest_order,
         "host_capped_docs": q.host_capped_docs,
         "events_within_order_window": q.events_within_order_window,
+        # --- new in round 3: bloom-gated streaming ingest dedup ----------
+        "bloom_new_docs": q.bloom_new_docs,
     }
 
 
@@ -788,5 +790,18 @@ SELECT CAST(500 AS BIGINT) AS n_docs, 'cd5b1e4f87fae7f6' AS checksum
 """,
         "media_embedding_checksum": """
 SELECT CAST(500 AS BIGINT) AS n_rows, 'a12a8007fdac0b97' AS checksum
+""",
+        # bloom-gated streaming ingest dedup: the bloom only routes rows
+        # past the verify join, so the output is the plain set difference
+        "bloom_new_docs": """
+WITH newp AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-recrawl' AS url, text
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT url, sha256(text) AS text_sha256 FROM newp
+WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
 """,
     }

@@ -2035,3 +2035,40 @@ def media_embedding_checksum(sf_dir: str) -> pa.Table:
 
     parts = med.map_batches(partial, batch_format="pyarrow").take_all()
     return _checksum_reduce(parts, "n_rows")
+
+
+# --- bloom-gated streaming ingest dedup --------------------------------------
+
+def _docs_pages_subset(
+    sf_dir: str, mod: int, rem: int, suffix: str = ""
+) -> ray.data.Dataset:
+    """documents rows with doc_id % mod == rem as a (url, text) pages
+    slice; urls follow the testdata:// convention plus ``suffix``."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % mod == rem)
+        t = t.filter(keep)
+        return pa.table(
+            {"url": _doc_url(t["doc_id"], suffix), "text": t["text"]}
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def bloom_new_docs(sf_dir: str, fpp: float = 0.01) -> ray.data.Dataset:
+    """Streaming-ingest dedup (stages/bloom.py): a 'fresh crawl batch'
+    (odd doc_ids plus a re-crawl of every doc_id % 6 == 0 row) against
+    the 'existing corpus' (even doc_ids). EXACT output — (url,
+    text_sha256) of the rows whose text the prior corpus lacks; the
+    bloom bitmap only routes rows past the verify join, it never
+    decides them. No reference counterpart (the reference re-hashes
+    everything per scan, OrdinaryDumpDeduplicator.cs:107-156)."""
+    from ordinarydumpdeduplicator_ray.stages.bloom import bloom_new_docs as impl
+
+    prior = _docs_pages_subset(sf_dir, 2, 0)
+    new_pages = _docs_pages_subset(sf_dir, 2, 1).union(
+        _docs_pages_subset(sf_dir, 6, 0, suffix="-recrawl")
+    )
+    return impl(new_pages, prior, fpp=fpp)

@@ -1,0 +1,205 @@
+"""Bloom-filter-gated streaming dedup: new crawl data vs an existing
+corpus, without joining the full new corpus against the full prior one.
+
+The 100-TB re-crawl problem: a fresh batch of pages arrives and must be
+reduced to the rows whose content the corpus has never seen. A direct
+anti-join ships every new sha through a shuffle against every prior
+sha. The bloom gate shrinks that to the duplicate rows plus an ``fpp``
+sliver of the new ones:
+
+1. **build** — one streaming pass over the prior corpus computes a
+   per-block partial bloom (k bit positions per sha256, double
+   hashing), each block emitting either the dense ``m/8``-byte bitmap
+   or (small blocks) the sparse set-bit indices, whichever is smaller;
+   the driver ORs the O(blocks) partials. The bitmap costs ~1.2
+   bytes/key at 1% fpp vs 32 bytes/key for an exact sha set — the
+   difference between a broadcastable 12 GB and an impossible 320 GB
+   at 10^10 keys.
+2. **probe** — the bitmap broadcasts once (``ray.put``); each new-page
+   batch tests membership vectorized (numpy gather on the word array).
+   Misses are DEFINITELY new (blooms have no false negatives) and
+   bypass the join entirely.
+3. **verify** — only bloom hits (true dups + fpp false positives)
+   enter the exact anti-join against the prior shas
+   (``stages/join.py:209`` broadcast path with its shuffle fallback
+   above the cap), so the expensive exchange sees ~(dup_rate + fpp)
+   of the new corpus instead of all of it.
+
+The final output is EXACT — the bloom only routes rows, it never
+decides them — so the operator carries a plain SQL oracle
+(``NOT IN`` set difference).
+
+No reference counterpart (the reference re-hashes everything each
+scan); this is the streaming-ingest analogue of
+``stages/incremental.py``'s re-crawl reuse.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+# Dense-bitmap ceiling for the driver OR (2^27 bits = 16 MiB). Above
+# this, raise rather than silently degrade: at cluster scale the build
+# should move to a tree of ray.remote OR tasks (documented integration
+# point), not a quadratically growing driver loop.
+_MAX_BITS = 1 << 27
+
+
+def bloom_params(n_expected: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits rounded up to a power of two, k hash count) for the
+    target false-positive rate. Power-of-two m makes every position a
+    mask, not a modulo."""
+    n = max(1, n_expected)
+    m = -n * math.log(max(1e-9, min(0.5, fpp))) / (math.log(2) ** 2)
+    m_bits = 1 << max(6, math.ceil(math.log2(m)))
+    if m_bits > _MAX_BITS:
+        raise ValueError(
+            f"bloom of {m_bits} bits exceeds the driver-OR ceiling "
+            f"({_MAX_BITS}); shard the corpus or integrate the tree-OR "
+            "build for cluster-scale key counts"
+        )
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, min(k, 16)
+
+
+def _sha_h1_h2(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, list]:
+    """sha256 per row -> (h1, h2 odd) uint64 pairs + hex digests."""
+    import hashlib
+
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    hexes = []
+    for i, v in enumerate(texts.to_pylist()):
+        d = hashlib.sha256((v or "").encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:16], "little") | 1  # odd: full cycle
+        hexes.append(d.hex())
+    return h1, h2, hexes
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, mask: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: (h1 + i*h2) & mask."""
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(mask)
+
+
+def build_text_bloom(
+    pages: ray.data.Dataset, fpp: float = 0.01, n_expected: int | None = None
+) -> dict:
+    """Prior corpus -> ``{"bits": uint64 word array, "m": int, "k": int}``.
+
+    One streaming pass; each block emits the SMALLER of its dense
+    partial bitmap and its sparse set-bit index list, and the driver
+    ORs O(blocks) partials — no corpus-sized driver load.
+    """
+    n = n_expected if n_expected is not None else pages.count()
+    m_bits, k = bloom_params(n, fpp)
+    mask = m_bits - 1
+    n_words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"dense": pa.array([], type=pa.binary()),
+                             "sparse": pa.array([], type=pa.binary())})
+        h1, h2, _ = _sha_h1_h2(t["text"].combine_chunks())
+        pos = np.unique(_positions(h1, h2, k, mask).ravel())
+        if len(pos) * 8 < n_words * 8:
+            return pa.table({
+                "dense": pa.array([None], type=pa.binary()),
+                "sparse": pa.array([pos.tobytes()], type=pa.binary()),
+            })
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return pa.table({
+            "dense": pa.array([words.tobytes()], type=pa.binary()),
+            "sparse": pa.array([None], type=pa.binary()),
+        })
+
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for b in pages.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for dense, sparse in zip(b["dense"].to_pylist(), b["sparse"].to_pylist()):
+            if dense is not None:
+                bits |= np.frombuffer(dense, dtype=np.uint64)
+            elif sparse is not None:
+                pos = np.frombuffer(sparse, dtype=np.uint64)
+                bits[(pos >> np.uint64(6)).astype(np.int64)] |= (
+                    np.uint64(1) << (pos & np.uint64(63))
+                )
+    return {"bits": bits, "m": m_bits, "k": k}
+
+
+def _probe_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """(n, k) positions -> bool[n]: all k bits set (bloom hit)."""
+    words = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = (words >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def bloom_new_docs(
+    new_pages: ray.data.Dataset,
+    prior_pages: ray.data.Dataset,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """EXACT set of new-corpus rows whose text the prior corpus lacks,
+    as ``(url, text_sha256)`` — bloom-routed, join-verified.
+
+    The probe output is projected to (url, sha, flag) BEFORE the
+    materialize that feeds the two consumers — the text payload never
+    materializes.
+    """
+    from ordinarydumpdeduplicator_ray.stages.join import broadcast_anti_join
+
+    bloom = build_text_bloom(prior_pages, fpp=fpp)
+    ref = ray.put(bloom["bits"])
+    k, mask = bloom["k"], bloom["m"] - 1
+
+    def probe(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"url": pa.array([], type=pa.string()),
+                             "text_sha256": pa.array([], type=pa.string()),
+                             "maybe_dup": pa.array([], type=pa.bool_())})
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        bits = _get_broadcast(ref)
+        h1, h2, hexes = _sha_h1_h2(t["text"].combine_chunks())
+        hit = _probe_bits(bits, _positions(h1, h2, k, mask))
+        return pa.table({
+            "url": t["url"],
+            "text_sha256": pa.array(hexes, type=pa.string()),
+            "maybe_dup": pa.array(hit),
+        })
+
+    probed = new_pages.map_batches(probe, batch_format="pyarrow").materialize()
+    definite = probed.map_batches(
+        lambda t: t.filter(pc.invert(t["maybe_dup"])).drop_columns(["maybe_dup"]),
+        batch_format="pyarrow",
+    )
+    cand = probed.map_batches(
+        lambda t: t.filter(t["maybe_dup"]).drop_columns(["maybe_dup"]),
+        batch_format="pyarrow",
+    )
+
+    def prior_sha(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"text_sha256": pa.array([], type=pa.string())})
+        _, _, hexes = _sha_h1_h2(t["text"].combine_chunks())
+        return pa.table({"text_sha256": pa.array(hexes, type=pa.string())})
+
+    survivors = broadcast_anti_join(
+        cand,
+        prior_pages.map_batches(prior_sha, batch_format="pyarrow"),
+        on="text_sha256",
+    )
+    return definite.union(survivors)
