@@ -2072,3 +2072,16 @@ def bloom_new_docs(sf_dir: str, fpp: float = 0.01) -> ray.data.Dataset:
         _docs_pages_subset(sf_dir, 6, 0, suffix="-recrawl")
     )
     return impl(new_pages, prior, fpp=fpp)
+
+
+def winnow_containment_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Local-copy / containment detection (stages/winnowpairs.py) over
+    the near-dup-injected corpus: winnowed fingerprints (SIGMOD'03) ->
+    bucket explode -> candidate_pairs -> exact fp-set containment.
+    Catches the contains-a-chunk-of case Jaccard dilutes. Rows-only
+    (winnowing is not SQL-expressible); brute-force-oracled in pytest."""
+    from ordinarydumpdeduplicator_ray.stages.winnowpairs import (
+        winnow_containment_pairs as impl,
+    )
+
+    return impl(dup_corpus(sf_dir, near=True), threshold=threshold)

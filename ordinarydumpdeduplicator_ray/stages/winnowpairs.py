@@ -1,0 +1,236 @@
+"""Containment / local-copy detection via winnowed fingerprints.
+
+MinHash Jaccard misses the "doc A contains a chunk of doc B" case: a
+small boilerplate block inside a large page barely moves Jaccard.
+Winnowed fingerprints (``functions/winnow.py``) localize it — any
+shared run of ``w + k - 1`` tokens shares a fingerprint — so pairs
+with high CONTAINMENT ``|A ∩ B| / min(|A|, |B|)`` surface docs that
+embed copies of each other at any size ratio.
+
+Distributed shape (the same bucket machinery as MinHash LSH):
+
+1. actor-pool ``map_batches`` winnows each doc to its fingerprint set
+   (sorted distinct int64), output narrow (uid, url, fps) — texts are
+   dropped before anything materializes;
+2. explode (bucket=fingerprint, uid) vectorized via list flatten →
+   ``candidate_pairs`` (stages/candidates.py): one sort, skew-capped,
+   distinct pairs sharing ≥1 fingerprint;
+3. exact verify: the fp sets of ONLY the uids appearing in pairs are
+   packed worker-side (offsets + flat words, same discipline as the
+   embedding re-rank broadcast) and broadcast once; each pair batch
+   computes exact intersection sizes against it. Capped at
+   ``_BROADCAST_UID_CAP`` distinct uids — above it the build raises
+   loudly (the shuffle-join fallback integration point; the flagship's
+   verify stage shows the pattern, stages/verify.py:114).
+
+uid = SipHash64(url) (``functions/hashing.py:87``); the broadcast
+assembly raises on uid collision rather than silently merging two
+docs' fingerprint sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ordinarydumpdeduplicator_ray.config import DedupConfig
+
+_BROADCAST_UID_CAP = 2_000_000
+
+_PAIRS_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("n_shared", pa.int64()),
+        ("containment", pa.float64()),
+    ]
+)
+
+
+class WinnowSigActor:
+    """(url, text) -> (uid, url, fps list<int64>, n_fp). One TokenHasher
+    per actor (Zipfian cache), winnow kernel per row, list column built
+    from one flat buffer — no per-token Python."""
+
+    def __init__(self, k: int = 5, w: int = 4) -> None:
+        from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
+
+        self.k, self.w = k, w
+        self.hasher = TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.functions.hashing import url_uids
+        from ordinarydumpdeduplicator_ray.functions.winnow import winnow_fingerprints
+
+        urls = t["url"]
+        texts = t["text"].to_pylist()
+        fp_arrays = []
+        for txt in texts:
+            _, fps = winnow_fingerprints(txt or "", self.hasher, self.k, self.w)
+            fp_arrays.append(np.unique(fps.view(np.int64)))
+        lengths = np.array([len(a) for a in fp_arrays], dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        flat = (np.concatenate(fp_arrays) if fp_arrays else
+                np.empty(0, dtype=np.int64))
+        fps_col = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int64())
+        )
+        return pa.table(
+            {
+                "uid": pa.array(url_uids(urls), type=pa.int64()),
+                "url": urls,
+                "fps": fps_col,
+                "n_fp": pa.array(lengths.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def _explode_fps(t: pa.Table) -> pa.Table:
+    """(uid, fps) -> (bucket=fp, uid) rows, vectorized."""
+    if len(t) == 0:
+        return pa.table({"bucket": pa.array([], type=pa.int64()),
+                         "uid": pa.array([], type=pa.int64())})
+    fps = t["fps"].combine_chunks()
+    parents = pc.list_parent_indices(fps)
+    return pa.table({
+        "bucket": pc.list_flatten(fps),
+        "uid": pc.take(t["uid"], parents),
+    })
+
+
+def _assemble_fp_lookup(sigs: ray.data.Dataset, wanted: pa.Array) -> dict:
+    """Packed (sorted uids, offsets, flat fps, urls) for the uids in
+    ``wanted`` — per-block projection tasks pack bytes, the driver
+    concatenates O(blocks) partials."""
+    ids_ref = ray.put(wanted)
+
+    def project(t: pa.Table) -> pa.Table:
+        ks = ray.get(ids_ref)
+        t = t.filter(pc.is_in(t["uid"], value_set=ks))
+        if len(t) == 0:
+            return pa.table({"uids": pa.array([], type=pa.binary()),
+                             "lens": pa.array([], type=pa.binary()),
+                             "flat": pa.array([], type=pa.binary()),
+                             "urls": pa.array([], type=pa.list_(pa.string()))})
+        fps = t["fps"].combine_chunks()
+        flat = pc.list_flatten(fps).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(fps).to_numpy(zero_copy_only=False).astype(np.int64)
+        uids = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "uids": pa.array([uids.tobytes()], type=pa.binary()),
+            "lens": pa.array([lens.tobytes()], type=pa.binary()),
+            "flat": pa.array([flat.astype(np.int64).tobytes()], type=pa.binary()),
+            "urls": pa.array([t["url"].to_pylist()], type=pa.list_(pa.string())),
+        })
+
+    parts = [r for r in sigs.map_batches(project, batch_format="pyarrow").take_all()
+             if r["uids"]]
+    if not parts:
+        return {"uids": np.empty(0, dtype=np.int64),
+                "offs": np.zeros(1, dtype=np.int64),
+                "flat": np.empty(0, dtype=np.int64), "urls": np.empty(0, object)}
+    uids = np.concatenate([np.frombuffer(r["uids"], dtype=np.int64) for r in parts])
+    lens = np.concatenate([np.frombuffer(r["lens"], dtype=np.int64) for r in parts])
+    flat = np.concatenate([np.frombuffer(r["flat"], dtype=np.int64) for r in parts])
+    urls = np.concatenate([np.asarray(r["urls"], dtype=object) for r in parts])
+    if len(np.unique(uids)) != len(uids):
+        raise ValueError(
+            "uid collision in winnow fingerprint lookup — two urls share "
+            "a SipHash64; re-salt or fall back to the join path"
+        )
+    order = np.argsort(uids)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    # reorder the ragged rows by sorted uid
+    starts, ends = offs[:-1], offs[1:]
+    sorted_flat = np.concatenate(
+        [flat[starts[i]:ends[i]] for i in order]
+    ) if len(order) else np.empty(0, dtype=np.int64)
+    sorted_lens = lens[order]
+    return {
+        "uids": uids[order],
+        "offs": np.concatenate([[0], np.cumsum(sorted_lens)]).astype(np.int64),
+        "flat": sorted_flat,
+        "urls": urls[order],
+    }
+
+
+def winnow_containment_pairs(
+    pages: ray.data.Dataset,
+    threshold: float = 0.5,
+    k: int = 5,
+    w: int = 4,
+    config: DedupConfig | None = None,
+    num_partitions: int = 8,
+    concurrency: int | tuple = 4,
+) -> ray.data.Dataset:
+    """(url, text) corpus -> (url_a, url_b, n_shared, containment)
+    for every pair with containment >= threshold (url_a < url_b)."""
+    from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+    cfg = config or DedupConfig()
+    sigs = pages.map_batches(
+        WinnowSigActor,
+        fn_constructor_kwargs={"k": k, "w": w},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    ).materialize()
+
+    pairs = candidate_pairs(
+        sigs.map_batches(_explode_fps, batch_format="pyarrow"),
+        cfg, num_partitions, member_field=("uid", pa.int64()),
+    ).materialize()
+
+    chunks = []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        chunks.append(b["uid_a"].combine_chunks())
+        chunks.append(b["uid_b"].combine_chunks())
+    if not chunks:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+    wanted = pc.unique(pa.chunked_array(chunks))
+    if len(wanted) > _BROADCAST_UID_CAP:
+        raise ValueError(
+            f"{len(wanted)} pair uids exceed the broadcast cap "
+            f"({_BROADCAST_UID_CAP}) — integrate the shuffle-join verify "
+            "fallback (stages/verify.py:114 shows the pattern)"
+        )
+    lookup_ref = ray.put(_assemble_fp_lookup(sigs, wanted))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        lk = _get_broadcast(lookup_ref)
+        uids, offs, flat, urls = lk["uids"], lk["offs"], lk["flat"], lk["urls"]
+        a = t["uid_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["uid_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(uids, a)
+        ib = np.searchsorted(uids, b)
+        out_a, out_b, out_n, out_c = [], [], [], []
+        for j in range(len(a)):
+            sa = flat[offs[ia[j]]:offs[ia[j] + 1]]
+            sb = flat[offs[ib[j]]:offs[ib[j] + 1]]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            n_shared = len(np.intersect1d(sa, sb, assume_unique=True))
+            c = n_shared / min(len(sa), len(sb))
+            if round(c, 6) >= threshold:
+                ua, ub = urls[ia[j]], urls[ib[j]]
+                if ub < ua:
+                    ua, ub = ub, ua
+                out_a.append(ua)
+                out_b.append(ub)
+                out_n.append(n_shared)
+                out_c.append(round(c, 6))
+        return pa.table({
+            "url_a": pa.array(out_a, type=pa.string()),
+            "url_b": pa.array(out_b, type=pa.string()),
+            "n_shared": pa.array(out_n, type=pa.int64()),
+            "containment": pa.array(out_c, type=pa.float64()),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
