@@ -110,6 +110,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "asof_latest_order",
         "host_capped_docs",
         "events_within_order_window",
+        "bloom_new_docs",
+        "winnow_containment_pairs",
     ]
     timings: dict[str, float] = {}
     for name in picks:
