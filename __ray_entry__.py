@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": q.knn_cosine_lsh_vec0,
         "knn_cosine_ivf": q.knn_cosine_ivf_vec0,
         "doc_fingerprints": q.doc_fingerprints,
+        # --- new in round 3: tiered dedup (url -> exact -> near) ---------
+        "tiered_dedup": q.tiered_dedup,
         # --- new in round 3: winnowed-fingerprint containment pairs ------
         "winnow_containment_pairs": q.winnow_containment_pairs,
         # --- hash-locked digests of the deterministic rows-only ops ------

@@ -2085,3 +2085,53 @@ def winnow_containment_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Da
     )
 
     return impl(dup_corpus(sf_dir, near=True), threshold=threshold)
+
+
+def tiered_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents -> pages corpus exercising all three dedup tiers:
+    every doc crawled clean; doc_id % 4 == 0 ALSO seen under a messy
+    url variant (same text -> tier 1); doc_id % 3 == 0 duplicated
+    under a '-copy' path (same text, distinct norm url -> tier 2);
+    doc_id % 5 == 0 near-copied with trailing words dropped
+    (-> tier 3)."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, txt, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                             t["source"].to_pylist()):
+            urls.append(f"https://{s}.example/{d:08d}?a=1&b=2")
+            texts.append(txt)
+            if d % 4 == 0:
+                urls.append(
+                    f"https://{s.upper()}.EXAMPLE/{d:08d}/?b=2&utm_source=x&a=1#top"
+                )
+                texts.append(txt)
+            if d % 3 == 0:
+                urls.append(f"https://{s}.example/{d:08d}-copy?a=1&b=2")
+                texts.append(txt)
+            if d % 5 == 0:
+                words = (txt or "").split(" ")
+                k = max(1, len(words) // 25)
+                urls.append(f"https://{s}.example/{d:08d}-near?a=1&b=2")
+                texts.append(" ".join(words[: len(words) - k]))
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "html": pa.nulls(len(urls), type=pa.binary()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def tiered_dedup(sf_dir: str) -> ray.data.Dataset:
+    """RefinedWeb-style tiered dedup (pipelines/tiered.py): URL
+    canonicalization -> exact sha -> flagship near-dup engine, each
+    tier on the previous tier's survivors; one verdict row per input
+    row. Rows-only (tier 3 is the MinHash/SimHash engine); pytest
+    carries the brute-force tier oracle."""
+    from ordinarydumpdeduplicator_ray.pipelines.tiered import tiered_dedup as impl
+
+    return impl(tiered_corpus(sf_dir))
