@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_within_order_window": q.events_within_order_window,
         # --- new in round 3: bloom-gated streaming ingest dedup ----------
         "bloom_new_docs": q.bloom_new_docs,
+        # --- new in round 3: stratified per-lang quota sample ------------
+        "stratified_sample": q.stratified_sample,
     }
 
 
@@ -807,5 +809,14 @@ WITH newp AS (
 )
 SELECT url, sha256(text) AS text_sha256 FROM newp
 WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)
+""",
+        # stratified per-lang quota sample: identical md5 ordering on
+        # both sides (hashlib.md5(str(doc_id)) == md5(CAST(doc_id AS VARCHAR)))
+        "stratified_sample": """
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+) WHERE rn <= 20
 """,
     }

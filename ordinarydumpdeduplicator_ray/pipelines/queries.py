@@ -2135,3 +2135,27 @@ def tiered_dedup(sf_dir: str) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.pipelines.tiered import tiered_dedup as impl
 
     return impl(tiered_corpus(sf_dir))
+
+
+def stratified_sample(sf_dir: str, per_lang: int = 20) -> ray.data.Dataset:
+    """Deterministic stratified sampling for training-data mixing: the
+    ``per_lang`` docs with the smallest md5(doc_id) per language — a
+    content-independent, reorder- and subset-stable quota sample (the
+    same salted-hash-order trick as corpus_split, but per-stratum with
+    an exact quota). One sort via cap_rows_per_key (stages/asof.py);
+    SQL-oracled with row_number over the identical md5 ordering."""
+    import hashlib as _hashlib
+
+    from ordinarydumpdeduplicator_ray.stages.asof import cap_rows_per_key
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = [_hashlib.md5(str(d).encode()).hexdigest()
+                for d in t["doc_id"].to_pylist()]
+        return t.append_column("sample_key", pa.array(keys, type=pa.string()))
+
+    return cap_rows_per_key(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        key="lang", order_col="sample_key", cap=per_lang,
+    )

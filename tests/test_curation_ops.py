@@ -184,3 +184,19 @@ class TestRepetitionStats:
                 assert abs(
                     g["top_bigram_fraction"] - max(bg.values()) / (len(toks) - 1)
                 ) < 1e-12
+
+
+def test_stratified_sample_quota_and_stability(ray_session):
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.stratified_sample(sf, per_lang=7).take_all()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert all(len(v) == 7 for v in by_lang.values())
+    # quota picks the smallest sample_key per lang and is blocking-stable
+    rows2 = q.stratified_sample(sf, per_lang=7).take_all()
+    assert sorted((r["lang"], r["doc_id"]) for r in rows) == sorted(
+        (r["lang"], r["doc_id"]) for r in rows2
+    )
