@@ -111,3 +111,20 @@ def test_tiered_precedence_url_beats_exact(ray_session):
     assert got["https://A.ORG/x/?p=1&utm_s=1"] == ("kept", 0) or \
         got["https://a.org/x?p=1"] == ("kept", 0)
     assert sorted(v for v, _ in got.values()) == ["exact_dup", "kept", "url_dup"]
+
+
+def test_tiered_empty_and_null_text(ray_session):
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], type=pa.string()),
+        "html": pa.array([], type=pa.binary()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    assert tiered_dedup(empty).take_all() == []
+    one = ray.data.from_arrow(pa.table({
+        "url": pa.array(["u://x"]),
+        "html": pa.array([None], type=pa.binary()),
+        "text": pa.array([None], type=pa.string()),
+    }))
+    assert tiered_dedup(one).take_all() == [
+        {"url": "u://x", "verdict": "kept", "tier": 0}
+    ]
