@@ -7,18 +7,22 @@ anti-join ships every new sha through a shuffle against every prior
 sha. The bloom gate shrinks that to the duplicate rows plus an ``fpp``
 sliver of the new ones:
 
-1. **build** — one streaming pass over the prior corpus computes a
+1. **build** — ONE streaming pass over the prior corpus computes a
    per-block partial bloom (k bit positions per sha256, double
-   hashing), each block emitting either the dense ``m/8``-byte bitmap
-   or (small blocks) the sparse set-bit indices, whichever is smaller;
-   the driver ORs the O(blocks) partials. The bitmap costs ~1.2
-   bytes/key at 1% fpp vs 32 bytes/key for an exact sha set — the
-   difference between a broadcastable 12 GB and an impossible 320 GB
-   at 10^10 keys.
-2. **probe** — the bitmap broadcasts once (``ray.put``); each new-page
-   batch tests membership vectorized (numpy gather on the word array).
-   Misses are DEFINITELY new (blooms have no false negatives) and
-   bypass the join entirely.
+   hashing) at the fixed ceiling width ``_MAX_BITS``, each block
+   emitting either the dense bitmap or (small blocks) the sparse
+   set-bit indices plus its row count; the driver ORs the O(blocks)
+   partials and then FOLDS the bitmap down to the smallest
+   power-of-two width meeting the fpp target for the row count
+   measured in the same pass — pow2 folding (OR of equal segments)
+   preserves membership because ``x & (m_small-1) ==
+   (x & (m_big-1)) & (m_small-1)``. No separate count pass: the prior
+   corpus is read exactly once. The bitmap costs ~1.4 bytes/key at 1%
+   fpp vs 32 bytes/key for an exact sha set.
+2. **probe** — the folded bitmap broadcasts once (``ray.put``); each
+   new-page batch tests membership vectorized (numpy gather on the
+   word array). Misses are DEFINITELY new (blooms have no false
+   negatives) and bypass the join entirely.
 3. **verify** — only bloom hits (true dups + fpp false positives)
    enter the exact anti-join against the prior shas
    (``stages/join.py:209`` broadcast path with its shuffle fallback
@@ -44,28 +48,38 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-# Dense-bitmap ceiling for the driver OR (2^27 bits = 16 MiB). Above
-# this, raise rather than silently degrade: at cluster scale the build
-# should move to a tree of ray.remote OR tasks (documented integration
-# point), not a quadratically growing driver loop.
+# Fixed build width (2^27 bits = 16 MiB dense) and hash count. k=8 is
+# within a few percent of the optimal k across the 8-16 bits/key range
+# this filter targets; fixing it lets the build run before n is known.
+# Above the ceiling's key capacity, raise rather than silently degrade:
+# at cluster scale the build should move to a tree of ray.remote OR
+# tasks over a wider bitmap (documented integration point).
 _MAX_BITS = 1 << 27
+_K = 8
 
 
-def bloom_params(n_expected: int, fpp: float = 0.01) -> tuple[int, int]:
-    """(m_bits rounded up to a power of two, k hash count) for the
-    target false-positive rate. Power-of-two m makes every position a
-    mask, not a modulo."""
-    n = max(1, n_expected)
-    m = -n * math.log(max(1e-9, min(0.5, fpp))) / (math.log(2) ** 2)
-    m_bits = 1 << max(6, math.ceil(math.log2(m)))
-    if m_bits > _MAX_BITS:
-        raise ValueError(
-            f"bloom of {m_bits} bits exceeds the driver-OR ceiling "
-            f"({_MAX_BITS}); shard the corpus or integrate the tree-OR "
-            "build for cluster-scale key counts"
-        )
-    k = max(1, round(m_bits / n * math.log(2)))
-    return m_bits, min(k, 16)
+def target_bits(n_keys: int, fpp: float = 0.01) -> int:
+    """Smallest power-of-two bit width whose k=8 false-positive rate at
+    ``n_keys`` keys meets ``fpp``. Raises at the ceiling."""
+    n = max(0, n_keys)
+    fpp = max(1e-9, min(0.5, fpp))
+    for p in range(6, _MAX_BITS.bit_length()):
+        m = 1 << p
+        if (1.0 - math.exp(-_K * n / m)) ** _K <= fpp:
+            return m
+    raise ValueError(
+        f"{n_keys} keys exceed the {_MAX_BITS}-bit build ceiling at "
+        f"fpp={fpp}; shard the corpus or integrate the tree-OR build "
+        "for cluster-scale key counts"
+    )
+
+
+def fold_bits(words: np.ndarray, m_from: int, m_to: int) -> np.ndarray:
+    """OR-fold a pow2 bloom bitmap down to a smaller pow2 width
+    (membership-preserving)."""
+    if m_to == m_from:
+        return words
+    return np.bitwise_or.reduce(words.reshape(m_from // m_to, m_to // 64), axis=0)
 
 
 def _sha_h1_h2(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, list]:
@@ -96,24 +110,26 @@ def build_text_bloom(
     """Prior corpus -> ``{"bits": uint64 word array, "m": int, "k": int}``.
 
     One streaming pass; each block emits the SMALLER of its dense
-    partial bitmap and its sparse set-bit index list, and the driver
-    ORs O(blocks) partials — no corpus-sized driver load.
-    """
-    n = n_expected if n_expected is not None else pages.count()
-    m_bits, k = bloom_params(n, fpp)
-    mask = m_bits - 1
-    n_words = m_bits // 64
+    partial bitmap (at the ceiling width) and its sparse set-bit index
+    list, plus its row count; the driver ORs O(blocks) partials, then
+    folds to the width the measured count requires — no corpus-sized
+    driver load and no separate count pass. ``n_expected`` only widens
+    the fold target (useful when more keys will be added later)."""
+    mask = _MAX_BITS - 1
+    n_words = _MAX_BITS // 64
 
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"dense": pa.array([], type=pa.binary()),
-                             "sparse": pa.array([], type=pa.binary())})
+                             "sparse": pa.array([], type=pa.binary()),
+                             "n": pa.array([], type=pa.int64())})
         h1, h2, _ = _sha_h1_h2(t["text"].combine_chunks())
-        pos = np.unique(_positions(h1, h2, k, mask).ravel())
-        if len(pos) * 8 < n_words * 8:
+        pos = np.unique(_positions(h1, h2, _K, mask).ravel())
+        if len(pos) < n_words:
             return pa.table({
                 "dense": pa.array([None], type=pa.binary()),
                 "sparse": pa.array([pos.tobytes()], type=pa.binary()),
+                "n": pa.array([len(t)], type=pa.int64()),
             })
         words = np.zeros(n_words, dtype=np.uint64)
         np.bitwise_or.at(
@@ -123,21 +139,31 @@ def build_text_bloom(
         return pa.table({
             "dense": pa.array([words.tobytes()], type=pa.binary()),
             "sparse": pa.array([None], type=pa.binary()),
+            "n": pa.array([len(t)], type=pa.int64()),
         })
 
     bits = np.zeros(n_words, dtype=np.uint64)
+    n_total = 0
     for b in pages.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
-        for dense, sparse in zip(b["dense"].to_pylist(), b["sparse"].to_pylist()):
+        for dense, sparse, n in zip(
+            b["dense"].to_pylist(), b["sparse"].to_pylist(), b["n"].to_pylist()
+        ):
+            n_total += n
             if dense is not None:
                 bits |= np.frombuffer(dense, dtype=np.uint64)
             elif sparse is not None:
                 pos = np.frombuffer(sparse, dtype=np.uint64)
-                bits[(pos >> np.uint64(6)).astype(np.int64)] |= (
-                    np.uint64(1) << (pos & np.uint64(63))
+                # bitwise_or.at, NOT fancy-index |=: duplicate word
+                # indices (distinct bits sharing a word) would be
+                # buffered to a single write and silently drop bits
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
                 )
-    return {"bits": bits, "m": m_bits, "k": k}
+    m = target_bits(max(n_total, n_expected or 0), fpp)
+    return {"bits": fold_bits(bits, _MAX_BITS, m), "m": m, "k": _K}
 
 
 def _probe_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:

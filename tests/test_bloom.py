@@ -12,8 +12,9 @@ from ordinarydumpdeduplicator_ray.stages.bloom import (
     _probe_bits,
     _sha_h1_h2,
     bloom_new_docs,
-    bloom_params,
     build_text_bloom,
+    fold_bits,
+    target_bits,
 )
 
 
@@ -66,12 +67,25 @@ def test_bloom_empty_prior_passes_everything(ray_session):
     assert sorted(r["url"] for r in out.take_all()) == ["u://0", "u://1", "u://2"]
 
 
-def test_bloom_params_sane():
-    m, k = bloom_params(1000, fpp=0.01)
-    assert m >= 8 * 1000  # ~9.6 bits/key at 1%
-    assert 4 <= k <= 16  # optimal k for the pow2-rounded m
-    m2, _ = bloom_params(8000, fpp=0.001)
-    assert m2 > m  # more keys + tighter fpp -> strictly more bits
+def test_bloom_target_bits_sane():
+    m = target_bits(1000, fpp=0.01)
+    assert m >= 8 * 1000  # >= ~8 bits/key at 1% with k=8
+    assert target_bits(8000, fpp=0.001) > m  # more keys + tighter fpp
+    assert target_bits(0, fpp=0.01) == 64    # empty corpus -> floor
+
+
+def test_bloom_fold_preserves_membership():
+    rng = np.random.default_rng(21)
+    m_big, m_small = 1 << 14, 1 << 11
+    words = np.zeros(m_big // 64, dtype=np.uint64)
+    pos = rng.integers(0, m_big, size=300).astype(np.uint64)
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    folded = fold_bits(words, m_big, m_small)
+    fpos = pos & np.uint64(m_small - 1)
+    got = (folded[(fpos >> np.uint64(6)).astype(np.int64)]
+           >> (fpos & np.uint64(63))) & np.uint64(1)
+    assert got.all()
 
 
 def test_bloom_partials_blocking_independent(ray_session):
