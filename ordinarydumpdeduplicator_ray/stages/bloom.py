@@ -82,19 +82,34 @@ def fold_bits(words: np.ndarray, m_from: int, m_to: int) -> np.ndarray:
     return np.bitwise_or.reduce(words.reshape(m_from // m_to, m_to // 64), axis=0)
 
 
-def _sha_h1_h2(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, list]:
-    """sha256 per row -> (h1, h2 odd) uint64 pairs + hex digests."""
+def _sha_digests(texts: pa.Array) -> pa.Array:
+    """sha256 per row as 32-byte binary (the hashlib loop is the only
+    per-row Python here — sha over variable-length text has no
+    vectorized kernel; everything downstream reinterprets buffers)."""
     import hashlib
 
-    h1 = np.empty(len(texts), dtype=np.uint64)
-    h2 = np.empty(len(texts), dtype=np.uint64)
-    hexes = []
-    for i, v in enumerate(texts.to_pylist()):
-        d = hashlib.sha256((v or "").encode("utf-8")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:16], "little") | 1  # odd: full cycle
-        hexes.append(d.hex())
-    return h1, h2, hexes
+    return pa.array(
+        [hashlib.sha256((v or "").encode("utf-8")).digest()
+         for v in texts.to_pylist()],
+        type=pa.binary(),
+    )
+
+
+def _h1_h2_from_digests(shas: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Binary sha column -> (h1, h2 odd) uint64 pairs, zero-copy-ish:
+    fixed 32-byte rows reinterpret straight out of the Arrow buffer."""
+    if isinstance(shas, pa.ChunkedArray):
+        shas = shas.combine_chunks()
+    n = len(shas)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(shas.buffers()[1], dtype=np.int32, count=n + 1,
+                         offset=shas.offset * 4)
+    data = np.frombuffer(shas.buffers()[2], dtype=np.uint8)
+    mat = data[offs[0]:offs[-1]].reshape(n, 32)
+    h1 = np.ascontiguousarray(mat[:, :8]).view("<u8").ravel()
+    h2 = np.ascontiguousarray(mat[:, 8:16]).view("<u8").ravel() | np.uint64(1)
+    return h1, h2
 
 
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int, mask: int) -> np.ndarray:
@@ -104,10 +119,11 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, mask: int) -> np.ndarray:
         return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(mask)
 
 
-def build_text_bloom(
-    pages: ray.data.Dataset, fpp: float = 0.01, n_expected: int | None = None
+def build_sha_bloom(
+    shas: ray.data.Dataset, fpp: float = 0.01, n_expected: int | None = None
 ) -> dict:
-    """Prior corpus -> ``{"bits": uint64 word array, "m": int, "k": int}``.
+    """Binary ``text_sha256`` dataset -> ``{"bits": uint64 word array,
+    "m": int, "k": int}``.
 
     One streaming pass; each block emits the SMALLER of its dense
     partial bitmap (at the ceiling width) and its sparse set-bit index
@@ -123,7 +139,7 @@ def build_text_bloom(
             return pa.table({"dense": pa.array([], type=pa.binary()),
                              "sparse": pa.array([], type=pa.binary()),
                              "n": pa.array([], type=pa.int64())})
-        h1, h2, _ = _sha_h1_h2(t["text"].combine_chunks())
+        h1, h2 = _h1_h2_from_digests(t["text_sha256"])
         pos = np.unique(_positions(h1, h2, _K, mask).ravel())
         if len(pos) < n_words:
             return pa.table({
@@ -144,7 +160,7 @@ def build_text_bloom(
 
     bits = np.zeros(n_words, dtype=np.uint64)
     n_total = 0
-    for b in pages.map_batches(partial, batch_format="pyarrow").iter_batches(
+    for b in shas.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
         for dense, sparse, n in zip(
@@ -166,6 +182,20 @@ def build_text_bloom(
     return {"bits": fold_bits(bits, _MAX_BITS, m), "m": m, "k": _K}
 
 
+def build_text_bloom(
+    pages: ray.data.Dataset, fpp: float = 0.01, n_expected: int | None = None
+) -> dict:
+    """(url, text) corpus -> bloom over sha256(text) (see
+    ``build_sha_bloom``; this wrapper hashes inline for callers that
+    do not already hold a sha table)."""
+    shas = pages.map_batches(
+        lambda t: pa.table({"text_sha256": _sha_digests(t["text"].combine_chunks())})
+        if len(t) else pa.table({"text_sha256": pa.array([], type=pa.binary())}),
+        batch_format="pyarrow",
+    )
+    return build_sha_bloom(shas, fpp=fpp, n_expected=n_expected)
+
+
 def _probe_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
     """(n, k) positions -> bool[n]: all k bits set (bloom hit)."""
     words = bits[(pos >> np.uint64(6)).astype(np.int64)]
@@ -181,29 +211,45 @@ def bloom_new_docs(
     """EXACT set of new-corpus rows whose text the prior corpus lacks,
     as ``(url, text_sha256)`` — bloom-routed, join-verified.
 
-    The probe output is projected to (url, sha, flag) BEFORE the
-    materialize that feeds the two consumers — the text payload never
-    materializes.
+    The prior corpus is READ AND SHA-HASHED EXACTLY ONCE: its narrow
+    binary sha table materializes (~32 B/row) and feeds both the bloom
+    build and the verify anti-join. The probe output is likewise
+    projected to (url, sha, flag) before the materialize that feeds the
+    two consumers — full text payloads never materialize on either
+    side. Joins and probes run on binary shas; hex is rendered only on
+    the output rows.
     """
     from ordinarydumpdeduplicator_ray.stages.join import broadcast_anti_join
 
-    bloom = build_text_bloom(prior_pages, fpp=fpp)
+    prior_shas = prior_pages.map_batches(
+        lambda t: pa.table({"sha_bin": _sha_digests(t["text"].combine_chunks())})
+        if len(t) else pa.table({"sha_bin": pa.array([], type=pa.binary())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    bloom = build_sha_bloom(
+        prior_shas.map_batches(
+            lambda t: t.rename_columns(["text_sha256"]), batch_format="pyarrow"
+        ),
+        fpp=fpp,
+    )
     ref = ray.put(bloom["bits"])
     k, mask = bloom["k"], bloom["m"] - 1
 
     def probe(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"url": pa.array([], type=pa.string()),
-                             "text_sha256": pa.array([], type=pa.string()),
+                             "sha_bin": pa.array([], type=pa.binary()),
                              "maybe_dup": pa.array([], type=pa.bool_())})
         from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
 
         bits = _get_broadcast(ref)
-        h1, h2, hexes = _sha_h1_h2(t["text"].combine_chunks())
+        shas = _sha_digests(t["text"].combine_chunks())
+        h1, h2 = _h1_h2_from_digests(shas)
         hit = _probe_bits(bits, _positions(h1, h2, k, mask))
         return pa.table({
             "url": t["url"],
-            "text_sha256": pa.array(hexes, type=pa.string()),
+            "sha_bin": shas,
             "maybe_dup": pa.array(hit),
         })
 
@@ -217,15 +263,14 @@ def bloom_new_docs(
         batch_format="pyarrow",
     )
 
-    def prior_sha(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"text_sha256": pa.array([], type=pa.string())})
-        _, _, hexes = _sha_h1_h2(t["text"].combine_chunks())
-        return pa.table({"text_sha256": pa.array(hexes, type=pa.string())})
+    survivors = broadcast_anti_join(cand, prior_shas, on="sha_bin")
 
-    survivors = broadcast_anti_join(
-        cand,
-        prior_pages.map_batches(prior_sha, batch_format="pyarrow"),
-        on="text_sha256",
-    )
-    return definite.union(survivors)
+    def to_hex(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"url": pa.array([], type=pa.string()),
+                             "text_sha256": pa.array([], type=pa.string())})
+        hexes = [v.hex() for v in t["sha_bin"].to_pylist()]
+        return pa.table({"url": t["url"],
+                         "text_sha256": pa.array(hexes, type=pa.string())})
+
+    return definite.union(survivors).map_batches(to_hex, batch_format="pyarrow")

@@ -8,14 +8,19 @@ import pyarrow as pa
 import ray.data
 
 from ordinarydumpdeduplicator_ray.stages.bloom import (
+    _h1_h2_from_digests,
     _positions,
     _probe_bits,
-    _sha_h1_h2,
+    _sha_digests,
     bloom_new_docs,
     build_text_bloom,
     fold_bits,
     target_bits,
 )
+
+
+def _h1_h2(texts):
+    return _h1_h2_from_digests(_sha_digests(pa.array(texts)))
 
 
 def _pages(texts, prefix="u"):
@@ -31,11 +36,11 @@ def test_bloom_no_false_negatives_and_fpp_bound(ray_session):
     bloom = build_text_bloom(_pages(keys), fpp=0.01)
     bits, k, mask = bloom["bits"], bloom["k"], bloom["m"] - 1
 
-    h1, h2, _ = _sha_h1_h2(pa.array(keys))
+    h1, h2 = _h1_h2(keys)
     assert _probe_bits(bits, _positions(h1, h2, k, mask)).all()  # no FN
 
     fresh = [f"other {i} {rng.integers(1 << 30)}" for i in range(5000)]
-    h1, h2, _ = _sha_h1_h2(pa.array(fresh))
+    h1, h2 = _h1_h2(fresh)
     fp = _probe_bits(bits, _positions(h1, h2, k, mask)).mean()
     assert fp <= 0.03  # 3x the 1% target
 
