@@ -112,6 +112,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "events_within_order_window",
         "bloom_new_docs",
         "winnow_containment_pairs",
+        "tiered_dedup",
+        "stratified_sample",
     ]
     timings: dict[str, float] = {}
     for name in picks:
