@@ -18,10 +18,11 @@ Distributed shape (the same bucket machinery as MinHash LSH):
 3. exact verify: the fp sets of ONLY the uids appearing in pairs are
    packed worker-side (offsets + flat words, same discipline as the
    embedding re-rank broadcast) and broadcast once; each pair batch
-   computes exact intersection sizes against it. Capped at
-   ``_BROADCAST_UID_CAP`` distinct uids — above it the build raises
-   loudly (the shuffle-join fallback integration point; the flagship's
-   verify stage shows the pattern, stages/verify.py:114).
+   computes exact intersection sizes against it. Above
+   ``_BROADCAST_UID_CAP`` distinct uids the verify falls back to two
+   shuffle hash-joins on the int64 uids with the fp sets riding as
+   packed binary payloads (``_verify_join``, parity-tested against
+   the broadcast path) — no side ever broadcasts.
 
 uid = SipHash64(url) (``functions/hashing.py:87``); the broadcast
 assembly raises on uid collision rather than silently merging two
@@ -192,11 +193,7 @@ def winnow_containment_pairs(
         return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
     wanted = pc.unique(pa.chunked_array(chunks))
     if len(wanted) > _BROADCAST_UID_CAP:
-        raise ValueError(
-            f"{len(wanted)} pair uids exceed the broadcast cap "
-            f"({_BROADCAST_UID_CAP}) — integrate the shuffle-join verify "
-            "fallback (stages/verify.py:114 shows the pattern)"
-        )
+        return _verify_join(pairs, sigs, threshold, num_partitions)
     lookup_ref = ray.put(_assemble_fp_lookup(sigs, wanted))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -234,3 +231,92 @@ def winnow_containment_pairs(
         })
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_join(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    threshold: float,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Shuffle-join verify fallback above the broadcast uid cap (the
+    same two-hash-join shape as the embedding re-rank fallback,
+    stages/embeddings.py:228): fp sets ride as packed binary payloads
+    through joins on the int64 uids; no side ever broadcasts."""
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    def packed(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "url": pa.array([], type=pa.string()),
+                             "fps_bin": pa.array([], type=pa.binary())})
+        fps = t["fps"].combine_chunks()
+        flat = pc.list_flatten(fps).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(fps).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        blobs = [flat[offs[i]:offs[i + 1]].tobytes() for i in range(len(t))]
+        return pa.table({"key": t["uid"], "url": t["url"],
+                         "fps_bin": pa.array(blobs, type=pa.binary())})
+
+    packed_sigs = sigs.map_batches(packed, batch_format="pyarrow")
+    with_a = inner_join(
+        pairs,
+        packed_sigs.map_batches(
+            lambda t: pa.table({"uid_a": t["key"], "url_a": t["url"],
+                                "fps_a": t["fps_bin"]}),
+            batch_format="pyarrow",
+        ),
+        on=("uid_a",),
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("uid_a", pa.int64()), ("uid_b", pa.int64()),
+             ("url_a", pa.string()), ("fps_a", pa.binary())]
+        ),
+    )
+    with_ab = inner_join(
+        with_a,
+        packed_sigs.map_batches(
+            lambda t: pa.table({"uid_b": t["key"], "url_b": t["url"],
+                                "fps_b": t["fps_bin"]}),
+            batch_format="pyarrow",
+        ),
+        on=("uid_b",),
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("uid_a", pa.int64()), ("uid_b", pa.int64()),
+             ("url_a", pa.string()), ("fps_a", pa.binary()),
+             ("url_b", pa.string()), ("fps_b", pa.binary())]
+        ),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        fa = t["fps_a"].to_pylist()
+        fb = t["fps_b"].to_pylist()
+        ua_l = t["url_a"].to_pylist()
+        ub_l = t["url_b"].to_pylist()
+        out_a, out_b, out_n, out_c = [], [], [], []
+        for j in range(len(t)):
+            sa = np.frombuffer(fa[j], dtype=np.int64)
+            sb = np.frombuffer(fb[j], dtype=np.int64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            n_shared = len(np.intersect1d(sa, sb, assume_unique=True))
+            c = n_shared / min(len(sa), len(sb))
+            if round(c, 6) >= threshold:
+                ua, ub = ua_l[j], ub_l[j]
+                if ub < ua:
+                    ua, ub = ub, ua
+                out_a.append(ua)
+                out_b.append(ub)
+                out_n.append(n_shared)
+                out_c.append(round(c, 6))
+        return pa.table({
+            "url_a": pa.array(out_a, type=pa.string()),
+            "url_b": pa.array(out_b, type=pa.string()),
+            "n_shared": pa.array(out_n, type=pa.int64()),
+            "containment": pa.array(out_c, type=pa.float64()),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

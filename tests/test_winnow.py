@@ -111,3 +111,32 @@ def test_containment_pairs_empty_and_degenerate(ray_session):
         "text": pa.array(["", "one two"]),
     }))
     assert winnow_containment_pairs(pages).take_all() == []
+
+
+def test_containment_join_fallback_parity(ray_session, monkeypatch):
+    """Forcing the shuffle-join verify (cap=0 semantics) must reproduce
+    the broadcast path's output exactly."""
+    import ordinarydumpdeduplicator_ray.stages.winnowpairs as wp
+
+    rng = np.random.default_rng(23)
+    vocab = [f"v{i}" for i in range(300)]
+    docs = {f"u://{i:03d}": " ".join(rng.choice(vocab, size=80)) for i in range(20)}
+    docs["u://dup"] = docs["u://000"]
+    chunk = " ".join(docs["u://001"].split()[:40])
+    docs["u://emb"] = docs["u://002"] + " " + chunk
+    urls = sorted(docs)
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls), "text": pa.array([docs[u] for u in urls]),
+    }))
+
+    broadcast = sorted(
+        (r["url_a"], r["url_b"], r["n_shared"], r["containment"])
+        for r in winnow_containment_pairs(pages, threshold=0.3).take_all()
+    )
+    monkeypatch.setattr(wp, "_BROADCAST_UID_CAP", 1)
+    joined = sorted(
+        (r["url_a"], r["url_b"], r["n_shared"], r["containment"])
+        for r in wp.winnow_containment_pairs(pages, threshold=0.3).take_all()
+    )
+    assert joined == broadcast
+    assert len(broadcast) >= 2
