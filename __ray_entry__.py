@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": q.bloom_new_docs,
         # --- new in round 3: stratified per-lang quota sample ------------
         "stratified_sample": q.stratified_sample,
+        # --- new in round 3: per-lang char-budget sample ------------------
+        "lang_budget_sample": q.lang_budget_sample,
     }
 
 
@@ -818,5 +820,15 @@ SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key FROM (
          row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
   FROM documents
 ) WHERE rn <= 20
+""",
+        # per-lang char-budget sample: inclusive window-SUM gate over
+        # the identical md5 ordering
+        "lang_budget_sample": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+) WHERE cum <= 15000
 """,
     }

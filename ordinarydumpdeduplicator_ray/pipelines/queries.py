@@ -2159,3 +2159,30 @@ def stratified_sample(sf_dir: str, per_lang: int = 20) -> ray.data.Dataset:
         docs.map_batches(keyed, batch_format="pyarrow"),
         key="lang", order_col="sample_key", cap=per_lang,
     )
+
+
+def lang_budget_sample(sf_dir: str, budget: int = 15000) -> ray.data.Dataset:
+    """Per-language char-budget sampling for training mixes: take docs
+    in md5(doc_id) order per lang while the running n_chars total stays
+    within ``budget`` (stages/asof.py budget_rows_per_key — the
+    weighted sibling of the per-domain cap). SQL-oracled with the
+    identical window-SUM gate."""
+    import hashlib as _hashlib
+
+    from ordinarydumpdeduplicator_ray.stages.asof import budget_rows_per_key
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = [_hashlib.md5(str(d).encode()).hexdigest()
+                for d in t["doc_id"].to_pylist()]
+        return t.append_column("sample_key", pa.array(keys, type=pa.string()))
+
+    out = budget_rows_per_key(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        key="lang", order_col="sample_key", weight_col="n_chars",
+        budget=budget,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["sample_key"]), batch_format="pyarrow"
+    )

@@ -282,3 +282,63 @@ def cap_rows_per_key(
         return t.filter(pa.array(rank < cap))
 
     return _ordered_block_scan(srt, summarize, fold, process)
+
+
+def budget_rows_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+) -> ray.data.Dataset:
+    """Keep each key's prefix (by ``order_col``) while the running sum
+    of ``weight_col`` stays within ``budget`` — the weighted sibling of
+    ``cap_rows_per_key`` (training-data mixing: "take documents per
+    language until N chars/tokens"). Same ONE-sort border-carry scan;
+    the carry is the border key's weight sum in preceding blocks, so
+    running totals straddling block borders stay exact. A row is kept
+    iff its INCLUSIVE running sum <= budget (the SQL window-SUM gate)."""
+    srt = ds.sort([key, order_col]).materialize()
+
+    def summarize(t: pa.Table) -> dict:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        last_key = keys[-1]
+        if keys[0] == last_key:
+            last_run_w = int(w.sum())
+        else:
+            idx = int(np.flatnonzero(keys != last_key)[-1] + 1)
+            last_run_w = int(w[idx:].sum())
+        return {
+            "first_key": keys[0],
+            "last_key": last_key,
+            "single_key": bool(keys[0] == last_key),
+            "last_run_w": last_run_w,
+        }
+
+    def fold(carry: dict | None, s: dict) -> dict | None:
+        prev = (
+            carry["w"]
+            if carry is not None
+            and s["single_key"]
+            and carry["key"] == s["first_key"]
+            else 0
+        )
+        return {"key": s["last_key"], "w": prev + s["last_run_w"]}
+
+    def process(t: pa.Table, carry: dict | None) -> pa.Table:
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        change = np.flatnonzero(keys_np[1:] != keys_np[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([starts[1:], [n]])
+        cum = np.cumsum(w)
+        # inclusive running sum within each key run
+        run_base = np.repeat(cum[starts] - w[starts], ends - starts)
+        run_cum = cum - run_base
+        if carry is not None and carry["key"] == keys_np[0]:
+            run_cum[: ends[0]] += carry["w"]
+        return t.filter(pa.array(run_cum <= budget))
+
+    return _ordered_block_scan(srt, summarize, fold, process)

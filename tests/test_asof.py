@@ -194,3 +194,34 @@ class TestRangeJoin:
         got = dict(zip(out["event_id"], out["n_following"]))
         assert got == expect
         assert any(v > 0 for v in expect.values())
+
+
+def test_budget_rows_per_key_border_stress(ray_session):
+    """Weighted prefix gate stays exact when a key's run straddles many
+    tiny blocks (the carry path), vs a pandas window-sum oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.asof import budget_rows_per_key
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1]),
+        "o": [f"{x:06d}" for x in rng.permutation(n)],
+        "w": rng.integers(1, 50, size=n),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(23)
+    got = budget_rows_per_key(ds, key="k", order_col="o", weight_col="w",
+                              budget=500).take_all()
+
+    srt = df.sort_values(["k", "o"]).copy()
+    srt["cum"] = srt.groupby("k")["w"].cumsum()
+    expect = srt[srt["cum"] <= 500]
+    assert sorted((r["k"], r["o"]) for r in got) == sorted(
+        zip(expect["k"], expect["o"])
+    )
+    # every key has SOME kept rows and the gate actually bit
+    assert 0 < len(got) < n
