@@ -114,6 +114,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "winnow_containment_pairs",
         "tiered_dedup",
         "stratified_sample",
+        "lang_budget_sample",
     ]
     timings: dict[str, float] = {}
     for name in picks:
