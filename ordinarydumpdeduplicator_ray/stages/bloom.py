@@ -274,3 +274,38 @@ def bloom_new_docs(
                          "text_sha256": pa.array(hexes, type=pa.string())})
 
     return definite.union(survivors).map_batches(to_hex, batch_format="pyarrow")
+
+
+# --- persistence: the filter survives across ingest runs ---------------------
+
+def bloom_to_table(bloom: dict) -> pa.Table:
+    """Bloom -> 1-row Arrow table (bitmap as one binary cell + params)
+    for Parquet checkpointing — a re-crawl ingests against yesterday's
+    filter without re-reading the prior corpus."""
+    return pa.table({
+        "bits": pa.array([bloom["bits"].tobytes()], type=pa.binary()),
+        "m": pa.array([bloom["m"]], type=pa.int64()),
+        "k": pa.array([bloom["k"]], type=pa.int64()),
+    })
+
+
+def bloom_from_table(t: pa.Table) -> dict:
+    if len(t) != 1:
+        raise ValueError(f"bloom table must have exactly 1 row, got {len(t)}")
+    m = t["m"][0].as_py()
+    bits = np.frombuffer(t["bits"][0].as_py(), dtype=np.uint64)
+    if len(bits) * 64 != m:
+        raise ValueError("bloom bitmap length does not match m")
+    return {"bits": bits, "m": m, "k": t["k"][0].as_py()}
+
+
+def save_bloom(bloom: dict, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(bloom_to_table(bloom), path)
+
+
+def load_bloom(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    return bloom_from_table(pq.read_table(path))

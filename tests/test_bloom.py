@@ -103,3 +103,18 @@ def test_bloom_partials_blocking_independent(ray_session):
     )
     assert np.array_equal(one["bits"], many["bits"])
     assert (one["m"], one["k"]) == (many["m"], many["k"])
+
+
+def test_bloom_save_load_roundtrip(ray_session, tmp_path):
+    from ordinarydumpdeduplicator_ray.stages.bloom import load_bloom, save_bloom
+
+    bloom = build_text_bloom(_pages([f"k{i}" for i in range(800)]), fpp=0.01)
+    p = str(tmp_path / "bloom.parquet")
+    save_bloom(bloom, p)
+    back = load_bloom(p)
+    assert back["m"] == bloom["m"] and back["k"] == bloom["k"]
+    assert np.array_equal(back["bits"], bloom["bits"])
+    # loaded filter still has no false negatives
+    h1, h2 = _h1_h2([f"k{i}" for i in range(800)])
+    assert _probe_bits(back["bits"],
+                       _positions(h1, h2, back["k"], back["m"] - 1)).all()
