@@ -56,7 +56,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8
         body = payload[pos : pos + csize]
         if cid == b"fmt " and fmt is None:
-            if csize < 16:
+            if csize < 16 or len(body) < 16:  # declared-vs-actual: truncation
                 raise UnsupportedAudioError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data" and data is None:

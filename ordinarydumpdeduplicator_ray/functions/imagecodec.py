@@ -37,6 +37,10 @@ import zlib
 import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# per-image pixel ceiling (256 MPx): a corrupt header declaring absurd
+# dims is rejected before any allocation, not OOM-killed mid-decode
+_MAX_PIXELS = 1 << 28
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 BMP_MAGIC = b"BM"
 
@@ -77,6 +81,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) != length:
             raise UnsupportedImageError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:  # spec-fixed; guards struct.error escape
+                raise UnsupportedImageError("malformed IHDR")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -94,44 +100,59 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace:
         raise UnsupportedImageError("Adam7 interlace unsupported")
     ch = _PNG_CHANNELS[color_type]
+    if width == 0 or height == 0 or width * height > _MAX_PIXELS:
+        raise UnsupportedImageError(f"degenerate PNG dims {width}x{height}")
+    stride = width * ch
+    expected = height * (stride + 1)
+    # bounded inflate: the expected size is known from IHDR, so a
+    # decompression bomb (tiny declared dims, huge IDAT expansion) is
+    # rejected before it can materialize in worker memory
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if dec.unconsumed_tail or len(dec.decompress(b"", 1)) or len(raw) != expected:
+            raise UnsupportedImageError("pixel data size mismatch")
     except zlib.error as e:
         raise UnsupportedImageError(f"IDAT inflate failed: {e}") from e
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise UnsupportedImageError("pixel data size mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     data = np.frombuffer(raw, dtype=np.uint8)
+    rows = data.reshape(height, stride + 1)
     for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = int(data[row_start])
-        line = data[row_start + 1 : row_start + 1 + stride].astype(np.int32)
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum (mod 256)
+            lanes = line.reshape(width, ch).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.int32).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth: sequential per PIXEL,
+            cur = np.empty(stride, dtype=np.int32)  # vectorized across channels
+            prev_px = prev.reshape(width, ch)
+            line_px = line.reshape(width, ch)
+            cur_px = cur.reshape(width, ch)
+            a = np.zeros(ch, dtype=np.int32)
+            c = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                b = prev_px[x]
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    pa_ = abs(b - c)
-                    pb_ = abs(a - c)
-                    pc_ = abs(a + b - 2 * c)
-                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                    pa_ = np.abs(b - c)
+                    pb_ = np.abs(a - c)
+                    pc_ = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c)
+                    )
+                cur_px[x] = (line_px[x] + pred) & 0xFF
+                a = cur_px[x]
+                c = b
         else:
             raise UnsupportedImageError(f"unknown filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-        prev = out[y]
+        prev = cur
     return out.reshape(height, width, ch)
 
 
@@ -182,6 +203,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0 or width * height > _MAX_PIXELS:
+        raise UnsupportedImageError(f"degenerate BMP dims {width}x{height}")
     bytes_pp = bpp // 8
     row_bytes = (width * bytes_pp + 3) & ~3
     need = data_off + row_bytes * height

@@ -1277,15 +1277,24 @@ def _multi_roots(sf_dir: str) -> dict:
     import hashlib as _hashlib
     import os
 
-    base = os.path.join(
-        "/tmp", "odd_multiroot_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    )
-    done = os.path.join(base, "_DONE")
-    if not os.path.exists(done):
+    # cache key includes the source table's (mtime, size) so regenerated
+    # testdata never silently reuses stale roots
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "odd_multiroot_" + key)
+    if not os.path.isdir(base):
+        # build into a pid-unique staging dir, publish with one atomic
+        # rename — concurrent builders each stage privately and the
+        # loser of the rename race just discards its copy (no process
+        # ever deletes or reads a half-written tree)
         import shutil
 
-        shutil.rmtree(base, ignore_errors=True)  # half-written prior run
-        os.makedirs(base, exist_ok=True)
+        tmp = f"{base}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         both = _snapshot_pages(sf_dir, "prev").union(
             _snapshot_pages(sf_dir, "cur")
         )
@@ -1296,12 +1305,14 @@ def _multi_roots(sf_dir: str) -> dict:
             return t.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
 
         both = both.materialize()
-        both.write_parquet(os.path.join(base, "locA"))
+        both.write_parquet(os.path.join(tmp, "locA"))
         both.map_batches(even_only, batch_format="pyarrow").write_parquet(
-            os.path.join(base, "locB")
+            os.path.join(tmp, "locB")
         )
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return {
         "locA": os.path.join(base, "locA"),
         "locB": os.path.join(base, "locB"),
@@ -2137,6 +2148,17 @@ def tiered_dedup(sf_dir: str) -> ray.data.Dataset:
     return impl(tiered_corpus(sf_dir))
 
 
+def _md5_sample_key(t: pa.Table) -> pa.Table:
+    """Append ``sample_key`` = md5(str(doc_id)) hex. Shared by both
+    sampling queries; must stay bit-identical to the DuckDB oracles'
+    ``md5(CAST(doc_id AS VARCHAR))`` ordering."""
+    import hashlib as _hashlib
+
+    keys = [_hashlib.md5(str(d).encode()).hexdigest()
+            for d in t["doc_id"].to_pylist()]
+    return t.append_column("sample_key", pa.array(keys, type=pa.string()))
+
+
 def stratified_sample(sf_dir: str, per_lang: int = 20) -> ray.data.Dataset:
     """Deterministic stratified sampling for training-data mixing: the
     ``per_lang`` docs with the smallest md5(doc_id) per language — a
@@ -2144,19 +2166,11 @@ def stratified_sample(sf_dir: str, per_lang: int = 20) -> ray.data.Dataset:
     same salted-hash-order trick as corpus_split, but per-stratum with
     an exact quota). One sort via cap_rows_per_key (stages/asof.py);
     SQL-oracled with row_number over the identical md5 ordering."""
-    import hashlib as _hashlib
-
     from ordinarydumpdeduplicator_ray.stages.asof import cap_rows_per_key
 
     docs = _read_documents(sf_dir, columns=["doc_id", "lang"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        keys = [_hashlib.md5(str(d).encode()).hexdigest()
-                for d in t["doc_id"].to_pylist()]
-        return t.append_column("sample_key", pa.array(keys, type=pa.string()))
-
     return cap_rows_per_key(
-        docs.map_batches(keyed, batch_format="pyarrow"),
+        docs.map_batches(_md5_sample_key, batch_format="pyarrow"),
         key="lang", order_col="sample_key", cap=per_lang,
     )
 
@@ -2167,19 +2181,11 @@ def lang_budget_sample(sf_dir: str, budget: int = 15000) -> ray.data.Dataset:
     within ``budget`` (stages/asof.py budget_rows_per_key — the
     weighted sibling of the per-domain cap). SQL-oracled with the
     identical window-SUM gate."""
-    import hashlib as _hashlib
-
     from ordinarydumpdeduplicator_ray.stages.asof import budget_rows_per_key
 
     docs = _read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        keys = [_hashlib.md5(str(d).encode()).hexdigest()
-                for d in t["doc_id"].to_pylist()]
-        return t.append_column("sample_key", pa.array(keys, type=pa.string()))
-
     out = budget_rows_per_key(
-        docs.map_batches(keyed, batch_format="pyarrow"),
+        docs.map_batches(_md5_sample_key, batch_format="pyarrow"),
         key="lang", order_col="sample_key", weight_col="n_chars",
         budget=budget,
     )

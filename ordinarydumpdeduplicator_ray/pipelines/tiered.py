@@ -24,7 +24,6 @@ runs one exact pass; the tiers reuse its verbs stage-for-stage.
 
 from __future__ import annotations
 
-import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -98,13 +97,11 @@ def tiered_dedup(
 
     # ---- tier 2: exact content sha ------------------------------------
     def sha(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.bloom import _sha_digests
+
+        hexes = [d.hex() for d in _sha_digests(t["text"].combine_chunks()).to_pylist()]
         return t.append_column(
-            "text_sha256",
-            pa.array(
-                [hashlib.sha256((x or "").encode("utf-8")).hexdigest()
-                 for x in t["text"].to_pylist()],
-                type=pa.string(),
-            ),
+            "text_sha256", pa.array(hexes, type=pa.string())
         )
 
     shad = surv1.map_batches(sha, batch_format="pyarrow").materialize()

@@ -117,14 +117,23 @@ class MediaFeatureActor:
                     "real video decoding needs pyav/ffmpeg, not shipped in "
                     "this container — image and WAV audio decode for real"
                 )
+            import struct as _struct
+            import zlib as _zlib
+
+            # per-row broken-payload tolerance: the codecs raise their
+            # Unsupported* errors on everything they detect, but a
+            # malformed payload can still escape as struct.error /
+            # zlib.error / ValueError from a parse the header checks
+            # didn't cover — degrade those to the stub too, never the job
+            _codec_errors = (ValueError, _struct.error, _zlib.error)
             if mt == "audio":
                 from ordinarydumpdeduplicator_ray.functions import audiocodec as ac
 
                 try:
                     rate, n_ch, samples = ac.decode_wav(payload)
                     return rate, n_ch, len(samples), ac.sample_features(rate, samples)
-                except ac.UnsupportedAudioError:
-                    pass  # compressed codec -> deterministic stub below
+                except _codec_errors:
+                    pass  # compressed codec / corrupt -> stub below
                 w, h, nf = _fake_decode(payload, mt)
                 return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
             try:
@@ -140,8 +149,8 @@ class MediaFeatureActor:
                     # dims/frames are real; no pixel expansion -> the
                     # embedding stays digest-derived (documented)
                     return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
-            except ic.UnsupportedImageError:
-                pass  # undecodable image -> deterministic stub below
+            except _codec_errors:
+                pass  # undecodable / corrupt image -> deterministic stub below
         w, h, nf = _fake_decode(payload, mt)
         return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
 

@@ -622,13 +622,19 @@ def exact_jaccard_recheck(
     (verification already resolved uids).
 
     Fast path (pending below ``_BROADCAST_PENDING_CAP``): collect the
-    band's url set on the driver, filter-and-extract ONLY those pages'
-    texts (map-only, no shuffle), broadcast the (url, text) Arrow table via
-    ``ray.put`` (zero-copy per worker) and verify with per-process recheck state — zero
-    shuffles and no full-corpus re-extraction. The margin band is a
-    narrow est window, so this covers every realistic run; beyond the
-    cap, texts attach via two hash joins against the (fully
-    re-extracted) pages instead."""
+    band's url set on the driver; a map-only pages pass filters each
+    block to the pending urls (sorted-uid searchsorted probe) and
+    tokenizes/shingles each matched text EXACTLY ONCE
+    (``_filter_shingle_block``); one remote task packs the shingle sets
+    into a uid-sorted flat-buffer lookup (``_assemble_shingle_lookup``)
+    that workers read zero-copy, so the pair pass is two slice gathers
+    plus a sorted-intersection count per pair — zero shuffles, no
+    full-corpus re-extraction, and no per-worker re-tokenization (the
+    round-2 anti-scaling cause). The margin band is a narrow est
+    window, so this covers every realistic run; beyond the cap, texts
+    attach via two hash joins against the (fully re-extracted) pages
+    and ``_ShingleRecheck`` shingles per worker with a cross-batch
+    cache instead."""
     if pending.count() <= _BROADCAST_PENDING_CAP:
         return _recheck_broadcast(pending, pages, config)
     return _recheck_join(pending, pages, config, num_partitions)

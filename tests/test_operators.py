@@ -519,3 +519,42 @@ class TestBroadcastJoins:
         left, _ = self._mk(ray)
         empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
         assert broadcast_anti_join(left, empty, on="k").count() == 5
+
+
+class TestMalformedPayloads:
+    def test_corrupt_payloads_degrade_to_stub_never_raise(self):
+        """struct.error / zlib.error / ValueError from parses the header
+        checks miss must fall back to the stub (per-row tolerance), and
+        a zlib-bomb PNG must be rejected by the bounded inflate."""
+        import struct
+        import zlib
+
+        from ordinarydumpdeduplicator_ray.functions import imagecodec as ic
+        from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
+
+        bad_wav = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                   + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+        bad_png = (ic.PNG_MAGIC + struct.pack(">I4s", 8, b"IHDR")
+                   + b"\x00" * 8 + b"\x00" * 4)
+        px = np.zeros((2, 2, 3), np.uint8)
+        bmp = bytearray(ic.encode_bmp(px))
+        bmp[18:22] = struct.pack("<i", -2)  # negative width
+
+        def chunk(t, b):
+            return (struct.pack(">I", len(b)) + t + b
+                    + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+        bomb = (ic.PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000))
+                + chunk(b"IEND", b""))
+
+        batch = pa.table({
+            "url": pa.array(["m://w", "m://p", "m://b", "m://z"]),
+            "media_type": pa.array(["audio", "image", "image", "image"]),
+            "payload": pa.array([bad_wav, bad_png, bytes(bmp), bomb],
+                                type=pa.binary()),
+        })
+        out = MediaFeatureActor(real=True)(batch)
+        assert len(out) == 4  # every row decoded (stub), none raised
+        assert all(w > 0 for w in out["width"].to_pylist())
