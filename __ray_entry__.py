@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup": q.tiered_dedup,
         # --- new in round 3: winnowed-fingerprint containment pairs ------
         "winnow_containment_pairs": q.winnow_containment_pairs,
+        # --- new in round 3: SemDeDup cluster-partitioned verdicts -------
+        "semantic_dedup": q.semantic_dedup_verdicts,
         # --- hash-locked digests of the deterministic rows-only ops ------
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,

@@ -115,6 +115,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "tiered_dedup",
         "stratified_sample",
         "lang_budget_sample",
+        "semantic_dedup",
     ]
     timings: dict[str, float] = {}
     for name in picks:

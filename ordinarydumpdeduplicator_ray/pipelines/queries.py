@@ -595,6 +595,25 @@ def _embeddings_with_dups(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(inject, batch_format="pyarrow")
 
 
+def semantic_dedup_verdicts(sf_dir: str, n_clusters: int = 16,
+                            threshold: float = 0.99) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023) cluster-partitioned KEEP/DROP
+    verdicts over the dup-injected embeddings: seeded sampled k-means ->
+    broadcast centroid assignment -> ONE cluster groupby -> per-cluster
+    greedy cosine dedup keeping the lowest vec_id (stages/semdedup.py).
+    Every injected exact copy (cosine 1.0, same direction => same
+    cluster) must drop with dup_of = its original. Rows-only (k-means is
+    not SQL-expressible); invariants are pytest brute-forced."""
+    from ordinarydumpdeduplicator_ray.stages.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings_with_dups(sf_dir),
+        n_clusters=n_clusters,
+        threshold=threshold,
+        seed=Q_CONFIG.seed,
+    )
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.99) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
     round(cos, 6) >= threshold) over the dup-injected embeddings:
@@ -1004,18 +1023,12 @@ def knn_cosine_ivf_vec0(sf_dir: str, k: int = 10, n_centroids: int = 16,
         list(ds.limit(sample_rows).iter_batches(batch_size=sample_rows,
                                                 batch_format="pyarrow"))
     )
-    smat = list_to_matrix(sample["embedding"])
-    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
-    n_centroids = min(n_centroids, len(smat))
-    rng = np.random.default_rng(Q_CONFIG.seed)
-    cents = smat[rng.choice(len(smat), size=n_centroids, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(smat @ cents.T, axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                v = smat[m].mean(axis=0)
-                cents[c] = v / np.linalg.norm(v)
+    from ordinarydumpdeduplicator_ray.stages.semdedup import spherical_kmeans
+
+    cents = spherical_kmeans(
+        list_to_matrix(sample["embedding"]), n_centroids, kmeans_iters,
+        Q_CONFIG.seed,
+    )
     probe = set(np.argsort(-(cents @ qvec))[:nprobe].tolist())
     ref = ray.put((cents, probe, qvec))
 

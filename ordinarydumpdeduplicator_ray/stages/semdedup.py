@@ -1,0 +1,185 @@
+"""SemDeDup: cluster-partitioned semantic near-duplicate pruning.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540): k-means-cluster the
+embedding space, then deduplicate WITHIN clusters only — the O(n^2)
+cosine comparison collapses to sum_c O(|c|^2) with |c| bounded by the
+cluster count, and the only all-to-all is ONE groupby on the int32
+cluster id.
+
+This complements ``stages/embeddings.py``'s sign-LSH pair path: LSH
+surfaces candidate PAIRS above a threshold for downstream union-find;
+SemDeDup partitions the space so each worker makes a local KEEP/DROP
+verdict per row in one pass — no global edge table, no components
+stage — which is the production shape for web-scale curation where a
+per-document verdict is the deliverable.
+
+Scale notes (100 TB): ``n_clusters`` grows with the corpus (the paper
+used 11k clusters at LAION-440M) so the per-cluster row count stays
+bounded; centroids are trained on a BOUNDED driver sample (O(sample)
+driver memory regardless of corpus size) and broadcast once via
+``ray.put``; assignment is one matmul per batch; each row crosses the
+wire exactly once in the cluster groupby. The documented partitioning
+assumption: one cluster must fit one worker's memory (the paper's
+within-cluster pass has the same requirement).
+
+Reference parity: the closest analogue is the reference's duplicate-set
+construction over content groups (``DataControllerSimple.cs:425-438``)
+— here the "group" is a learned semantic cell instead of an exact hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ordinarydumpdeduplicator_ray.functions.vectors import list_to_matrix
+
+# above this cluster size the full |c| x |c| similarity matrix would
+# exceed ~32 MB; fall back to a growing-kept-matrix matvec per row
+_PAIRWISE_CAP = 2048
+
+# zero-norm embeddings have undefined cosine: always kept, never a dup
+_NORM_EPS = 1e-12
+
+
+def spherical_kmeans(
+    mat: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Seeded Lloyd iterations with cosine assignment over row-normalized
+    ``mat``; returns a (k, dim) unit-row centroid matrix. Deterministic
+    for a given (mat, seed) — both the IVF probe index and SemDeDup rely
+    on that for reproducible verdicts."""
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), _NORM_EPS)
+    n_centroids = min(n_centroids, len(mat))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), _NORM_EPS)
+    return cents
+
+
+def _greedy_cluster_dedup(t: pa.Table, threshold: float, id_col: str,
+                          emb_col: str) -> pa.Table:
+    """One cluster's verdicts: rows in ascending id order are kept
+    unless cosine(row, an already-kept row) >= threshold — the paper's
+    within-cluster pass with a deterministic keep-lowest-id policy (the
+    repo's canonical-min convention). ``dup_of`` is the kept row the
+    drop fell to (null for kept rows)."""
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("cluster", pa.int32()),
+        ("kept", pa.bool_()), ("dup_of", pa.int64()),
+    ])
+    if len(t) == 0:
+        return out_schema.empty_table()
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = list_to_matrix(t[emb_col])[order]
+    cluster = np.int32(t["cluster"][0].as_py())
+    norms = np.linalg.norm(mat, axis=1)
+    zero = norms <= _NORM_EPS
+    mat = mat / np.maximum(norms, _NORM_EPS)[:, None]
+
+    n = len(ids)
+    kept = np.ones(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    if n <= _PAIRWISE_CAP:
+        sims = np.round(mat @ mat.T, 6)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if zero[i] or not kept_idx:
+                kept_idx.append(i)
+                continue
+            row = sims[i, kept_idx]
+            j = int(np.argmax(row))
+            if row[j] >= threshold and not zero[kept_idx[j]]:
+                kept[i] = False
+                dup_of[i] = ids[kept_idx[j]]
+            else:
+                kept_idx.append(i)
+    else:
+        kept_mat = np.empty_like(mat)
+        kept_ids = np.empty(n, dtype=np.int64)
+        kept_zero = np.empty(n, dtype=bool)
+        nk = 0
+        for i in range(n):
+            if nk and not zero[i]:
+                row = np.round(kept_mat[:nk] @ mat[i], 6)
+                row[kept_zero[:nk]] = -2.0
+                j = int(np.argmax(row))
+                if row[j] >= threshold:
+                    kept[i] = False
+                    dup_of[i] = kept_ids[j]
+                    continue
+            kept_mat[nk] = mat[i]
+            kept_ids[nk] = ids[i]
+            kept_zero[nk] = zero[i]
+            nk += 1
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "cluster": pa.array(np.full(n, cluster), type=pa.int32()),
+        "kept": pa.array(kept),
+        "dup_of": pa.array([None if d < 0 else int(d) for d in dup_of],
+                           type=pa.int64()),
+    })
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    *,
+    n_clusters: int = 32,
+    threshold: float = 0.99,
+    sample_rows: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-row semantic KEEP/DROP verdicts over ``ds[id_col, emb_col]``.
+
+    Returns a Dataset of ``(id_col, cluster, kept, dup_of)`` — one row
+    per input row. Deterministic for a given (input, seed): centroids
+    come from a seeded k-means on a bounded sample, assignment is
+    per-row argmax cosine, and the within-cluster pass keeps the lowest
+    id of every near-set.
+    """
+    sample = pa.concat_tables(
+        ds.limit(sample_rows).iter_batches(
+            batch_size=sample_rows, batch_format="pyarrow"
+        )
+    )
+    if len(sample) == 0:
+        return ray.data.from_arrow(pa.schema([
+            (id_col, pa.int64()), ("cluster", pa.int32()),
+            ("kept", pa.bool_()), ("dup_of", pa.int64()),
+        ]).empty_table())
+    cents = spherical_kmeans(
+        list_to_matrix(sample[emb_col]), n_clusters, kmeans_iters, seed
+    )
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("cluster", pa.array([], type=pa.int32()))
+        cents_ = ray.get(ref)
+        mat = list_to_matrix(t[emb_col])
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), _NORM_EPS
+        )
+        a = np.argmax(mat @ cents_.T, axis=1).astype(np.int32)
+        return t.append_column("cluster", pa.array(a, type=pa.int32()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        lambda t: _greedy_cluster_dedup(t, threshold, id_col, emb_col),
+        batch_format="pyarrow",
+    )
