@@ -115,7 +115,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "tiered_dedup",
         "stratified_sample",
         "lang_budget_sample",
-        "semantic_dedup",
+        "semantic_dedup_verdicts",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -99,9 +99,10 @@ def _greedy_cluster_dedup(t: pa.Table, threshold: float, id_col: str,
             if zero[i] or not kept_idx:
                 kept_idx.append(i)
                 continue
-            row = sims[i, kept_idx]
+            row = sims[i, kept_idx].copy()
+            row[zero[kept_idx]] = -2.0  # zero-norm kept rows never match
             j = int(np.argmax(row))
-            if row[j] >= threshold and not zero[kept_idx[j]]:
+            if row[j] >= threshold:
                 kept[i] = False
                 dup_of[i] = ids[kept_idx[j]]
             else:
