@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         # --- new in round 3: per-lang char-budget sample ------------------
         "lang_budget_sample": q.lang_budget_sample,
+        # --- new in round 3b: temperature mixture + sequence packing ------
+        "temperature_mixture_sample": q.temperature_mixture_sample,
+        "sequence_pack_assignments": q.sequence_pack_assignments,
     }
 
 
@@ -832,5 +835,30 @@ SELECT doc_id, lang, n_chars FROM (
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents
 ) WHERE cum <= 15000
+""",
+        # temperature-flattened mixture: quota ceil(sqrt(n_lang)*4) per
+        # lang, filled in the identical md5(doc_id) order (sqrt is
+        # IEEE-exact on both sides, so CEIL agrees bit-for-bit)
+        "temperature_mixture_sample": """
+WITH quotas AS (
+  SELECT lang, CAST(CEIL(SQRT(COUNT(*)) * 4.0) AS BIGINT) AS q
+  FROM documents GROUP BY lang
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang FROM ranked r JOIN quotas USING (lang) WHERE r.rn <= quotas.q
+""",
+        # concatenate-and-chunk packing: exclusive global prefix sum of
+        # n_chars in doc_id order, integer-exact on both sides
+        "sequence_pack_assignments": """
+WITH offs AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM documents
+)
+SELECT doc_id, n_chars, start_off, start_off // 4096 AS seq_id FROM offs
 """,
     }

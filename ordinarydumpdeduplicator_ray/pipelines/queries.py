@@ -2205,3 +2205,53 @@ def lang_budget_sample(sf_dir: str, budget: int = 15000) -> ray.data.Dataset:
     return out.map_batches(
         lambda t: t.drop_columns(["sample_key"]), batch_format="pyarrow"
     )
+
+
+def temperature_mixture_sample(sf_dir: str, scale: float = 4.0) -> ray.data.Dataset:
+    """Temperature-flattened mixture resampling (the multilingual
+    alpha=0.5 / DoReMi-adjacent recipe): per-language quota
+    q_lang = ceil(sqrt(n_lang) * scale), so low-resource strata are
+    UPsampled relative to their share and dominant strata capped — then
+    the quota is filled deterministically with the smallest-md5(doc_id)
+    docs per lang (reorder/subset-stable, same trick as
+    stratified_sample). Lang counts are a strata-sized aggregate (one
+    tiny groupby -> driver); row selection is ONE sort via
+    cap_rows_per_key's per-key-cap dict. sqrt is IEEE-correctly-rounded
+    on both numpy and DuckDB, so the quota arithmetic is bit-identical
+    to the SQL oracle."""
+    from ordinarydumpdeduplicator_ray.stages.asof import cap_rows_per_key
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "lang"])
+    counts = docs.groupby("lang").aggregate(Count(alias_name="c")).take_all()
+    quotas = {
+        r["lang"]: int(np.ceil(np.sqrt(float(r["c"])) * scale)) for r in counts
+    }
+    out = cap_rows_per_key(
+        docs.map_batches(_md5_sample_key, batch_format="pyarrow"),
+        key="lang", order_col="sample_key", cap=quotas,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["sample_key"]), batch_format="pyarrow"
+    )
+
+
+def sequence_pack_assignments(sf_dir: str, chunk: int = 4096) -> ray.data.Dataset:
+    """Concatenate-and-chunk sequence packing (how LLM training shards
+    a corpus into fixed-length sequences): documents are laid out in
+    doc_id order as one virtual char stream; each doc gets its starting
+    offset (a GLOBAL prefix sum over n_chars — stages/asof.py
+    global_running_sum, one sort + O(blocks) driver fold) and the id of
+    the ``chunk``-sized training sequence its first char lands in. All
+    integer arithmetic, bit-identical to the SQL window-SUM oracle."""
+    from ordinarydumpdeduplicator_ray.stages.asof import global_running_sum
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = global_running_sum(docs, order_col="doc_id", weight_col="n_chars")
+
+    def assign(t: pa.Table) -> pa.Table:
+        off = t["start_off"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "seq_id", pa.array(off // chunk, type=pa.int64())
+        )
+
+    return out.map_batches(assign, batch_format="pyarrow")

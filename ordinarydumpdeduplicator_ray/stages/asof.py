@@ -237,13 +237,21 @@ def cap_rows_per_key(
     ds: ray.data.Dataset,
     key: str,
     order_col: str,
-    cap: int,
+    cap: int | dict,
 ) -> ray.data.Dataset:
     """Keep at most ``cap`` rows per ``key``, preferring the smallest
     ``order_col`` values (webtext per-domain caps: keep the first K
     documents of every host). ONE sort by (key, order_col); the carry is
     just "how many rows of the border key precede this block" so ranks
-    of runs straddling block borders stay exact."""
+    of runs straddling block borders stay exact.
+
+    ``cap`` may be a dict of per-key caps (keys absent from the dict get
+    cap 0) — the temperature-mixture-sampling shape, where each
+    stratum's quota was computed from its size. The dict ships inside
+    the per-block task closures, so it must be SMALL (strata-level
+    cardinality: languages, sources — not per-document keys); callers
+    with a large cap table should join it on as a column instead."""
+    cap_map = cap if isinstance(cap, dict) else None
     srt = ds.sort([key, order_col]).materialize()
 
     def summarize(t: pa.Table) -> dict:
@@ -279,7 +287,14 @@ def cap_rows_per_key(
         rank = np.arange(n) - np.repeat(starts, ends - starts)
         if carry is not None and carry["key"] == keys_np[0]:
             rank[: ends[0]] += carry["count"]
-        return t.filter(pa.array(rank < cap))
+        if cap_map is None:
+            return t.filter(pa.array(rank < cap))
+        run_caps = np.fromiter(
+            (cap_map.get(k, 0) for k in keys_np[starts]),
+            dtype=np.int64,
+            count=len(starts),
+        )
+        return t.filter(pa.array(rank < np.repeat(run_caps, ends - starts)))
 
     return _ordered_block_scan(srt, summarize, fold, process)
 
@@ -340,5 +355,40 @@ def budget_rows_per_key(
         if carry is not None and carry["key"] == keys_np[0]:
             run_cum[: ends[0]] += carry["w"]
         return t.filter(pa.array(run_cum <= budget))
+
+    return _ordered_block_scan(srt, summarize, fold, process)
+
+
+# ---------------------------------------------------------------------------
+# global prefix sum (scan)
+# ---------------------------------------------------------------------------
+
+
+def global_running_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "start_off",
+) -> ray.data.Dataset:
+    """Append the EXCLUSIVE global running sum of ``weight_col`` in
+    ``order_col`` order — the distributed prefix-sum / scan primitive
+    (sequence packing for LLM training: each document's starting offset
+    in the concatenated token/char stream). ONE sort; the driver fold
+    carries just each block's total (O(blocks) integers), then every
+    block computes its offsets with one vectorized cumsum — no data ever
+    ships to the driver."""
+    srt = ds.sort(order_col).materialize()
+
+    def summarize(t: pa.Table) -> dict:
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return {"w": int(w.sum())}
+
+    def fold(carry: dict | None, s: dict) -> dict:
+        return {"w": (carry["w"] if carry is not None else 0) + s["w"]}
+
+    def process(t: pa.Table, carry: dict | None) -> pa.Table:
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(w) - w + (carry["w"] if carry is not None else 0)
+        return t.append_column(out_col, pa.array(cum, type=pa.int64()))
 
     return _ordered_block_scan(srt, summarize, fold, process)

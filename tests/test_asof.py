@@ -225,3 +225,54 @@ def test_budget_rows_per_key_border_stress(ray_session):
     )
     # every key has SOME kept rows and the gate actually bit
     assert 0 < len(got) < n
+
+
+def test_cap_rows_per_key_dict_caps(ray_session):
+    """Per-key quota dict (temperature-mixture shape): each key keeps
+    exactly min(quota, n_key) rows — the smallest order values — and a
+    key absent from the dict keeps none, exact across block borders."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(47)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], size=n, p=[0.6, 0.25, 0.1, 0.05]),
+        "o": [f"{x:06d}" for x in rng.permutation(n)],
+    })
+    caps = {"a": 17, "b": 40, "c": 1_000}  # d absent -> cap 0
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(29)
+    got = cap_rows_per_key(ds, key="k", order_col="o", cap=caps).take_all()
+
+    expect = []
+    for k, grp in df.groupby("k"):
+        expect.extend(
+            (k, o) for o in sorted(grp["o"])[: caps.get(k, 0)]
+        )
+    assert sorted((r["k"], r["o"]) for r in got) == sorted(expect)
+    assert not any(r["k"] == "d" for r in got)
+
+
+def test_global_running_sum_border_stress(ray_session):
+    """Exclusive global prefix sum stays exact when the sorted order is
+    shredded across many tiny blocks, vs a pandas cumsum oracle."""
+    import pandas as pd
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.asof import global_running_sum
+
+    rng = np.random.default_rng(53)
+    n = 400
+    df = pd.DataFrame({
+        "id": rng.permutation(n),
+        "w": rng.integers(0, 100, size=n),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(31)
+    got = global_running_sum(ds, order_col="id", weight_col="w").take_all()
+
+    srt = df.sort_values("id").reset_index(drop=True)
+    srt["start_off"] = srt["w"].cumsum() - srt["w"]
+    expect = dict(zip(srt["id"], srt["start_off"]))
+    assert len(got) == n
+    for r in got:
+        assert r["start_off"] == expect[r["id"]]

@@ -200,3 +200,67 @@ def test_stratified_sample_quota_and_stability(ray_session):
     assert sorted((r["lang"], r["doc_id"]) for r in rows) == sorted(
         (r["lang"], r["doc_id"]) for r in rows2
     )
+
+
+def test_temperature_mixture_sample_quotas(ray_session):
+    """Quota per lang is exactly min(ceil(sqrt(n)*scale), n), filled
+    with the smallest md5(doc_id) docs — the temperature-flattening
+    invariant: kept-share decreases as stratum size grows."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    n_by_lang = dict(
+        con.execute(
+            f"SELECT lang, COUNT(*) FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    ids_by_lang = {
+        lang: [r[0] for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet') WHERE lang = ?",
+            [lang]).fetchall()]
+        for lang in n_by_lang
+    }
+    rows = q.temperature_mixture_sample(sf, scale=2.0).take_all()
+    by_lang: dict[str, set] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, n in n_by_lang.items():
+        quota = min(math.ceil(math.sqrt(n) * 2.0), n)
+        got = by_lang.get(lang, set())
+        assert len(got) == quota
+        expect = set(sorted(
+            ids_by_lang[lang],
+            key=lambda d: hashlib.md5(str(d).encode()).hexdigest(),
+        )[:quota])
+        assert got == expect
+
+
+def test_sequence_pack_assignments_oracle(ray_session):
+    """start_off is the exclusive prefix sum of n_chars in doc_id order
+    and seq_id its chunk bucket — vs a pandas cumsum oracle."""
+    import duckdb
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    srt = con.execute(
+        f"SELECT doc_id, n_chars FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    srt["start_off"] = srt["n_chars"].cumsum() - srt["n_chars"]
+    expect = {
+        int(r.doc_id): (int(r.start_off), int(r.start_off) // 512)
+        for r in srt.itertuples()
+    }
+    rows = q.sequence_pack_assignments(sf, chunk=512).take_all()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (r["start_off"], r["seq_id"]) == expect[r["doc_id"]]
+    # the stream actually crosses chunk borders
+    assert len({r["seq_id"] for r in rows}) > 1
