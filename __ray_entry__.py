@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3b: temperature mixture + sequence packing ------
         "temperature_mixture_sample": q.temperature_mixture_sample,
         "sequence_pack_assignments": q.sequence_pack_assignments,
+        # --- new in round 3b: ExactSubstr span REMOVAL (rows-only) --------
+        "exact_substring_removal": q.exact_substring_removal,
     }
 
 

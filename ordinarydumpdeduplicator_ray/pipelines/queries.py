@@ -2255,3 +2255,39 @@ def sequence_pack_assignments(sf_dir: str, chunk: int = 4096) -> ray.data.Datase
         )
 
     return out.map_batches(assign, batch_format="pyarrow")
+
+
+def exact_substring_removal(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr REMOVAL (Lee et al. ACL'22) over the near-dup
+    corpus: the substring_spans pipeline's duplicated token runs are
+    actually CUT from the lexicographically-larger url of each pair
+    (stages/spanremoval.py — loser-side targets, one-sort interval
+    merge, char-exact cut). Returns the affected docs with removal
+    stats and the sha256 of the cleaned text (hash-locking the cut
+    bytes). Rows-only (suffix-array spans are not SQL-expressible);
+    pytest carries the byte-exact oracle."""
+    from ordinarydumpdeduplicator_ray.stages.spanremoval import (
+        remove_duplicate_spans,
+    )
+
+    out = remove_duplicate_spans(dup_corpus(sf_dir, near=True), _qcfg(), _nparts())
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        keep = pc.greater(t["n_spans"], 0)
+        t = t.filter(keep)
+        sha = [
+            _h.sha256((x or "").encode()).hexdigest() for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_spans": t["n_spans"],
+                "n_removed_words": t["n_removed_words"],
+                "n_chars_after": pc.utf8_length(t["text"]),
+                "clean_sha": pa.array(sha, type=pa.string()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
