@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack_assignments": q.sequence_pack_assignments,
         # --- new in round 3b: ExactSubstr span REMOVAL (rows-only) --------
         "exact_substring_removal": q.exact_substring_removal,
+        # --- new in round 3b: JSONL source-format parity -------------------
+        "jsonl_corpus_stats": q.jsonl_corpus_stats,
     }
 
 
@@ -862,5 +864,13 @@ WITH offs AS (
   FROM documents
 )
 SELECT doc_id, n_chars, start_off, start_off // 4096 AS seq_id FROM offs
+""",
+        # JSONL source parity: the Ray side aggregates the JSONL
+        # round-trip of documents; matching the Parquet originals
+        # proves the source/sink preserves rows and values
+        "jsonl_corpus_stats": """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
 """,
     }

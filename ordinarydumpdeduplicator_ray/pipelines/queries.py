@@ -2271,6 +2271,11 @@ def exact_substring_removal(sf_dir: str) -> ray.data.Dataset:
     )
 
     out = remove_duplicate_spans(dup_corpus(sf_dir, near=True), _qcfg(), _nparts())
+    return _summarize_removal(out)
+
+
+def _summarize_removal(out: ray.data.Dataset) -> ray.data.Dataset:
+    """Affected-docs removal stats + sha256 of the cleaned text."""
 
     def summarize(t: pa.Table) -> pa.Table:
         import hashlib as _h
@@ -2291,3 +2296,50 @@ def exact_substring_removal(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def _jsonl_documents(sf_dir: str) -> str:
+    """documents.parquet converted ONCE to sharded JSONL under /tmp
+    (atomic-rename cache keyed by the source's mtime+size, the
+    _multi_roots pattern) — the ingest-format fixture for the JSONL
+    source parity query."""
+    import hashlib as _hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"jsonl|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "odd_jsonl_" + key)
+    if not os.path.isdir(base):
+        from ordinarydumpdeduplicator_ray.sources.jsonl import write_pages_jsonl
+
+        tmp = f"{base}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        write_pages_jsonl(read_parquet_clean(src), tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return base
+
+
+def jsonl_corpus_stats(sf_dir: str) -> ray.data.Dataset:
+    """Source-format parity: documents round-tripped through sharded
+    JSONL (sources/jsonl.py) then aggregated per lang — identical
+    values to the SQL oracle over the original Parquet proves the
+    JSONL source/sink preserves every row and value."""
+    from ordinarydumpdeduplicator_ray.sources.jsonl import read_pages_jsonl
+
+    ds = read_pages_jsonl(
+        _jsonl_documents(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    )
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("doc_id", alias_name="min_doc_id"),
+        Max("doc_id", alias_name="max_doc_id"),
+    )
+    return agg
