@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substring_removal": q.exact_substring_removal,
         # --- new in round 3b: JSONL source-format parity -------------------
         "jsonl_corpus_stats": q.jsonl_corpus_stats,
+        # --- new in round 3b: batched model inference ----------------------
+        "classifier_labels": q.classifier_labels,
+        "classifier_label_counts": q.classifier_label_counts,
     }
 
 
@@ -872,5 +875,15 @@ SELECT doc_id, n_chars, start_off, start_off // 4096 AS seq_id FROM offs
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
+""",
+        # hash-locked digest of the batched-inference stage at sf0.01:
+        # any drift in tokenizer/feature-hash/weights/argmax flips a count
+        "classifier_label_counts": """
+SELECT * FROM (VALUES
+  ('boilerplate', CAST(7 AS BIGINT)),
+  ('high', CAST(375 AS BIGINT)),
+  ('low', CAST(20 AS BIGINT)),
+  ('medium', CAST(98 AS BIGINT))
+) AS t(label, n_docs)
 """,
     }

@@ -2343,3 +2343,26 @@ def jsonl_corpus_stats(sf_dir: str) -> ray.data.Dataset:
         Max("doc_id", alias_name="max_doc_id"),
     )
     return agg
+
+
+def classifier_labels(sf_dir: str) -> ray.data.Dataset:
+    """Batched model inference (stages/classify.py): hashed-BoW linear
+    classifier over documents — weights built once per actor, one GEMM
+    per batch. Deterministic (hash-derived weights), so rows-only here
+    and hash-locked via classifier_label_counts."""
+    from ordinarydumpdeduplicator_ray.stages.classify import classify_documents
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
+
+
+def classifier_label_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-label doc counts of ``classifier_labels`` — the hash-locked
+    SQL-oracled digest (literal VALUES at sf0.01): any drift in the
+    tokenizer, the feature hash, the weight derivation or the argmax
+    flips a count and fails the gate."""
+    return (
+        classifier_labels(sf_dir)
+        .groupby("label")
+        .aggregate(Count(alias_name="n_docs"))
+    )
