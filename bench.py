@@ -116,6 +116,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "stratified_sample",
         "lang_budget_sample",
         "semantic_dedup_verdicts",
+        "temperature_mixture_sample",
+        "sequence_pack_assignments",
+        "exact_substring_removal",
+        "classifier_labels",
+        "jsonl_corpus_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:
