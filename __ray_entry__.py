@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3b: batched model inference ----------------------
         "classifier_labels": q.classifier_labels,
         "classifier_label_counts": q.classifier_label_counts,
+        # --- new in round 3b: HLL distinct-count sketch ---------------------
+        "distinct_text_estimate": q.distinct_text_estimate,
     }
 
 
@@ -885,5 +887,11 @@ SELECT * FROM (VALUES
   ('low', CAST(20 AS BIGINT)),
   ('medium', CAST(98 AS BIGINT))
 ) AS t(label, n_docs)
+""",
+        # hash-locked HLL digest at sf0.01 (exact distinct is 598; the
+        # p=14 sketch reads 595, 0.5% error) — partition/order
+        # independence of the register merge makes the value stable
+        "distinct_text_estimate": """
+SELECT CAST(767 AS BIGINT) AS n_rows, CAST(595 AS BIGINT) AS distinct_estimate
 """,
     }

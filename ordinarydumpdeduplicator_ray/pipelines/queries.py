@@ -2356,6 +2356,53 @@ def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
 
 
+def distinct_text_estimate(sf_dir: str, p: int = 14) -> pa.Table:
+    """HyperLogLog distinct-text count over the near-dup-injected
+    corpus (functions/hll.py): one streaming pass emits a 16 KiB
+    register block per input block (no shuffle — the scale path where
+    exact COUNT(DISTINCT) is an all-to-all), driver merges with an
+    elementwise max. Partition/order-independent, so the estimate is
+    hash-locked in the SQL oracle; pytest bounds the relative error
+    against the exact count."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import sha_prefix_int64
+    from ordinarydumpdeduplicator_ray.functions.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_new,
+        hll_update,
+    )
+    from ordinarydumpdeduplicator_ray.stages.bloom import _sha_digests
+
+    corpus = dup_corpus(sf_dir, near=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_new(p)
+        if len(t):
+            shas = _sha_digests(t["text"].combine_chunks())
+            h, ok = sha_prefix_int64(shas)
+            hll_update(regs, h[ok].view(np.uint64), p)
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "regs": pa.array([regs.tobytes()], type=pa.binary()),
+            }
+        )
+
+    parts = corpus.map_batches(partial, batch_format="pyarrow").take_all()
+    regs = hll_merge(
+        [np.frombuffer(r["regs"], dtype=np.uint8) for r in parts]
+    ) if parts else hll_new(p)
+    n_rows = int(sum(r["n"] for r in parts))
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], type=pa.int64()),
+            "distinct_estimate": pa.array(
+                [int(round(hll_estimate(regs)))], type=pa.int64()
+            ),
+        }
+    )
+
+
 def classifier_label_counts(sf_dir: str) -> ray.data.Dataset:
     """Per-label doc counts of ``classifier_labels`` — the hash-locked
     SQL-oracled digest (literal VALUES at sf0.01): any drift in the
