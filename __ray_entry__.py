@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_label_counts": q.classifier_label_counts,
         # --- new in round 3b: HLL distinct-count sketch ---------------------
         "distinct_text_estimate": q.distinct_text_estimate,
+        # --- new in round 3b: cross-snapshot SemDeDup (rows-only) -----------
+        "semantic_dedup_incremental": q.semantic_dedup_incremental_verdicts,
     }
 
 

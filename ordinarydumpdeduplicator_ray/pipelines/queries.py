@@ -614,6 +614,62 @@ def semantic_dedup_verdicts(sf_dir: str, n_clusters: int = 16,
     )
 
 
+def semantic_dedup_incremental_verdicts(
+    sf_dir: str, n_clusters: int = 16, threshold: float = 0.99
+) -> ray.data.Dataset:
+    """Cross-snapshot SemDeDup (stages/semdedup.py
+    semantic_dedup_incremental): prior snapshot = even vec_ids (treated
+    as already-deduplicated), new snapshot = odd vec_ids plus an exact
+    re-crawl copy (x2 scale, cosine 1.0) of every prior vec_id % 8 == 0
+    row under vec_id + 2_000_000. Every injected copy must drop with
+    dup_is_prior = True and dup_of = its prior original. Rows-only
+    (k-means is not SQL-expressible); invariants pytest-brute-forced."""
+    from ordinarydumpdeduplicator_ray.stages.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def _emb_table(ids: np.ndarray, mat: np.ndarray) -> pa.Table:
+        # both sides rebuilt as float64 lists so the union is one schema
+        dim = mat.shape[1] if len(mat) else 0
+        offsets = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * dim)
+        emb = pa.ListArray.from_arrays(
+            offsets, pa.array(mat.reshape(-1), type=pa.float64())
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb}
+        )
+
+    def evens(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _emb_table(np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_to_matrix(t["embedding"])
+        m = ids % 2 == 0
+        return _emb_table(ids[m], mat[m])
+
+    def odds_plus_recrawls(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _emb_table(np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_to_matrix(t["embedding"])
+        odd = ids % 2 == 1
+        rec = ids % 8 == 0
+        out_ids = np.concatenate([ids[odd], ids[rec] + 2_000_000])
+        out_mat = np.concatenate([mat[odd], mat[rec] * 2.0])
+        return _emb_table(out_ids, out_mat)
+
+    prior = ds.map_batches(evens, batch_format="pyarrow")
+    new = ds.map_batches(odds_plus_recrawls, batch_format="pyarrow")
+    return semantic_dedup_incremental(
+        prior, new, n_clusters=n_clusters, threshold=threshold,
+        seed=Q_CONFIG.seed,
+    )
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.99) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
     round(cos, 6) >= threshold) over the dup-injected embeddings:

@@ -134,6 +134,78 @@ def _greedy_cluster_dedup(t: pa.Table, threshold: float, id_col: str,
     })
 
 
+def _greedy_cluster_dedup_anchored(
+    t: pa.Table, threshold: float, id_col: str, emb_col: str
+) -> pa.Table:
+    """One cluster's verdicts for NEW rows against prior-snapshot
+    anchors (``side`` column: 0 = prior kept row, immutable and not
+    emitted; 1 = new row). Anchor matches are checked first with one
+    GEMM (prior wins as the canonical keeper — keep-first across
+    time); survivors run the greedy growing-kept pass against kept NEW
+    rows in ascending id order."""
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("cluster", pa.int32()),
+        ("kept", pa.bool_()), ("dup_of", pa.int64()),
+        ("dup_is_prior", pa.bool_()),
+    ])
+    if len(t) == 0:
+        return out_schema.empty_table()
+    side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = list_to_matrix(t[emb_col])
+    cluster = np.int32(t["cluster"][0].as_py())
+    norms = np.linalg.norm(mat, axis=1)
+    zero = norms <= _NORM_EPS
+    mat = mat / np.maximum(norms, _NORM_EPS)[:, None]
+
+    is_new = side == 1
+    a_mat, a_ids, a_zero = mat[~is_new], ids[~is_new], zero[~is_new]
+    order = np.argsort(ids[is_new], kind="stable")
+    n_mat = mat[is_new][order]
+    n_ids = ids[is_new][order]
+    n_zero = zero[is_new][order]
+
+    n = len(n_ids)
+    kept = np.ones(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    dup_prior = np.zeros(n, dtype=bool)
+    # anchor pass: one GEMM for every new row at once
+    if len(a_ids) and n:
+        sims = np.round(n_mat @ a_mat.T, 6)
+        sims[:, a_zero] = -2.0
+        best = np.argmax(sims, axis=1)
+        hit = (sims[np.arange(n), best] >= threshold) & ~n_zero
+        kept[hit] = False
+        dup_of[hit] = a_ids[best[hit]]
+        dup_prior[hit] = True
+    # greedy pass among surviving new rows
+    kept_mat = np.empty_like(n_mat)
+    kept_ids = np.empty(n, dtype=np.int64)
+    nk = 0
+    for i in range(n):
+        if not kept[i]:
+            continue
+        if nk and not n_zero[i]:
+            row = np.round(kept_mat[:nk] @ n_mat[i], 6)
+            j = int(np.argmax(row))
+            if row[j] >= threshold:
+                kept[i] = False
+                dup_of[i] = kept_ids[j]
+                continue
+        if not n_zero[i]:
+            kept_mat[nk] = n_mat[i]
+            kept_ids[nk] = n_ids[i]
+            nk += 1
+    return pa.table({
+        id_col: pa.array(n_ids, type=pa.int64()),
+        "cluster": pa.array(np.full(n, cluster), type=pa.int32()),
+        "kept": pa.array(kept),
+        "dup_of": pa.array([None if d < 0 else int(d) for d in dup_of],
+                           type=pa.int64()),
+        "dup_is_prior": pa.array(dup_prior),
+    })
+
+
 def semantic_dedup(
     ds: ray.data.Dataset,
     *,
@@ -182,5 +254,79 @@ def semantic_dedup(
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(
         lambda t: _greedy_cluster_dedup(t, threshold, id_col, emb_col),
+        batch_format="pyarrow",
+    )
+
+
+def semantic_dedup_incremental(
+    prior_kept: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    n_clusters: int = 32,
+    threshold: float = 0.99,
+    sample_rows: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Cross-snapshot SemDeDup: KEEP/DROP verdicts for a NEW snapshot
+    against an already-deduplicated prior snapshot.
+
+    Centroids are trained on the PRIOR snapshot's bounded sample (with
+    a new-side fallback when the prior is empty), so cluster geometry
+    is stable across snapshots and a prior doc and its re-crawl land in
+    the same cell. Prior kept rows ride the ONE cluster groupby as
+    immutable anchors; each new row drops if it matches an anchor
+    (``dup_is_prior=True``, prior id wins as canonical — keep-first
+    across time) or an earlier-id kept new row. Output: one verdict row
+    per NEW input row; prior rows are never re-judged or emitted — the
+    semantic sibling of ``stages/incremental.py``'s sha-exact reuse
+    scan."""
+    def _bounded_sample(src: ray.data.Dataset) -> pa.Table | None:
+        batches = list(
+            src.limit(sample_rows).iter_batches(
+                batch_size=sample_rows, batch_format="pyarrow"
+            )
+        )
+        t = pa.concat_tables(batches) if batches else None
+        return t if t is not None and len(t) else None
+
+    sample = _bounded_sample(prior_kept) or _bounded_sample(new)
+    if sample is None:
+        return ray.data.from_arrow(pa.schema([
+            (id_col, pa.int64()), ("cluster", pa.int32()),
+            ("kept", pa.bool_()), ("dup_of", pa.int64()),
+            ("dup_is_prior", pa.bool_()),
+        ]).empty_table())
+    cents = spherical_kmeans(
+        list_to_matrix(sample[emb_col]), n_clusters, kmeans_iters, seed
+    )
+    ref = ray.put(cents)
+
+    def assign(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select([id_col, emb_col])
+            if len(t) == 0:
+                t = t.append_column("cluster", pa.array([], type=pa.int32()))
+                return t.append_column("side", pa.array([], type=pa.int8()))
+            cents_ = ray.get(ref)
+            mat = list_to_matrix(t[emb_col])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), _NORM_EPS
+            )
+            a = np.argmax(mat @ cents_.T, axis=1).astype(np.int32)
+            t = t.append_column("cluster", pa.array(a, type=pa.int32()))
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return fn
+
+    union = prior_kept.map_batches(assign(0), batch_format="pyarrow").union(
+        new.map_batches(assign(1), batch_format="pyarrow")
+    )
+    return union.groupby("cluster").map_groups(
+        lambda t: _greedy_cluster_dedup_anchored(t, threshold, id_col, emb_col),
         batch_format="pyarrow",
     )

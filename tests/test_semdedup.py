@@ -126,3 +126,109 @@ class TestSemanticDedup:
             assert not kept[v]
             if kept[v - 1_000_000]:
                 assert dup[v] == v - 1_000_000
+
+
+class TestSemanticDedupIncremental:
+    def _split(self, synth_embeddings):
+        """prior = first 150 base rows (anchors), new = the rest of the
+        base rows + the 40 near-copies of rows 0..39 (which are PRIOR
+        rows, so the copies must drop as dup_is_prior)."""
+        import ray.data
+
+        tbl, all_ids, _ = synth_embeddings
+        ids = np.asarray(all_ids)
+        prior_mask = ids < 150
+        prior = ray.data.from_arrow(tbl.filter(pa.array(prior_mask)))
+        new = ray.data.from_arrow(tbl.filter(pa.array(~prior_mask)))
+        return prior, new, ids
+
+    def test_prior_copies_drop_as_prior(self, ray_session, synth_embeddings):
+        from ordinarydumpdeduplicator_ray.stages.semdedup import (
+            semantic_dedup_incremental,
+        )
+
+        prior, new, ids = self._split(synth_embeddings)
+        out = _verdict_rows(
+            semantic_dedup_incremental(
+                prior, new, n_clusters=8, threshold=THRESHOLD, seed=3
+            )
+        )
+        vid = out["vec_id"].to_pylist()
+        # exactly one verdict per NEW row, prior rows never emitted
+        assert sorted(vid) == sorted(int(v) for v in ids[ids >= 150])
+        kept = dict(zip(vid, out["kept"].to_pylist()))
+        dup = dict(zip(vid, out["dup_of"].to_pylist()))
+        prior_flag = dict(zip(vid, out["dup_is_prior"].to_pylist()))
+        for v in vid:
+            if v >= 10_000:  # near-copy of prior row v - 10_000
+                assert not kept[v]
+                assert prior_flag[v]
+                assert dup[v] == v - 10_000
+            elif not kept[v]:
+                # any other drop must reference a prior anchor or an
+                # earlier kept new row
+                if prior_flag[v]:
+                    assert dup[v] < 150
+                else:
+                    assert dup[v] in kept and kept[dup[v]]
+
+    def test_blocking_independent(self, ray_session, synth_embeddings):
+        from ordinarydumpdeduplicator_ray.stages.semdedup import (
+            semantic_dedup_incremental,
+        )
+
+        prior, new, _ = self._split(synth_embeddings)
+        outs = []
+        for nblocks in (2, 7):
+            out = _verdict_rows(
+                semantic_dedup_incremental(
+                    prior.repartition(nblocks), new.repartition(nblocks),
+                    n_clusters=8, threshold=THRESHOLD, seed=3,
+                )
+            )
+            outs.append(list(zip(out["vec_id"].to_pylist(),
+                                 out["kept"].to_pylist(),
+                                 out["dup_of"].to_pylist(),
+                                 out["dup_is_prior"].to_pylist())))
+        assert outs[0] == outs[1]
+
+    def test_empty_prior_falls_back(self, ray_session, synth_embeddings):
+        """With an empty prior the stage degrades to plain within-new
+        dedup (centroids from the new sample, no anchors)."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.semdedup import (
+            semantic_dedup_incremental,
+        )
+
+        tbl, all_ids, _ = synth_embeddings
+        empty = ray.data.from_arrow(tbl.slice(0, 0))
+        new = ray.data.from_arrow(tbl)
+        out = _verdict_rows(
+            semantic_dedup_incremental(
+                empty, new, n_clusters=8, threshold=THRESHOLD, seed=3
+            )
+        )
+        assert len(out) == len(all_ids)
+        assert not any(out["dup_is_prior"].to_pylist())
+
+    def test_query_recrawl_copies_drop(self, ray_session):
+        """sf0.001 query surface: every injected re-crawl copy
+        (vec_id + 2_000_000 of a prior even id) drops with
+        dup_is_prior = True and dup_of = its prior original."""
+        from ordinarydumpdeduplicator_ray.pipelines.queries import (
+            semantic_dedup_incremental_verdicts,
+        )
+
+        out = _verdict_rows(
+            semantic_dedup_incremental_verdicts("/root/testdata/sf0.001")
+        )
+        vid = out["vec_id"].to_pylist()
+        kept = dict(zip(vid, out["kept"].to_pylist()))
+        dup = dict(zip(vid, out["dup_of"].to_pylist()))
+        prior_flag = dict(zip(vid, out["dup_is_prior"].to_pylist()))
+        copies = [v for v in vid if v >= 2_000_000]
+        assert copies, "re-crawl injection produced no copies"
+        for v in copies:
+            assert not kept[v]
+            assert prior_flag[v]
+            assert dup[v] == v - 2_000_000
