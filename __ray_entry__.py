@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_text_estimate": q.distinct_text_estimate,
         # --- new in round 3b: cross-snapshot SemDeDup (rows-only) -----------
         "semantic_dedup_incremental": q.semantic_dedup_incremental_verdicts,
+        # --- new in round 3b: Count-Min heavy hitters -----------------------
+        "heavy_hitter_counts": q.heavy_hitter_counts,
     }
 
 
@@ -895,5 +897,33 @@ SELECT * FROM (VALUES
         # independence of the register merge makes the value stable
         "distinct_text_estimate": """
 SELECT CAST(767 AS BIGINT) AS n_rows, CAST(595 AS BIGINT) AS distinct_estimate
+""",
+        # hash-locked CMS heavy-hitter digest at sf0.01: est_n equals
+        # exact_n for every top-20 token (the sketch is collision-free
+        # at this vocabulary size); any drift in tokenization, the CMS
+        # hash rows or the min-query flips a value
+        "heavy_hitter_counts": """
+SELECT * FROM (VALUES
+  ('join', CAST(964 AS BIGINT), CAST(964 AS BIGINT)),
+  ('hash', CAST(947 AS BIGINT), CAST(947 AS BIGINT)),
+  ('row', CAST(943 AS BIGINT), CAST(943 AS BIGINT)),
+  ('batch', CAST(937 AS BIGINT), CAST(937 AS BIGINT)),
+  ('scan', CAST(936 AS BIGINT), CAST(936 AS BIGINT)),
+  ('column', CAST(934 AS BIGINT), CAST(934 AS BIGINT)),
+  ('customer', CAST(934 AS BIGINT), CAST(934 AS BIGINT)),
+  ('filter', CAST(933 AS BIGINT), CAST(933 AS BIGINT)),
+  ('small', CAST(928 AS BIGINT), CAST(928 AS BIGINT)),
+  ('merge', CAST(918 AS BIGINT), CAST(918 AS BIGINT)),
+  ('slow', CAST(918 AS BIGINT), CAST(918 AS BIGINT)),
+  ('order', CAST(912 AS BIGINT), CAST(912 AS BIGINT)),
+  ('vector', CAST(912 AS BIGINT), CAST(912 AS BIGINT)),
+  ('line', CAST(910 AS BIGINT), CAST(910 AS BIGINT)),
+  ('data', CAST(908 AS BIGINT), CAST(908 AS BIGINT)),
+  ('table', CAST(908 AS BIGINT), CAST(908 AS BIGINT)),
+  ('agg', CAST(901 AS BIGINT), CAST(901 AS BIGINT)),
+  ('value', CAST(897 AS BIGINT), CAST(897 AS BIGINT)),
+  ('key', CAST(896 AS BIGINT), CAST(896 AS BIGINT)),
+  ('stream', CAST(888 AS BIGINT), CAST(888 AS BIGINT))
+) AS t(token, exact_n, est_n)
 """,
     }

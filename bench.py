@@ -121,6 +121,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "exact_substring_removal",
         "classifier_labels",
         "jsonl_corpus_stats",
+        "distinct_text_estimate",
+        "heavy_hitter_counts",
+        "semantic_dedup_incremental_verdicts",
     ]
     timings: dict[str, float] = {}
     for name in picks:

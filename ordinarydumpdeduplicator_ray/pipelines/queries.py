@@ -2412,6 +2412,64 @@ def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
 
 
+def heavy_hitter_counts(sf_dir: str, k: int = 20) -> pa.Table:
+    """Count-Min-sketch heavy-hitter estimates (functions/countmin.py)
+    for the exact top-``k`` tokens: one streaming pass emits a fixed
+    counter grid per BLOCK (batch_size=None), a 64-way worker-side
+    merge stage bounds the driver pull to #blocks/64 rows, and the
+    estimates (min over depth rows, never an underestimate) are
+    compared against the exact distributed counts from ``top_tokens``.
+    Output: (token, exact_n, est_n); hash-locked in the SQL oracle at
+    sf0.01, overestimate-bound pytest elsewhere."""
+    from ordinarydumpdeduplicator_ray.functions.countmin import (
+        cms_merge,
+        cms_new,
+        cms_query,
+        cms_update,
+    )
+    from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
+
+    exact = top_tokens(sf_dir, k)
+    docs = _read_documents(sf_dir, columns=["text"])
+    shape = cms_new().shape
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = cms_new()
+        if len(t):
+            toks = pc.list_flatten(
+                pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\W+")
+            )
+            toks = toks.filter(pc.not_equal(toks, ""))
+            h = TokenHasher().hash_tokens(toks.to_pylist())
+            cms_update(sk, h)
+        return pa.table({"sk": pa.array([sk.tobytes()], type=pa.binary())})
+
+    def merge64(t: pa.Table) -> pa.Table:
+        sk = cms_merge(
+            [np.frombuffer(v, dtype=np.uint64).reshape(shape)
+             for v in t["sk"].to_pylist()]
+        )
+        return pa.table({"sk": pa.array([sk.tobytes()], type=pa.binary())})
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(merge64, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    sketch = cms_merge(
+        [np.frombuffer(r["sk"], dtype=np.uint64).reshape(shape) for r in parts]
+    ) if parts else cms_new()
+    probe = exact["token"].to_pylist()
+    est = cms_query(sketch, TokenHasher().hash_tokens(probe))
+    return pa.table(
+        {
+            "token": exact["token"],
+            "exact_n": exact["n"],
+            "est_n": pa.array(est.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def distinct_text_estimate(sf_dir: str, p: int = 14) -> pa.Table:
     """HyperLogLog distinct-text count over the near-dup-injected
     corpus (functions/hll.py): one streaming pass emits a 16 KiB
