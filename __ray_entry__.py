@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_incremental": q.semantic_dedup_incremental_verdicts,
         # --- new in round 3b: Count-Min heavy hitters -----------------------
         "heavy_hitter_counts": q.heavy_hitter_counts,
+        # --- new in round 3b: Gopher-rules composite quality gate -----------
+        "gopher_filter": q.gopher_filter,
     }
 
 
@@ -770,6 +772,39 @@ SELECT t.doc_id,
   CAST(t.mx AS DOUBLE) / t.n_tokens AS top_token_fraction,
   coalesce(CAST(b.mb AS DOUBLE) / b.nb, 0.0) AS top_bigram_fraction
 FROM tstat t LEFT JOIN bstat b USING (doc_id)
+""",
+        # Gopher composite gate over the same repetition CTEs: too-short
+        # first, then repetition thresholds (IEEE-double ratio compares
+        # agree bit-for-bit with the Ray side)
+        "gopher_filter": """
+WITH toks AS (
+  SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+tstat AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS mx FROM tc GROUP BY 1),
+lw AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[k] || ' ' || w[k + 1] AS g
+  FROM lw, unnest(generate_series(1, len(w) - 1)) AS t(k)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, sum(c) AS nb, max(c) AS mb FROM bc GROUP BY 1),
+stats AS (
+  SELECT t.doc_id,
+    CAST(t.n_tokens AS BIGINT) AS n_tokens,
+    CAST(t.mx AS DOUBLE) / t.n_tokens AS top_token_fraction,
+    coalesce(CAST(b.mb AS DOUBLE) / b.nb, 0.0) AS top_bigram_fraction
+  FROM tstat t LEFT JOIN bstat b USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_token_fraction, top_bigram_fraction,
+  NOT (n_tokens < 20 OR top_token_fraction > 0.20
+       OR top_bigram_fraction > 0.15) AS keep,
+  CASE WHEN n_tokens < 20 THEN 'too_short'
+       WHEN top_token_fraction > 0.20 OR top_bigram_fraction > 0.15
+            THEN 'repetitious'
+       ELSE 'ok' END AS reason
+FROM stats
 """,
         # as-of join: latest order at or before each event's ts, ties on
         # o_orderdate broken by max o_orderkey (deterministic — raw ASOF

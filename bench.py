@@ -124,6 +124,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "distinct_text_estimate",
         "heavy_hitter_counts",
         "semantic_dedup_incremental_verdicts",
+        "gopher_filter",
     ]
     timings: dict[str, float] = {}
     for name in picks:

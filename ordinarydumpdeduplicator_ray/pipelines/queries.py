@@ -2412,6 +2412,38 @@ def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
 
 
+def gopher_filter(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_top_token: float = 0.20,
+    max_top_bigram: float = 0.15,
+) -> ray.data.Dataset:
+    """Gopher-rules quality gate (Rae et al. 2021, composite form):
+    per-doc KEEP/DROP verdict from the repetition signals — too-short
+    docs drop first, then repetition (top-token / top-bigram mass over
+    the thresholds). The fractions are small-integer ratios in IEEE
+    doubles on both sides, so threshold comparisons agree bit-for-bit
+    with the SQL oracle. Stateless streaming map on top of
+    repetition_stats."""
+    stats = repetition_stats(sf_dir)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        tt = t["top_token_fraction"].to_numpy(zero_copy_only=False)
+        tb = t["top_bigram_fraction"].to_numpy(zero_copy_only=False)
+        too_short = n < min_tokens
+        repet = (tt > max_top_token) | (tb > max_top_bigram)
+        reason = np.where(
+            too_short, "too_short", np.where(repet, "repetitious", "ok")
+        )
+        t = t.append_column("keep", pa.array(~(too_short | repet)))
+        return t.append_column(
+            "reason", pa.array(reason.astype(object), type=pa.string())
+        )
+
+    return stats.map_batches(verdict, batch_format="pyarrow")
+
+
 def heavy_hitter_counts(sf_dir: str, k: int = 20) -> pa.Table:
     """Count-Min-sketch heavy-hitter estimates (functions/countmin.py)
     for the exact top-``k`` tokens: one streaming pass emits a fixed

@@ -202,6 +202,35 @@ def test_stratified_sample_quota_and_stability(ray_session):
     )
 
 
+def test_gopher_filter_verdicts(ray_session, tmp_path):
+    """Handmade docs hit each verdict branch; brute-force oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    docs = {
+        0: "short doc",                                      # too_short
+        1: " ".join(["spam"] * 30),                          # repetitious (token)
+        2: " ".join(["a b"] * 15) + " " + " ".join(
+            f"u{i}" for i in range(10)
+        ),                                                   # repetitious (bigram)
+        3: " ".join(f"w{i}" for i in range(40)),             # ok
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), type=pa.int64()),
+            "text": pa.array(list(docs.values()), type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in q.gopher_filter(str(tmp_path)).take_all()}
+    assert out[0]["reason"] == "too_short" and not out[0]["keep"]
+    assert out[1]["reason"] == "repetitious" and not out[1]["keep"]
+    assert out[2]["reason"] == "repetitious" and not out[2]["keep"]
+    assert out[3]["reason"] == "ok" and out[3]["keep"]
+
+
 def test_temperature_mixture_sample_quotas(ray_session):
     """Quota per lang is exactly min(ceil(sqrt(n)*scale), n), filled
     with the smallest md5(doc_id) docs — the temperature-flattening
