@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_counts": q.heavy_hitter_counts,
         # --- new in round 3b: Gopher-rules composite quality gate -----------
         "gopher_filter": q.gopher_filter,
+        # --- new in round 3b: per-group HLL (sketch x groupby) ---------------
+        "lang_distinct_token_estimates": q.lang_distinct_token_estimates,
     }
 
 
@@ -960,5 +962,18 @@ SELECT * FROM (VALUES
   ('key', CAST(896 AS BIGINT), CAST(896 AS BIGINT)),
   ('stream', CAST(888 AS BIGINT), CAST(888 AS BIGINT))
 ) AS t(token, exact_n, est_n)
+""",
+        # hash-locked per-lang HLL digest at sf0.01: the p=12 sketch is
+        # exact at this vocabulary size (31 distinct tokens per lang,
+        # linear-counting range) — the lock doubles as an exactness
+        # witness against COUNT(DISTINCT) at small scale
+        "lang_distinct_token_estimates": """
+SELECT * FROM (VALUES
+  ('de', CAST(31 AS BIGINT)),
+  ('en', CAST(31 AS BIGINT)),
+  ('es', CAST(31 AS BIGINT)),
+  ('fr', CAST(31 AS BIGINT)),
+  ('zh', CAST(31 AS BIGINT))
+) AS t(lang, distinct_tokens_est)
 """,
     }

@@ -125,6 +125,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "heavy_hitter_counts",
         "semantic_dedup_incremental_verdicts",
         "gopher_filter",
+        "lang_distinct_token_estimates",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -2549,6 +2549,67 @@ def distinct_text_estimate(sf_dir: str, p: int = 14) -> pa.Table:
     )
 
 
+def lang_distinct_token_estimates(sf_dir: str, p: int = 12) -> ray.data.Dataset:
+    """Per-language distinct-token estimates — the sketch composed with
+    a groupby: each block emits one (lang, registers) row per language
+    it saw (p=12 -> 4 KiB, ~1.6% err), and the per-lang merge is a
+    groupby().map_groups over STRATA-cardinality groups (languages, not
+    rows) folding registers with the commutative max — so the shuffle
+    moves O(blocks x langs) sketch rows, never token rows. Locked as a
+    literal oracle at sf0.01 (partition/order-independent)."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
+    from ordinarydumpdeduplicator_ray.functions.text import tokenize
+    from ordinarydumpdeduplicator_ray.functions.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_new,
+        hll_update,
+    )
+
+    docs = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs_out, regs_out = [], []
+        if len(t):
+            hasher = TokenHasher()
+            by_lang: dict[str, list[np.ndarray]] = {}
+            for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+                toks = tokenize(txt or "", True)
+                if toks:
+                    by_lang.setdefault(lang, []).append(
+                        hasher.hash_tokens(toks)
+                    )
+            for lang, parts in by_lang.items():
+                regs = hll_new(p)
+                hll_update(regs, np.concatenate(parts), p)
+                langs_out.append(lang)
+                regs_out.append(regs.tobytes())
+        return pa.table(
+            {
+                "lang": pa.array(langs_out, type=pa.string()),
+                "regs": pa.array(regs_out, type=pa.binary()),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        regs = hll_merge(
+            [np.frombuffer(v, dtype=np.uint8) for v in t["regs"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "lang": pa.array([t["lang"][0].as_py()], type=pa.string()),
+                "distinct_tokens_est": pa.array(
+                    [int(round(hll_estimate(regs)))], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return parts.groupby("lang").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+
+
 def classifier_label_counts(sf_dir: str) -> ray.data.Dataset:
     """Per-label doc counts of ``classifier_labels`` — the hash-locked
     SQL-oracled digest (literal VALUES at sf0.01): any drift in the

@@ -63,6 +63,61 @@ def test_hll_small_range_linear_counting():
     assert abs(hll_estimate(regs) - 30) < 2
 
 
+def test_lang_distinct_token_estimates(ray_session, tmp_path):
+    """Per-group HLL: estimates within 3 sigma of exact per-lang
+    distinct-token counts on a synthetic corpus with a REAL vocabulary
+    spread, and identical across partitionings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(29)
+    rows_lang, rows_text = [], []
+    vocab_size = {"aa": 400, "bb": 4000}
+    for lang, v in vocab_size.items():
+        for _ in range(200):
+            toks = rng.integers(0, v, size=40)
+            rows_lang.append(lang)
+            rows_text.append(" ".join(f"{lang}tok{t}" for t in toks))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows_lang)), type=pa.int64()),
+            "lang": pa.array(rows_lang, type=pa.string()),
+            "text": pa.array(rows_text, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {
+        r["lang"]: r["distinct_tokens_est"]
+        for r in q.lang_distinct_token_estimates(str(tmp_path)).take_all()
+    }
+    exact = {
+        lang: len({t for l2, txt in zip(rows_lang, rows_text) if l2 == lang
+                   for t in txt.split(" ")})
+        for lang in vocab_size
+    }
+    for lang in vocab_size:
+        assert abs(got[lang] - exact[lang]) / exact[lang] < 0.05, (
+            lang, got[lang], exact[lang]
+        )
+    got2 = {
+        r["lang"]: r["distinct_tokens_est"]
+        for r in q.lang_distinct_token_estimates(str(tmp_path)).take_all()
+    }
+    assert got == got2
+
+
+def test_lang_distinct_token_estimates_locked(ray_session):
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    got = sorted(
+        (r["lang"], r["distinct_tokens_est"])
+        for r in q.lang_distinct_token_estimates("/root/testdata/sf0.01").take_all()
+    )
+    assert got == [("de", 31), ("en", 31), ("es", 31), ("fr", 31), ("zh", 31)]
+
+
 def test_distinct_text_estimate_locked(ray_session):
     from ordinarydumpdeduplicator_ray.pipelines import queries as q
 
