@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": q.gopher_filter,
         # --- new in round 3b: per-group HLL (sketch x groupby) ---------------
         "lang_distinct_token_estimates": q.lang_distinct_token_estimates,
+        # --- new in round 3b: ordered group-concat sequence packing ---------
+        "packed_sequences": q.packed_sequences,
     }
 
 
@@ -975,5 +977,18 @@ SELECT * FROM (VALUES
   ('fr', CAST(31 AS BIGINT)),
   ('zh', CAST(31 AS BIGINT))
 ) AS t(lang, distinct_tokens_est)
+""",
+        # ordered group-concat: string_agg over the identical window-SUM
+        # sequence assignment reproduces the packed text byte-for-byte
+        "packed_sequences": """
+WITH offs AS (
+  SELECT doc_id, text,
+         CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM documents
+)
+SELECT start_off // 4096 AS seq_id, COUNT(*) AS n_docs,
+       string_agg(text, ' ' ORDER BY doc_id) AS packed
+FROM offs GROUP BY 1
 """,
     }

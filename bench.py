@@ -126,6 +126,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "semantic_dedup_incremental_verdicts",
         "gopher_filter",
         "lang_distinct_token_estimates",
+        "packed_sequences",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -2313,6 +2313,31 @@ def sequence_pack_assignments(sf_dir: str, chunk: int = 4096) -> ray.data.Datase
     return out.map_batches(assign, batch_format="pyarrow")
 
 
+def packed_sequences(sf_dir: str, chunk: int = 4096) -> ray.data.Dataset:
+    """The writer half of sequence packing: whole documents
+    concatenated into their assigned training sequence
+    (stages/pack.py ordered_group_concat — interior seq runs join
+    vectorized in-block, border fragments reconcile driver-side).
+    Fully SQL-oracled: DuckDB reproduces it with string_agg over the
+    identical window-SUM seq assignment."""
+    from ordinarydumpdeduplicator_ray.stages.asof import global_running_sum
+    from ordinarydumpdeduplicator_ray.stages.pack import ordered_group_concat
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text", "n_chars"])
+    out = global_running_sum(docs, order_col="doc_id", weight_col="n_chars")
+
+    def assign(t: pa.Table) -> pa.Table:
+        off = t["start_off"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "seq_id", pa.array(off // chunk, type=pa.int64())
+        )
+
+    with_seq = out.map_batches(assign, batch_format="pyarrow")
+    return ordered_group_concat(
+        with_seq, seq_col="seq_id", order_col="doc_id", text_col="text"
+    )
+
+
 def exact_substring_removal(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr REMOVAL (Lee et al. ACL'22) over the near-dup
     corpus: the substring_spans pipeline's duplicated token runs are
