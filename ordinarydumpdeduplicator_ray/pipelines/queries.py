@@ -952,6 +952,110 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         .drop_columns(["embedding"])
 
 
+def _png_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic REAL-PNG corpus: 16x16 RGB pixels mix64-derived
+    per embeddings vec_id, encoded with the pure-stdlib PNG writer;
+    every vec_id % 5 == 0 image ALSO emitted as a +8-brightness
+    near-copy under vec_id + 3_000_000 — perceptually identical
+    (average-hash equal by construction: pixels stay in [0, 200), so
+    the shift never clips), but different bytes and sha."""
+    from ordinarydumpdeduplicator_ray.functions.imagecodec import encode_png
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        payloads: list[bytes] = []
+        for v in t["vec_id"].to_pylist():
+            with np.errstate(over="ignore"):
+                base = np.uint64(int(v)) * np.uint64(0x9E3779B97F4A7C15)
+                raw = _mix64(np.arange(16 * 16 * 3, dtype=np.uint64) + base)
+            px = (raw % np.uint64(200)).astype(np.uint8).reshape(16, 16, 3)
+            ids_out.append(int(v))
+            payloads.append(encode_png(px))
+            if v % 5 == 0:
+                ids_out.append(int(v) + 3_000_000)
+                payloads.append(encode_png(px + np.uint8(8)))
+        return pa.table(
+            {
+                "img_id": pa.array(ids_out, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+class _PhashActor:
+    """Actor-pool batch map: real PNG decode + perceptual average-hash
+    (functions/imagecodec.py). The decode table/regex-free kernel state
+    is trivial, but the actor shape keeps parity with the other decode
+    stages (setup once, work per batch)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            average_hash,
+            decode_png,
+        )
+
+        hashes = [
+            np.int64(np.uint64(average_hash(decode_png(p))))
+            for p in t["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "img_id": t["img_id"],
+                "phash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def image_phash_dups(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal near-dup dedup on REAL decoded pixels: PNG decode ->
+    average-hash -> ONE groupby on the 64-bit phash -> groups with >1
+    member (every injected brightness-shifted copy must collide with
+    its original while exact sha dedup would miss it). Rows-only
+    (decode is not SQL-expressible); locked via image_phash_checksum."""
+    hashes = _png_corpus(sf_dir).map_batches(
+        _PhashActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    )
+    agg = hashes.groupby("phash").aggregate(
+        Count(alias_name="n"),
+        Min("img_id", alias_name="min_id"),
+        Max("img_id", alias_name="max_id"),
+    )
+    return agg.filter(expr="n > 1")
+
+
+def image_phash_checksum(sf_dir: str) -> pa.Table:
+    """1-row digest of the phash table: (n_images, checksum) with
+    checksum = sum mod 2^64 of mix64(phash ^ mix64(img_id)) — locks the
+    decode + perceptual-hash path end to end."""
+    hashes = _png_corpus(sf_dir).map_batches(
+        _PhashActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        ph = t["phash"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ids = t["img_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.sum(_mix64(ph ^ _mix64(ids)), dtype=np.uint64)
+        return pa.table({"n": pa.array([len(t)], type=pa.int64()),
+                         "h": pa.array([np.int64(s)], type=pa.int64())})
+
+    parts = hashes.map_batches(partial, batch_format="pyarrow").take_all()
+    return _checksum_reduce(parts, "n_images")
+
+
 def media_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Content-determined unit-norm media embeddings (fixed-size
     float32 list) — the non-SQL-expressible half of the media feature

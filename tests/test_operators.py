@@ -558,3 +558,44 @@ class TestMalformedPayloads:
         out = MediaFeatureActor(real=True)(batch)
         assert len(out) == 4  # every row decoded (stub), none raised
         assert all(w > 0 for w in out["width"].to_pylist())
+
+
+class TestImagePhash:
+    def test_average_hash_properties(self):
+        """Brightness-shift invariance (no clipping), re-encode
+        invariance, and discrimination between unrelated images."""
+        import numpy as np
+
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            average_hash,
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(41)
+        px = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+        h = average_hash(px)
+        assert average_hash(px + np.uint8(8)) == h
+        assert average_hash(decode_png(encode_png(px))) == h
+        other = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+        assert average_hash(other) != h
+        # odd dims exercise the integral-image block split
+        assert isinstance(average_hash(rng.integers(
+            0, 200, size=(13, 17, 3), dtype=np.uint8)), int)
+
+    def test_image_phash_dups_query(self, ray_session):
+        """Every injected brightness copy groups with its original;
+        no group mixes unrelated images (pair distance 3_000_000)."""
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        groups = q.image_phash_dups("/root/testdata/sf0.001").take_all()
+        assert groups
+        for g in groups:
+            assert g["n"] == 2
+            assert g["max_id"] - g["min_id"] == 3_000_000
+
+    def test_image_phash_checksum_locked(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        t = q.image_phash_checksum("/root/testdata/sf0.01").to_pydict()
+        assert t == {"n_images": [600], "checksum": ["022925fa5aec92d6"]}
