@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3b: real-decode perceptual image dedup ------------
         "image_phash_dups": q.image_phash_dups,
         "image_phash_checksum": q.image_phash_checksum,
+        # --- new in round 3b: split leakage audit ----------------------------
+        "split_leakage_check": q.split_leakage_check,
+        # --- new in round 3b: unicode NFC normalization parity --------------
+        "nfc_normalization_stats": q.nfc_normalization_stats,
     }
 
 
@@ -691,6 +695,32 @@ SELECT url,
        WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
        ELSE 'test' END AS split
 FROM pages_meta
+""",
+        # leakage audit: shas present in >1 split of the same assignment
+        "split_leakage_check": f"""
+WITH {_PAGES_META_CTE},
+s AS (
+  SELECT sha256(text) AS text_sha,
+    CASE WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM pages_meta
+)
+SELECT text_sha, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+FROM s GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
+""",
+        # NFC parity vs DuckDB's ICU normalizer: decomposed suffix
+        # (e + combining acute) injected on doc_id % 3 == 0
+        "nfc_normalization_stats": """
+WITH s AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN chr(101) || chr(769) ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) != raw AS changed,
+       sha256(nfc_normalize(raw)) AS nfc_sha
+FROM s
 """,
         # URL canonicalization dedup — normal form matches
         # functions/urlnorm.py token for token (lower scheme+host, strip

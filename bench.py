@@ -128,6 +128,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "lang_distinct_token_estimates",
         "packed_sequences",
         "image_phash_dups",
+        "split_leakage_check",
+        "nfc_normalization_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:

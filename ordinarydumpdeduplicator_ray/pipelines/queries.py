@@ -1850,6 +1850,72 @@ def corpus_split(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(assign, batch_format="pyarrow")
 
 
+def nfc_normalization_stats(sf_dir: str) -> ray.data.Dataset:
+    """Unicode NFC normalization (the text-cleanup step before hashing
+    a web corpus — visually identical strings must dedup together):
+    docs with doc_id % 3 == 0 get a DECOMPOSED suffix ('e' + combining
+    acute U+0301) injected, which NFC composes to the single codepoint;
+    output is (doc_id, changed, nfc_sha). Byte-level parity with
+    DuckDB's nfc_normalize proves the normalizer agrees with ICU."""
+    import hashlib
+    import unicodedata
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        changed, shas = [], []
+        for d, txt in zip(ids, t["text"].to_pylist()):
+            s = (txt or "") + ("e\u0301" if d % 3 == 0 else "")
+            n = unicodedata.normalize("NFC", s)
+            changed.append(n != s)
+            shas.append(hashlib.sha256(n.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "changed": pa.array(changed, type=pa.bool_()),
+                "nfc_sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def split_leakage_check(sf_dir: str) -> ray.data.Dataset:
+    """Train/val/test leakage audit: exact texts whose sha appears in
+    MORE THAN ONE split of corpus_split's assignment — the dup-injected
+    copies carry different urls, so the md5(url) buckets scatter them
+    across splits and an exact-dedup-after-split pipeline would leak
+    eval data into train. Two cheap shuffles over narrow rows: distinct
+    (sha, split) pairs, then per-sha split counts."""
+    import hashlib
+
+    pages = _meta_pages(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 100 for u in urls),
+            dtype=np.int64, count=len(urls),
+        )
+        split = np.where(buckets < 90, "train", np.where(buckets < 95, "val", "test"))
+        shas = [hashlib.sha256((x or "").encode()).hexdigest()
+                for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "text_sha": pa.array(shas, type=pa.string()),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    pairs = pages.map_batches(assign, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["text_sha", "split"]).count()
+    per_sha = distinct_pairs.groupby("text_sha").aggregate(
+        Count(alias_name="n_splits")
+    )
+    return per_sha.filter(expr="n_splits > 1")
+
+
 def url_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
     """Crawl-record dedup by URL canonicalization (the reference's
     path-identity algebra, Common/FsEntity.cs:38-51, in webtext form):

@@ -293,3 +293,42 @@ def test_sequence_pack_assignments_oracle(ray_session):
         assert (r["start_off"], r["seq_id"]) == expect[r["doc_id"]]
     # the stream actually crosses chunk borders
     assert len({r["seq_id"] for r in rows}) > 1
+
+
+def test_split_leakage_check(ray_session):
+    """Every leaked sha has 2-3 splits; leaks exist (the dup corpus
+    scatters copies across md5(url) buckets); non-duplicated texts
+    never appear."""
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    rows = q.split_leakage_check("/root/testdata/sf0.001").take_all()
+    assert rows
+    for r in rows:
+        assert 2 <= r["n_splits"] <= 3
+        assert len(r["text_sha"]) == 64
+
+
+def test_nfc_normalization_stats(ray_session):
+    """Docs with the decomposed suffix are 'changed'; their nfc_sha
+    equals sha256 of text + COMPOSED char; others pass through."""
+    import hashlib
+
+    import duckdb
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in q.nfc_normalization_stats(sf).take_all()}
+    con = duckdb.connect()
+    texts = dict(con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall())
+    for d, txt in texts.items():
+        r = rows[d]
+        if d % 3 == 0:
+            assert r["changed"]
+            assert r["nfc_sha"] == hashlib.sha256(
+                (txt + "é").encode()).hexdigest()
+        else:
+            assert not r["changed"]
+            assert r["nfc_sha"] == hashlib.sha256(txt.encode()).hexdigest()
