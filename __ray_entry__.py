@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_check": q.split_leakage_check,
         # --- new in round 3b: unicode NFC normalization parity --------------
         "nfc_normalization_stats": q.nfc_normalization_stats,
+        # --- new in round 3b: real-decode gain-invariant audio dedup --------
+        "audio_fp_dups": q.audio_fp_dups,
+        "audio_fp_checksum": q.audio_fp_checksum,
     }
 
 
@@ -1028,5 +1031,10 @@ FROM offs GROUP BY 1
         # at sf0.01 (500 base images + 100 brightness-shifted copies)
         "image_phash_checksum": """
 SELECT CAST(600 AS BIGINT) AS n_images, '022925fa5aec92d6' AS checksum
+""",
+        # hash-locked digest of the REAL WAV decode + RMS-contour
+        # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)
+        "audio_fp_checksum": """
+SELECT CAST(572 AS BIGINT) AS n_clips, 'f7b31f702d5ce220' AS checksum
 """,
     }

@@ -130,6 +130,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "image_phash_dups",
         "split_leakage_check",
         "nfc_normalization_stats",
+        "audio_fp_dups",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -127,3 +127,25 @@ def sample_features(rate: int, samples: np.ndarray) -> np.ndarray:
     v = np.array([rms, zc, *seg_rms, peak, logdur], dtype=np.float32)
     nv = np.linalg.norm(v)
     return v / nv if nv > 0 else v
+
+
+def audio_fingerprint(samples: np.ndarray, n_windows: int = 32) -> int:
+    """Amplitude-scale-invariant audio fingerprint: the RMS contour
+    over ``n_windows`` equal windows, delta-coded one bit per adjacent
+    comparison (rms[i+1] > rms[i]). Uniform gain scales every window's
+    RMS by the same factor (power-of-two gains exactly, by IEEE sqrt),
+    so re-levelled copies of a clip fingerprint identically while
+    different material diverges. Deterministic float64 arithmetic."""
+    x = samples.astype(np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = len(x)
+    if n == 0:
+        return 0
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    sq = np.concatenate([[0.0], np.cumsum(x * x)])
+    sums = sq[bounds[1:]] - sq[bounds[:-1]]
+    cnt = np.maximum(bounds[1:] - bounds[:-1], 1)
+    rms = np.sqrt(sums / cnt)
+    bits = rms[1:] > rms[:-1]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")

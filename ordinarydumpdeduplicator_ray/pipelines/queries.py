@@ -1056,6 +1056,118 @@ def image_phash_checksum(sf_dir: str) -> pa.Table:
     return _checksum_reduce(parts, "n_images")
 
 
+def _wav_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic REAL-WAV corpus: 1600 even int16 PCM samples
+    mix64-derived per embeddings vec_id (mono 16 kHz); every
+    vec_id % 7 == 0 clip ALSO emitted half-gain (samples // 2 — exact,
+    samples are even) under vec_id + 4_000_000: same RMS contour,
+    different bytes and sha."""
+    import struct
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+
+    def wav_bytes(i16: np.ndarray) -> bytes:
+        data = i16.astype("<i2").tobytes()
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, 16000, 32000, 2, 16,
+            b"data", len(data),
+        )
+        return hdr + data
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        payloads: list[bytes] = []
+        for v in t["vec_id"].to_pylist():
+            with np.errstate(over="ignore"):
+                base = np.uint64(int(v) + 7) * np.uint64(0xD1B54A32D192ED03)
+                raw = _mix64(np.arange(1600, dtype=np.uint64) + base)
+            ints = (
+                (raw % np.uint64(32001)).astype(np.int64) - 16000
+            ).astype(np.int16) * np.int16(2)
+            ids_out.append(int(v))
+            payloads.append(wav_bytes(ints))
+            if v % 7 == 0:
+                ids_out.append(int(v) + 4_000_000)
+                payloads.append(wav_bytes((ints // 2).astype(np.int16)))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids_out, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+class _AudioFpActor:
+    """Actor-pool batch map: real WAV decode + RMS-contour fingerprint
+    (functions/audiocodec.py)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.functions.audiocodec import (
+            audio_fingerprint,
+            decode_wav,
+        )
+
+        fps = []
+        for p in t["payload"].to_pylist():
+            _rate, _ch, samples = decode_wav(p)
+            fps.append(np.int64(audio_fingerprint(samples)))
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "fp": pa.array(fps, type=pa.int64()),
+            }
+        )
+
+
+def audio_fp_dups(sf_dir: str) -> ray.data.Dataset:
+    """Gain-invariant audio dedup on REAL decoded PCM: WAV decode ->
+    RMS-contour delta fingerprint -> ONE groupby; every injected
+    half-gain copy must collide with its original while exact sha
+    dedup would miss it. Rows-only; locked via audio_fp_checksum."""
+    fps = _wav_corpus(sf_dir).map_batches(
+        _AudioFpActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    )
+    agg = fps.groupby("fp").aggregate(
+        Count(alias_name="n"),
+        Min("clip_id", alias_name="min_id"),
+        Max("clip_id", alias_name="max_id"),
+    )
+    return agg.filter(expr="n > 1")
+
+
+def audio_fp_checksum(sf_dir: str) -> pa.Table:
+    """1-row digest of the audio fingerprint table: sum mod 2^64 of
+    mix64(fp ^ mix64(clip_id)) — locks the WAV decode + fingerprint
+    path end to end."""
+    fps = _wav_corpus(sf_dir).map_batches(
+        _AudioFpActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        f = t["fp"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ids = t["clip_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.sum(_mix64(f ^ _mix64(ids)), dtype=np.uint64)
+        return pa.table({"n": pa.array([len(t)], type=pa.int64()),
+                         "h": pa.array([np.int64(s)], type=pa.int64())})
+
+    parts = fps.map_batches(partial, batch_format="pyarrow").take_all()
+    return _checksum_reduce(parts, "n_clips")
+
+
 def media_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Content-determined unit-norm media embeddings (fixed-size
     float32 list) — the non-SQL-expressible half of the media feature

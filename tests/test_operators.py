@@ -599,3 +599,38 @@ class TestImagePhash:
 
         t = q.image_phash_checksum("/root/testdata/sf0.01").to_pydict()
         assert t == {"n_images": [600], "checksum": ["022925fa5aec92d6"]}
+
+
+class TestAudioFingerprint:
+    def test_gain_invariance_and_discrimination(self):
+        import numpy as np
+
+        from ordinarydumpdeduplicator_ray.functions.audiocodec import (
+            audio_fingerprint,
+        )
+
+        rng = np.random.default_rng(43)
+        x = rng.normal(size=4000)
+        f = audio_fingerprint(x)
+        # power-of-two gain is exact under IEEE sqrt
+        assert audio_fingerprint(x * 0.5) == f
+        assert audio_fingerprint(x * 2.0) == f
+        assert audio_fingerprint(rng.normal(size=4000)) != f
+        # stereo mixdown path + empty clip
+        assert audio_fingerprint(np.stack([x, x], axis=1)) == f
+        assert audio_fingerprint(np.empty(0)) == 0
+
+    def test_audio_fp_dups_query(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        groups = q.audio_fp_dups("/root/testdata/sf0.001").take_all()
+        assert groups
+        for g in groups:
+            assert g["n"] == 2
+            assert g["max_id"] - g["min_id"] == 4_000_000
+
+    def test_audio_fp_checksum_locked(self, ray_session):
+        from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+        t = q.audio_fp_checksum("/root/testdata/sf0.01").to_pydict()
+        assert t == {"n_clips": [572], "checksum": ["f7b31f702d5ce220"]}
