@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3b: real-decode gain-invariant audio dedup --------
         "audio_fp_dups": q.audio_fp_dups,
         "audio_fp_checksum": q.audio_fp_checksum,
+        # --- new in round 3b: CSV source-format parity -----------------------
+        "csv_corpus_stats": q.csv_corpus_stats,
     }
 
 
@@ -953,6 +955,12 @@ SELECT doc_id, n_chars, start_off, start_off // 4096 AS seq_id FROM offs
         # round-trip of documents; matching the Parquet originals
         # proves the source/sink preserves rows and values
         "jsonl_corpus_stats": """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+""",
+        # CSV source parity: same aggregate over the CSV round-trip
+        "csv_corpus_stats": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents GROUP BY lang

@@ -131,6 +131,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "split_leakage_check",
         "nfc_normalization_stats",
         "audio_fp_dups",
+        "csv_corpus_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:

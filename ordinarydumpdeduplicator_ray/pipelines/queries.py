@@ -2661,27 +2661,34 @@ def _summarize_removal(out: ray.data.Dataset) -> ray.data.Dataset:
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
-def _jsonl_documents(sf_dir: str) -> str:
-    """documents.parquet converted ONCE to sharded JSONL under /tmp
-    (atomic-rename cache keyed by the source's mtime+size, the
-    _multi_roots pattern) — the ingest-format fixture for the JSONL
-    source parity query."""
+def _converted_documents(sf_dir: str, fmt: str) -> str:
+    """documents.parquet converted ONCE to a sharded alternate format
+    under /tmp (atomic-rename cache keyed by the source's mtime+size,
+    the _multi_roots pattern) — the ingest-format fixture for the
+    source parity queries. ``fmt``: 'jsonl' or 'csv'."""
     import hashlib as _hashlib
     import shutil
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = _hashlib.md5(
-        f"jsonl|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{fmt}|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    base = os.path.join("/tmp", "odd_jsonl_" + key)
+    base = os.path.join("/tmp", f"odd_{fmt}_" + key)
     if not os.path.isdir(base):
-        from ordinarydumpdeduplicator_ray.sources.jsonl import write_pages_jsonl
+        if fmt == "jsonl":
+            from ordinarydumpdeduplicator_ray.sources.jsonl import (
+                write_pages_jsonl as writer,
+            )
+        else:
+            from ordinarydumpdeduplicator_ray.sources.csv_pages import (
+                write_pages_csv as writer,
+            )
 
         tmp = f"{base}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        write_pages_jsonl(read_parquet_clean(src), tmp)
+        writer(read_parquet_clean(src), tmp)
         try:
             os.rename(tmp, base)
         except OSError:
@@ -2696,16 +2703,36 @@ def jsonl_corpus_stats(sf_dir: str) -> ray.data.Dataset:
     JSONL source/sink preserves every row and value."""
     from ordinarydumpdeduplicator_ray.sources.jsonl import read_pages_jsonl
 
-    ds = read_pages_jsonl(
-        _jsonl_documents(sf_dir), columns=["doc_id", "lang", "n_chars"]
+    return _per_lang_roundtrip_stats(
+        read_pages_jsonl(
+            _converted_documents(sf_dir, "jsonl"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
     )
-    agg = ds.groupby("lang").aggregate(
+
+
+def _per_lang_roundtrip_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_chars", alias_name="sum_chars"),
         Min("doc_id", alias_name="min_doc_id"),
         Max("doc_id", alias_name="max_doc_id"),
     )
-    return agg
+
+
+def csv_corpus_stats(sf_dir: str) -> ray.data.Dataset:
+    """Source-format parity for CSV (sources/csv_pages.py): documents
+    round-tripped through sharded CSV then aggregated per lang —
+    matching the Parquet originals value-for-value proves the CSV
+    source/sink preserves rows and scalar types."""
+    from ordinarydumpdeduplicator_ray.sources.csv_pages import read_pages_csv
+
+    return _per_lang_roundtrip_stats(
+        read_pages_csv(
+            _converted_documents(sf_dir, "csv"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+    )
 
 
 def classifier_labels(sf_dir: str) -> ray.data.Dataset:

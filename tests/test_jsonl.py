@@ -78,3 +78,50 @@ def test_jsonl_corpus_stats_matches_parquet(ray_session):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_csv_roundtrip_binary_and_prune(ray_session, tmp_path):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.csv_pages import (
+        read_pages_csv,
+        write_pages_csv,
+    )
+
+    pages = pa.table(
+        {
+            "url": pa.array(["a", "b", "c"], type=pa.string()),
+            "html": pa.array([b"\x00\xff bytes", b"", None], type=pa.binary()),
+            "n": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "pages_csv")
+    write_pages_csv(ray.data.from_arrow(pages).repartition(2), path)
+    back = {r["url"]: r for r in read_pages_csv(path).take_all()}
+    for i, u in enumerate(["a", "b", "c"]):
+        assert back[u]["html"] == pages["html"][i].as_py()
+        assert back[u]["n"] == pages["n"][i].as_py()
+    pruned = read_pages_csv(path, columns=["url", "n"]).take_all()
+    assert set(pruned[0].keys()) == {"url", "n"}
+
+
+def test_csv_corpus_stats_matches_parquet(ray_session):
+    import duckdb
+
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_chars"], r["min_doc_id"], r["max_doc_id"])
+        for r in q.csv_corpus_stats(sf).take_all()
+    }
+    con = duckdb.connect()
+    expect = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""SELECT lang, COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+                       MIN(doc_id), MAX(doc_id)
+                FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"""
+        ).fetchall()
+    }
+    assert got == expect
