@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fp_checksum": q.audio_fp_checksum,
         # --- new in round 3b: CSV source-format parity -----------------------
         "csv_corpus_stats": q.csv_corpus_stats,
+        # --- new in round 3b: hamming-banded image near-dup (rows-only) -----
+        "image_phash_near_dups": q.image_phash_near_dups,
     }
 
 

@@ -132,6 +132,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "nfc_normalization_stats",
         "audio_fp_dups",
         "csv_corpus_stats",
+        "image_phash_near_dups",
     ]
     timings: dict[str, float] = {}
     for name in picks:

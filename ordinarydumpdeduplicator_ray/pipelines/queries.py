@@ -969,10 +969,7 @@ def _png_corpus(sf_dir: str) -> ray.data.Dataset:
         ids_out: list[int] = []
         payloads: list[bytes] = []
         for v in t["vec_id"].to_pylist():
-            with np.errstate(over="ignore"):
-                base = np.uint64(int(v)) * np.uint64(0x9E3779B97F4A7C15)
-                raw = _mix64(np.arange(16 * 16 * 3, dtype=np.uint64) + base)
-            px = (raw % np.uint64(200)).astype(np.uint8).reshape(16, 16, 3)
+            px = _png_pixels(int(v))
             ids_out.append(int(v))
             payloads.append(encode_png(px))
             if v % 5 == 0:
@@ -986,6 +983,117 @@ def _png_corpus(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(build, batch_format="pyarrow")
+
+
+def _png_pixels(v: int) -> np.ndarray:
+    """Deterministic 16x16 RGB pixels in [0, 200) per image id."""
+    with np.errstate(over="ignore"):
+        base = np.uint64(v) * np.uint64(0x9E3779B97F4A7C15)
+        raw = _mix64(np.arange(16 * 16 * 3, dtype=np.uint64) + base)
+    return (raw % np.uint64(200)).astype(np.uint8).reshape(16, 16, 3)
+
+
+def _png_noisy_corpus(sf_dir: str) -> ray.data.Dataset:
+    """_png_corpus plus a DAMAGED copy of every vec_id % 11 == 0 image
+    under vec_id + 5_000_000: two aHash cells (2x2 pixel blocks) forced
+    to extremes — a small hamming perturbation (typically 1-2 bits)
+    that the exact-phash groupby misses but banded near-dup catches."""
+    from ordinarydumpdeduplicator_ray.functions.imagecodec import encode_png
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        payloads: list[bytes] = []
+        for v in t["vec_id"].to_pylist():
+            px = _png_pixels(int(v))
+            ids_out.append(int(v))
+            payloads.append(encode_png(px))
+            if v % 11 == 0:
+                noisy = px.copy()
+                noisy[0:2, 0:2, :] = 0
+                noisy[14:16, 14:16, :] = 199
+                ids_out.append(int(v) + 5_000_000)
+                payloads.append(encode_png(noisy))
+        return pa.table(
+            {
+                "img_id": pa.array(ids_out, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def image_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Hamming-tolerant perceptual image near-dup: the 64-bit aHash is
+    banded 4 x 16 bits (pigeonhole: any pair within hamming 3 shares at
+    least one intact band), band buckets feed the skew-aware
+    candidate_pairs machinery, and candidates verify with an exact
+    popcount against a broadcast id->phash map (one row per image —
+    fine to 2M images; beyond that the packed-broadcast/join fallback
+    family in stages/verify.py is the route). Catches noisy/damaged
+    copies the exact-phash groupby misses. Rows-only; pytest carries
+    the brute-force hamming oracle."""
+    from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+    hashes = _png_noisy_corpus(sf_dir).map_batches(
+        _PhashActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    ).materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "img_id": pa.array([], type=pa.int64())})
+        ph = t["phash"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ids = t["img_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        buckets, out_ids = [], []
+        for b in range(4):
+            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            buckets.append(band + (np.int64(b + 1) << np.int64(17)))
+            out_ids.append(ids)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
+            "img_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+        })
+
+    buckets = hashes.map_batches(
+        explode_bands, batch_format="pyarrow"
+    ).materialize()
+    pairs = candidate_pairs(
+        buckets, _qcfg(), _nparts(), member_field=("img_id", pa.int64())
+    )
+    ph_map = {
+        r["img_id"]: int(np.uint64(np.int64(r["phash"])))
+        for r in hashes.take_all()
+    }
+    ref = ray.put(ph_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"img_a": pa.array([], type=pa.int64()),
+                             "img_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        m = ray.get(ref)
+        out_a, out_b, out_h = [], [], []
+        for x, y in zip(t["img_id_a"].to_pylist(), t["img_id_b"].to_pylist()):
+            d = int(bin(m[x] ^ m[y]).count("1"))
+            if d <= max_hamming:
+                out_a.append(x)
+                out_b.append(y)
+                out_h.append(d)
+        return pa.table({
+            "img_a": pa.array(out_a, type=pa.int64()),
+            "img_b": pa.array(out_b, type=pa.int64()),
+            "hamming": pa.array(out_h, type=pa.int64()),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 class _PhashActor:

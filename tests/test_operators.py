@@ -634,3 +634,41 @@ class TestAudioFingerprint:
 
         t = q.audio_fp_checksum("/root/testdata/sf0.01").to_pydict()
         assert t == {"n_clips": [572], "checksum": ["f7b31f702d5ce220"]}
+
+
+def test_image_phash_near_dups_brute_force(ray_session):
+    """Banded near-dup output == the exact set of pairs within
+    hamming <= 3 (pigeonhole: 4 bands over 64 bits guarantee every
+    such pair shares an intact band — zero misses by construction)."""
+    from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+        average_hash,
+    )
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in q.image_phash_near_dups(sf).take_all()
+    )
+    # brute-force oracle over the same deterministic corpus
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT vec_id FROM '{sf}/embeddings.parquet'").fetchall()]
+    hashes = {}
+    for v in ids:
+        px = q._png_pixels(int(v))
+        hashes[int(v)] = average_hash(px)
+        if v % 11 == 0:
+            noisy = px.copy()
+            noisy[0:2, 0:2, :] = 0
+            noisy[14:16, 14:16, :] = 199
+            hashes[int(v) + 5_000_000] = average_hash(noisy)
+    keys = sorted(hashes)
+    expect = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(keys) for b in keys[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    assert got == expect
+    assert any(h > 0 for _, _, h in got)
