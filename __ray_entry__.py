@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_corpus_stats": q.csv_corpus_stats,
         # --- new in round 3b: hamming-banded image near-dup (rows-only) -----
         "image_phash_near_dups": q.image_phash_near_dups,
+        # --- new in round 3b: one-pass sketch top-k --------------------------
+        "approx_top_tokens": q.approx_top_tokens,
     }
 
 
@@ -1041,6 +1043,19 @@ FROM offs GROUP BY 1
         # at sf0.01 (500 base images + 100 brightness-shifted copies)
         "image_phash_checksum": """
 SELECT CAST(600 AS BIGINT) AS n_images, '022925fa5aec92d6' AS checksum
+""",
+        # one-pass sketch top-k: at sf0.01 the CMS estimates are
+        # collision-free so the result EQUALS the exact top-20 (the
+        # stronger-than-a-lock oracle)
+        "approx_top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS est_n
+FROM toks GROUP BY token
+ORDER BY est_n DESC, token
+LIMIT 20
 """,
         # hash-locked digest of the REAL WAV decode + RMS-contour
         # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)

@@ -133,6 +133,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "audio_fp_dups",
         "csv_corpus_stats",
         "image_phash_near_dups",
+        "approx_top_tokens",
     ]
     timings: dict[str, float] = {}
     for name in picks:

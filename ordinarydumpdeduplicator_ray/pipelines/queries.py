@@ -2854,6 +2854,69 @@ def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
 
 
+def approx_top_tokens(sf_dir: str, k: int = 20, local_k: int = 64) -> pa.Table:
+    """Self-contained sketch top-k (no exact pass): every block emits
+    its local top-``local_k`` tokens (vectorized Arrow value_counts —
+    a global heavy hitter is a local heavy hitter in enough blocks) as
+    CANDIDATES plus a CMS counter grid; the driver unions the
+    candidate sets (O(blocks x local_k) short rows), reads each
+    candidate's estimate from the merged sketch, and keeps the top
+    ``k`` by (est desc, token). At this scale the result equals the
+    exact top-k (pytest-asserted vs top_tokens); at 100 TB it is the
+    one-pass variant where the exact groupby's shuffle is the cost."""
+    from ordinarydumpdeduplicator_ray.functions.countmin import (
+        cms_merge,
+        cms_new,
+        cms_query,
+        cms_update,
+    )
+    from ordinarydumpdeduplicator_ray.functions.hashing import TokenHasher
+
+    docs = _read_documents(sf_dir, columns=["text"])
+    shape = cms_new().shape
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = cms_new()
+        cands: list[str] = []
+        if len(t):
+            toks = pc.list_flatten(
+                pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\W+")
+            )
+            toks = toks.filter(pc.not_equal(toks, ""))
+            h = TokenHasher().hash_tokens(toks.to_pylist())
+            cms_update(sk, h)
+            vc = pc.value_counts(toks)
+            order = np.argsort(
+                vc.field("counts").to_numpy(zero_copy_only=False)
+            )[::-1][:local_k]
+            cands = [vc.field("values")[int(i)].as_py() for i in order]
+        return pa.table(
+            {
+                "sk": pa.array([sk.tobytes()], type=pa.binary()),
+                "cands": pa.array([cands], type=pa.list_(pa.string())),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not parts:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "est_n": pa.array([], type=pa.int64())})
+    sketch = cms_merge(
+        [np.frombuffer(r["sk"], dtype=np.uint64).reshape(shape) for r in parts]
+    )
+    cands = sorted({c for r in parts for c in r["cands"]})
+    est = cms_query(sketch, TokenHasher().hash_tokens(cands)).astype(np.int64)
+    order = sorted(range(len(cands)), key=lambda i: (-int(est[i]), cands[i]))[:k]
+    return pa.table(
+        {
+            "token": pa.array([cands[i] for i in order], type=pa.string()),
+            "est_n": pa.array([int(est[i]) for i in order], type=pa.int64()),
+        }
+    )
+
+
 def gopher_filter(
     sf_dir: str,
     min_tokens: int = 20,

@@ -67,3 +67,15 @@ def test_heavy_hitter_counts_locked(ray_session):
     # the sketch never underestimates; at this scale it is exact
     assert all(e >= x for e, x in zip(t["est_n"], t["exact_n"]))
     assert t["est_n"] == t["exact_n"]
+
+
+def test_approx_top_tokens_equals_exact(ray_session):
+    """At test scale the sketch top-k equals the exact top-k exactly
+    (collision-free CMS + every global heavy hitter surfacing in some
+    block's local candidates)."""
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    a = q.approx_top_tokens("/root/testdata/sf0.001", k=15).to_pydict()
+    e = q.top_tokens("/root/testdata/sf0.001", 15).to_pydict()
+    assert a["token"] == e["token"]
+    assert a["est_n"] == e["n"]
