@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dups": q.image_phash_near_dups,
         # --- new in round 3b: one-pass sketch top-k --------------------------
         "approx_top_tokens": q.approx_top_tokens,
+        # --- new in round 3b: streaming near-dup ingest (rows-only) ---------
+        "near_dup_ingest": q.near_dup_ingest_verdicts,
     }
 
 

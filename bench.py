@@ -134,6 +134,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "csv_corpus_stats",
         "image_phash_near_dups",
         "approx_top_tokens",
+        "near_dup_ingest_verdicts",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -2854,6 +2854,80 @@ def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     return classify_documents(docs, concurrency=_qcfg().sig_concurrency)
 
 
+def near_dup_ingest_verdicts(sf_dir: str) -> ray.data.Dataset:
+    """Streaming near-dup ingest (stages/neardupingest.py): the prior
+    corpus (even doc_ids) persists its band-bucket + sketch index ONCE
+    under /tmp (atomic-rename cache); the new snapshot (odd doc_ids,
+    plus an exact re-crawl of every doc_id % 10 == 0 prior doc and a
+    tail-trimmed NEAR copy of every doc_id % 8 == 0 prior doc) is
+    probed against the index without re-reading prior text. Rows-only
+    (minhash); pytest asserts the injected copies resolve to their
+    prior originals."""
+    import hashlib as _hashlib
+    import shutil
+
+    from ordinarydumpdeduplicator_ray.stages.neardupingest import (
+        ingest_near_dup,
+        persist_near_dup_index,
+    )
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def prior_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 2 == 0))
+        return pa.table({
+            "url": pa.array(
+                [f"testdata://prior/{d:08d}" for d in t["doc_id"].to_pylist()],
+                type=pa.string()),
+            "html": pa.nulls(len(t), type=pa.binary()),
+            "text": t["text"],
+        })
+
+    def new_pages(t: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if d % 2 == 1:
+                urls.append(f"testdata://new/{d:08d}")
+                texts.append(txt)
+            else:
+                if d % 10 == 0:
+                    urls.append(f"testdata://new/{d:08d}-recrawl")
+                    texts.append(txt)
+                if d % 8 == 0:
+                    words = (txt or "").split(" ")
+                    cut = max(1, len(words) // 30)
+                    urls.append(f"testdata://new/{d:08d}-near")
+                    texts.append(" ".join(words[: len(words) - cut]))
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.nulls(len(urls), type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"ndindex|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "odd_ndindex_" + key)
+    if not os.path.isdir(base):
+        tmp = f"{base}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        persist_near_dup_index(
+            docs.map_batches(prior_pages, batch_format="pyarrow"), tmp, _qcfg()
+        )
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ingest_near_dup(
+        docs.map_batches(new_pages, batch_format="pyarrow"), base,
+        _qcfg(), _nparts(),
+    )
+
+
 def approx_top_tokens(sf_dir: str, k: int = 20, local_k: int = 64) -> pa.Table:
     """Self-contained sketch top-k (no exact pass): every block emits
     its local top-``local_k`` tokens (vectorized Arrow value_counts —
