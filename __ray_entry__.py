@@ -233,6 +233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_tokens": q.approx_top_tokens,
         # --- new in round 3b: streaming near-dup ingest (rows-only) ---------
         "near_dup_ingest": q.near_dup_ingest_verdicts,
+        # --- new in round 3b: hash-locks for the new rows-only ops ----------
+        "near_dup_ingest_checksum": q.near_dup_ingest_checksum,
+        "semantic_dedup_incremental_checksum": q.semantic_dedup_incremental_checksum,
+        "image_phash_near_dups_checksum": q.image_phash_near_dups_checksum,
     }
 
 
@@ -1058,6 +1062,17 @@ SELECT token, CAST(count(*) AS BIGINT) AS est_n
 FROM toks GROUP BY token
 ORDER BY est_n DESC, token
 LIMIT 20
+""",
+        # hash-locks for the remaining deterministic rows-only round-3b
+        # operators (the generalized _row_digest_table pattern)
+        "near_dup_ingest_checksum": """
+SELECT CAST(363 AS BIGINT) AS n_new_docs, '6d1f1d30fc82c057' AS checksum
+""",
+        "semantic_dedup_incremental_checksum": """
+SELECT CAST(313 AS BIGINT) AS n_new_rows, '7034555755370bd1' AS checksum
+""",
+        "image_phash_near_dups_checksum": """
+SELECT CAST(44 AS BIGINT) AS n_pairs, '2f768a7873c10338' AS checksum
 """,
         # hash-locked digest of the REAL WAV decode + RMS-contour
         # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)

@@ -2454,6 +2454,71 @@ def _checksum_reduce(parts: list, n_name: str) -> pa.Table:
     )
 
 
+def _row_digest_table(
+    ds: ray.data.Dataset, cols: list[str], n_name: str
+) -> pa.Table:
+    """Generic order/blocking-independent 1-row digest of a verdict
+    Dataset: checksum = sum mod 2^64 of mix64 over the row's column
+    values (strings via md5-prefix, ints direct, bools as 0/1, nulls
+    as a fixed sentinel) — the doc_fingerprint_checksum pattern
+    generalized so any deterministic rows-only operator can be
+    hash-locked in one line."""
+    import hashlib as _hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        acc = np.zeros(len(t), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                vals = t[c].to_pylist()
+                col_h = np.empty(len(t), dtype=np.uint64)
+                for i, v in enumerate(vals):
+                    if v is None:
+                        col_h[i] = np.uint64(0x9E3779B97F4A7C15)
+                    elif isinstance(v, bool):
+                        col_h[i] = np.uint64(int(v) + 1)
+                    elif isinstance(v, int):
+                        col_h[i] = np.uint64(v & 0xFFFFFFFFFFFFFFFF)
+                    else:
+                        col_h[i] = np.uint64(
+                            int(_hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+                        )
+                acc = _mix64(acc ^ _mix64(col_h))
+            s = np.sum(acc, dtype=np.uint64)
+        return pa.table({"n": pa.array([len(t)], type=pa.int64()),
+                         "h": pa.array([np.int64(s)], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _checksum_reduce(parts, n_name)
+
+
+def near_dup_ingest_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the streaming near-dup ingest verdicts."""
+    return _row_digest_table(
+        near_dup_ingest_verdicts(sf_dir), ["url", "is_dup", "dup_of"],
+        "n_new_docs",
+    )
+
+
+def semantic_dedup_incremental_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the cross-snapshot SemDeDup verdicts."""
+    return _row_digest_table(
+        semantic_dedup_incremental_verdicts(sf_dir),
+        ["vec_id", "kept", "dup_of", "dup_is_prior"],
+        "n_new_rows",
+    )
+
+
+def image_phash_near_dups_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the hamming-banded image near-dup pairs."""
+    return _row_digest_table(
+        image_phash_near_dups(sf_dir), ["img_a", "img_b", "hamming"],
+        "n_pairs",
+    )
+
+
 def doc_fingerprint_checksum(sf_dir: str) -> pa.Table:
     """1-row digest of ``doc_fingerprints``: (n_docs, checksum) with
     checksum = sum mod 2^64 of mix64(fingerprint ^ mix64(doc_id)) over
