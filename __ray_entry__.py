@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_ingest_checksum": q.near_dup_ingest_checksum,
         "semantic_dedup_incremental_checksum": q.semantic_dedup_incremental_checksum,
         "image_phash_near_dups_checksum": q.image_phash_near_dups_checksum,
+        # --- new in round 3b: cross-modality media curation ------------------
+        "multimodal_curate": q.multimodal_curate,
+        "multimodal_curate_checksum": q.multimodal_curate_checksum,
     }
 
 
@@ -1073,6 +1076,11 @@ SELECT CAST(313 AS BIGINT) AS n_new_rows, '7034555755370bd1' AS checksum
 """,
         "image_phash_near_dups_checksum": """
 SELECT CAST(44 AS BIGINT) AS n_pairs, '2f768a7873c10338' AS checksum
+""",
+        # cross-modality curation digest (500 assets + 58 perceptual
+        # copies; image aHash / audio RMS-contour / video sha stub)
+        "multimodal_curate_checksum": """
+SELECT CAST(558 AS BIGINT) AS n_assets, '224e3891fa00643a' AS checksum
 """,
         # hash-locked digest of the REAL WAV decode + RMS-contour
         # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)

@@ -135,6 +135,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "image_phash_near_dups",
         "approx_top_tokens",
         "near_dup_ingest_verdicts",
+        "multimodal_curate",
     ]
     timings: dict[str, float] = {}
     for name in picks:

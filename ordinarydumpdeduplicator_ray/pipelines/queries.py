@@ -1276,6 +1276,167 @@ def audio_fp_checksum(sf_dir: str) -> pa.Table:
     return _checksum_reduce(parts, "n_clips")
 
 
+def _mixed_media_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Mixed-modality asset corpus: per embeddings vec_id, asset type
+    by vec_id % 3 — 0: real PNG (16x16 RGB, _png_pixels), 1: real WAV
+    (1600 even int16 PCM samples), 2: opaque 'video' payload (the
+    documented codec stub). Injections: every type-0 id % 5 == 0 adds
+    a +8-brightness PNG copy, every type-1 id % 7 == 0 a half-gain WAV
+    copy — perceptual dups with different bytes."""
+    import struct
+
+    from ordinarydumpdeduplicator_ray.functions.imagecodec import encode_png
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )
+
+    def wav_bytes(i16: np.ndarray) -> bytes:
+        data = i16.astype("<i2").tobytes()
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, 16000, 32000, 2, 16,
+            b"data", len(data),
+        )
+        return hdr + data
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        payloads: list[bytes] = []
+        for v in t["vec_id"].to_pylist():
+            v = int(v)
+            kind = v % 3
+            if kind == 0:
+                px = _png_pixels(v)
+                ids_out.append(v)
+                payloads.append(encode_png(px))
+                if v % 5 == 0:
+                    ids_out.append(v + 6_000_000)
+                    payloads.append(encode_png(px + np.uint8(8)))
+            elif kind == 1:
+                with np.errstate(over="ignore"):
+                    base = np.uint64(v + 7) * np.uint64(0xD1B54A32D192ED03)
+                    raw = _mix64(np.arange(1600, dtype=np.uint64) + base)
+                ints = (
+                    (raw % np.uint64(32001)).astype(np.int64) - 16000
+                ).astype(np.int16) * np.int16(2)
+                ids_out.append(v)
+                payloads.append(wav_bytes(ints))
+                if v % 7 == 0:
+                    ids_out.append(v + 6_000_000)
+                    payloads.append(wav_bytes((ints // 2).astype(np.int16)))
+            else:
+                with np.errstate(over="ignore"):
+                    raw = _mix64(np.arange(64, dtype=np.uint64) + np.uint64(v))
+                ids_out.append(v)
+                payloads.append(b"VID0" + raw.tobytes())
+        return pa.table(
+            {
+                "asset_id": pa.array(ids_out, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+class _MediaDedupActor:
+    """Actor-pool batch map: sniff modality by magic, decode for real
+    (PNG -> aHash, WAV -> RMS-contour fingerprint), video falls back to
+    the exact-bytes sha fingerprint (the documented stub — perceptual
+    video fingerprints need a codec library this container lacks)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
+        from ordinarydumpdeduplicator_ray.functions.audiocodec import (
+            audio_fingerprint,
+            decode_wav,
+            sniff_wav,
+        )
+        from ordinarydumpdeduplicator_ray.functions.imagecodec import (
+            PNG_MAGIC,
+            average_hash,
+            decode_png,
+        )
+
+        types: list[str] = []
+        fps: list[int] = []
+        for p in t["payload"].to_pylist():
+            if p.startswith(PNG_MAGIC):
+                types.append("image")
+                fps.append(int(np.uint64(average_hash(decode_png(p)))
+                               .view(np.int64)))
+            elif sniff_wav(p):
+                types.append("audio")
+                _r, _c, samples = decode_wav(p)
+                fps.append(int(np.uint64(audio_fingerprint(samples))
+                               .view(np.int64)))
+            else:
+                types.append("video")
+                d = _hashlib.sha256(p).digest()[:8]
+                fps.append(int.from_bytes(d, "little", signed=True))
+        return pa.table(
+            {
+                "asset_id": t["asset_id"],
+                "media_type": pa.array(types, type=pa.string()),
+                "fp": pa.array(fps, type=pa.int64()),
+            }
+        )
+
+
+def multimodal_curate(sf_dir: str) -> ray.data.Dataset:
+    """Cross-modality media curation: sniff -> REAL decode ->
+    per-modality perceptual fingerprint -> ONE groupby on
+    (media_type, fp) -> keep-first (lowest asset_id) verdict per
+    asset. Every injected brightness/half-gain copy must drop against
+    its original; video assets (stub fingerprint = content sha) only
+    dedup on exact bytes. Rows-only; digest-locked via
+    multimodal_curate_checksum."""
+    fps = _mixed_media_corpus(sf_dir).map_batches(
+        _MediaDedupActor, batch_format="pyarrow", batch_size=256,
+        concurrency=_qcfg().sig_concurrency,
+    ).materialize()
+    canon = fps.groupby(["media_type", "fp"]).aggregate(
+        Min("asset_id", alias_name="keeper")
+    )
+    canon_map = {
+        (r["media_type"], r["fp"]): r["keeper"] for r in canon.take_all()
+    }
+    ref = ray.put(canon_map)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = t["asset_id"].to_pylist()
+        keepers = [
+            m[(mt, f)] for mt, f in zip(
+                t["media_type"].to_pylist(), t["fp"].to_pylist()
+            )
+        ]
+        kept = [i == k for i, k in zip(ids, keepers)]
+        return pa.table({
+            "asset_id": t["asset_id"],
+            "media_type": t["media_type"],
+            "kept": pa.array(kept),
+            "dup_of": pa.array(
+                [None if k else kp for k, kp in zip(kept, keepers)],
+                type=pa.int64(),
+            ),
+        })
+
+    return fps.map_batches(verdict, batch_format="pyarrow")
+
+
+def multimodal_curate_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the cross-modality curation verdicts."""
+    return _row_digest_table(
+        multimodal_curate(sf_dir),
+        ["asset_id", "media_type", "kept", "dup_of"],
+        "n_assets",
+    )
+
+
 def media_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Content-determined unit-norm media embeddings (fixed-size
     float32 list) — the non-SQL-expressible half of the media feature

@@ -672,3 +672,28 @@ def test_image_phash_near_dups_brute_force(ray_session):
     )
     assert got == expect
     assert any(h > 0 for _, _, h in got)
+
+
+def test_multimodal_curate(ray_session):
+    """Every injected brightness/half-gain copy drops against its
+    original; all three modalities present; video (sha stub) never
+    perceptually dedups distinct payloads."""
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    rows = q.multimodal_curate("/root/testdata/sf0.001").take_all()
+    types = {r["media_type"] for r in rows}
+    assert types == {"image", "audio", "video"}
+    copies = [r for r in rows if r["asset_id"] >= 6_000_000]
+    assert copies
+    for r in copies:
+        assert not r["kept"]
+        assert r["dup_of"] == r["asset_id"] - 6_000_000
+    vids = [r for r in rows if r["media_type"] == "video"]
+    assert all(r["kept"] for r in vids)
+
+
+def test_multimodal_curate_checksum_locked(ray_session):
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    t = q.multimodal_curate_checksum("/root/testdata/sf0.01").to_pydict()
+    assert t == {"n_assets": [558], "checksum": ["224e3891fa00643a"]}
