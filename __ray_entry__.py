@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3b: cross-modality media curation ------------------
         "multimodal_curate": q.multimodal_curate,
         "multimodal_curate_checksum": q.multimodal_curate_checksum,
+        # --- new in round 3c: UT1-style domain blocklist gate ---------------
+        "blocklist_filter": q.blocklist_filter,
     }
 
 
@@ -1086,5 +1088,32 @@ SELECT CAST(558 AS BIGINT) AS n_assets, '224e3891fa00643a' AS checksum
         # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)
         "audio_fp_checksum": """
 SELECT CAST(572 AS BIGINT) AS n_clips, 'f7b31f702d5ce220' AS checksum
+""",
+        # UT1-style domain blocklist: blocked when host equals a listed
+        # domain or is a subdomain of one; deepest (longest) listed
+        # suffix wins the matched_domain tie
+        "blocklist_filter": """
+WITH pages AS (
+  SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+         || '.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         's' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.example' AS host
+  FROM documents
+),
+b AS (
+  SELECT * FROM (VALUES ('src3.example'), ('src11.example'),
+                        ('s1.src0.example'), ('s4.src17.example'),
+                        ('src0.example')) AS t(domain)
+),
+m AS (
+  SELECT p.url, b.domain,
+         row_number() OVER (
+           PARTITION BY p.url ORDER BY strlen(b.domain) DESC, b.domain
+         ) AS rn
+  FROM pages p JOIN b ON p.host = b.domain OR p.host LIKE '%.' || b.domain
+),
+best AS (SELECT url, domain FROM m WHERE rn = 1)
+SELECT p.url, p.host, best.domain IS NOT NULL AS blocked,
+       best.domain AS matched_domain
+FROM pages p LEFT JOIN best ON p.url = best.url
 """,
     }

@@ -3425,3 +3425,40 @@ def classifier_label_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby("label")
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3c additions
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST_DOMAINS = [
+    "src3.example",       # whole source, depth 2 (blocks every subdomain)
+    "src11.example",      # whole source, depth 2
+    "s1.src0.example",    # one subdomain, depth 3
+    "s4.src17.example",   # one subdomain, depth 3
+    "src0.example",       # overlaps s1.src0.example: deepest match wins
+]
+
+
+def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """UT1-style domain-blocklist verdicts over a subdomain-bearing url
+    corpus (``https://s{doc_id%%7}.{source}.example/{doc_id:08d}``): a
+    host is blocked when it equals a listed domain or is a subdomain of
+    one; ``matched_domain`` is the most specific (deepest) listed match.
+    The operator (stages/blocklist.py) broadcasts the depth-grouped list
+    once and runs one vectorized suffix-extract + hash lookup per depth
+    per batch. SQL-oracled (join on equality-or-LIKE suffix, longest
+    domain wins)."""
+    from ordinarydumpdeduplicator_ray.stages.blocklist import block_verdicts
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        urls = [
+            f"https://s{d % 7}.{s}.example/{d:08d}"
+            for d, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
+        ]
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    pages = ds.map_batches(build, batch_format="pyarrow")
+    return block_verdicts(pages, _BLOCKLIST_DOMAINS)
