@@ -130,13 +130,54 @@ class SpanActor:
         )
 
 
+# above this many DISTINCT pair urls the text attach falls back to the
+# two hash-shuffle joins; below it the corpus is streamed ONCE through
+# a broadcast membership filter and the (small) pair-member text table
+# is broadcast-joined onto the pairs — zero corpus shuffles
+_SPAN_ATTACH_URL_CAP = 2_000_000
+
+
+def _pair_urls(pairs: ray.data.Dataset) -> pa.Array:
+    """Distinct urls across both pair columns via raw per-block tasks
+    (no extra execution launch; the ``_recheck_broadcast`` pattern)."""
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+
+    def block_urls(t: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        both = pa.chunked_array(
+            [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+        )
+        return pc.unique(both)
+
+    import pyarrow.compute as pc
+
+    parts = [a for a in map_blocks(pairs, block_urls) if len(a)]
+    if not parts:
+        return pa.array([], type=pa.string())
+    uniq = pc.unique(pa.chunked_array(parts))
+    return uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq
+
+
 def compute_spans(
     pairs: ray.data.Dataset,
     extracted: ray.data.Dataset,
     config: DedupConfig | None = None,
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """(url_a, url_b) pairs + extracted texts -> spans table."""
+    """(url_a, url_b) pairs + extracted texts -> spans table.
+
+    Text attach (the expensive part — pairs are O(duplicated docs),
+    texts are corpus-sized): below ``_SPAN_ATTACH_URL_CAP`` distinct
+    pair urls the url set is broadcast once, the corpus streams through
+    ONE membership-filter pass emitting only pair-member (url, text)
+    rows, and that small table broadcast-joins onto each pair side —
+    no corpus shuffle. Above the cap: the original two hash-shuffle
+    inner joins."""
+    import pyarrow.compute as pc
+
+    from ordinarydumpdeduplicator_ray.stages.join import broadcast_inner_join
+
     cfg = config or DedupConfig()
     texts = extracted.map_batches(
         lambda t: t.select(["url", "text"]), batch_format="pyarrow"
@@ -148,16 +189,47 @@ def compute_spans(
         return f
 
     base = [("url_a", pa.string()), ("url_b", pa.string())]
-    with_a = inner_join(
-        pairs, texts.map_batches(proj("a"), batch_format="pyarrow"),
-        on=("url_a",), num_partitions=num_partitions,
-        empty_schema=pa.schema(base + [("text_a", pa.string())]),
+    schema_a = pa.schema(base + [("text_a", pa.string())])
+    schema_ab = pa.schema(
+        base + [("text_a", pa.string()), ("text_b", pa.string())]
     )
-    with_ab = inner_join(
-        with_a, texts.map_batches(proj("b"), batch_format="pyarrow"),
-        on=("url_b",), num_partitions=num_partitions,
-        empty_schema=pa.schema(base + [("text_a", pa.string()), ("text_b", pa.string())]),
-    )
+
+    pairs = pairs.materialize()
+    urls = _pair_urls(pairs)
+    if len(urls) <= _SPAN_ATTACH_URL_CAP:
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        url_ref = ray.put(urls)
+
+        def member_texts(t: pa.Table) -> pa.Table:
+            lut = _get_broadcast(url_ref)
+            idx = pc.index_in(t["url"], value_set=lut)
+            return t.select(["url", "text"]).filter(pc.is_valid(idx))
+
+        pair_texts = texts.map_batches(
+            member_texts, batch_format="pyarrow"
+        ).materialize()
+        with_a = broadcast_inner_join(
+            pairs,
+            pair_texts.map_batches(proj("a"), batch_format="pyarrow"),
+            on="url_a", empty_schema=schema_a,
+        )
+        with_ab = broadcast_inner_join(
+            with_a,
+            pair_texts.map_batches(proj("b"), batch_format="pyarrow"),
+            on="url_b", empty_schema=schema_ab,
+        )
+    else:
+        with_a = inner_join(
+            pairs, texts.map_batches(proj("a"), batch_format="pyarrow"),
+            on=("url_a",), num_partitions=num_partitions,
+            empty_schema=schema_a,
+        )
+        with_ab = inner_join(
+            with_a, texts.map_batches(proj("b"), batch_format="pyarrow"),
+            on=("url_b",), num_partitions=num_partitions,
+            empty_schema=schema_ab,
+        )
     return with_ab.map_batches(
         SpanActor,
         fn_constructor_kwargs={"config": cfg},
