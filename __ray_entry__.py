@@ -245,6 +245,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: incremental components carry (rows-only) ------
         "near_dup_components_carry": q.near_dup_components_carry,
         "components_carry_checksum": q.components_carry_checksum,
+        # --- new in round 3c: corpus-LM perplexity scoring (CCNet-style) ----
+        "lm_doc_perplexity": q.lm_doc_perplexity,
+        # --- new in round 3c: SoftDeDup trigram reweighting ------------------
+        "soft_dedup_weights": q.soft_dedup_weights,
+        # --- new in round 3c: DSIR importance weights (rows-only) ------------
+        "dsir_weights": q.dsir_weights,
+        "dsir_weights_checksum": q.dsir_weights_checksum,
     }
 
 
@@ -1124,5 +1131,66 @@ FROM pages p LEFT JOIN best ON p.url = best.url
         # through state/carry.py; blocking- and order-independent
         "components_carry_checksum": """
 SELECT CAST(249 AS BIGINT) AS n_members, '26b698e838c0e566' AS checksum
+""",
+        # corpus-trained unigram LM (CCNet-style): exact MLE probs for
+        # the top-20 vocabulary head, mean tail probability for OOV;
+        # per-doc mean negative log2-likelihood, half-ulp-safe round(4)
+        "lm_doc_perplexity": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t, count(*) AS d FROM vocab),
+topv AS (SELECT token, c FROM vocab ORDER BY c DESC, token LIMIT 20),
+tail AS (
+  SELECT (SELECT t FROM tot) - CAST(coalesce(sum(c), 0) AS DOUBLE) AS tail_mass,
+         (SELECT d FROM tot) - count(*) AS tail_distinct
+  FROM topv
+),
+scored AS (
+  SELECT tk.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tv.token IS NULL
+             THEN log2((SELECT tail_mass FROM tail)
+                       / ((SELECT t FROM tot) * greatest((SELECT tail_distinct FROM tail), 1)))
+             ELSE log2(CAST(tv.c AS DOUBLE) / (SELECT t FROM tot)) END) AS ll
+  FROM toks tk LEFT JOIN topv tv USING (token)
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(-s.ll / s.n_tokens, 0.0), 4) AS nll_bits
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        # SoftDeDup trigram reweighting: mean global trigram frequency
+        # per doc + duplicated-trigram count; weight = 1/commonness
+        "soft_dedup_weights": r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM arr
+),
+cnt AS (SELECT sh, count(*) AS c FROM tri GROUP BY sh),
+per AS (
+  SELECT t.doc_id, count(*) AS n_trigrams,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_trigrams,
+         avg(CAST(c AS DOUBLE)) AS mean_c
+  FROM tri t JOIN cnt USING (sh) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(p.n_dup_trigrams, 0) AS BIGINT) AS n_dup_trigrams,
+       round(coalesce(p.mean_c, 0.0), 4) AS commonness,
+       round(CASE WHEN coalesce(p.mean_c, 0.0) > 0 THEN 1.0 / p.mean_c ELSE 1.0 END, 4) AS weight
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+        # DSIR hashed-bigram importance weights digest (the frozen
+        # uint64 shingle hash is not SQL-expressible; stored expected
+        # order-independent row digest at sf0.01)
+        "dsir_weights_checksum": """
+SELECT CAST(500 AS BIGINT) AS n_docs, 'e5991c8a12f4a555' AS checksum
 """,
     }

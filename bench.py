@@ -136,6 +136,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "approx_top_tokens",
         "near_dup_ingest_verdicts",
         "multimodal_curate",
+        "blocklist_filter",
+        "lm_doc_perplexity",
+        "soft_dedup_weights",
+        "dsir_weights",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -3548,3 +3548,375 @@ def components_carry_checksum(sf_dir: str) -> pa.Table:
         near_dup_components_carry(sf_dir), ["url", "component_id"],
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3c: corpus-LM scoring, SoftDeDup reweighting, DSIR importance
+# ---------------------------------------------------------------------------
+
+
+def _doc_token_lists(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Batch texts -> (flat filtered token array, tokens-per-doc counts).
+    The frozen ``\\w+``-on-lowercase token definition shared with
+    ``top_tokens`` and its DuckDB oracles; empty-string split artifacts
+    are dropped WITHOUT breaking the per-doc offsets."""
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(t["text"], "")), r"\W+"
+    ).combine_chunks()
+    flat = pc.list_flatten(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # tokens per doc AFTER dropping "" artifacts
+    cum = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    n_per_doc = cum[offs[1:]] - cum[offs[:-1]]
+    return flat.filter(pa.array(valid)), n_per_doc
+
+
+def lm_doc_perplexity(sf_dir: str, top_v: int = 20) -> ray.data.Dataset:
+    """CCNet-style LM quality signal (Wenzek et al., LREC 2020) with a
+    corpus-trained unigram model: pass 1 aggregates global token counts
+    (per-block ``value_counts`` combiner -> one vocabulary groupby);
+    the ``top_v`` head of the vocabulary broadcasts once with its
+    MLE probabilities, every tail token scores at the mean tail
+    probability (tail_mass / (T * n_tail_distinct)) — the exact head
+    is what a 100-TB run would ship to workers while the Zipfian tail
+    collapses to one scalar. Pass 2 streams the corpus: per-doc
+    mean negative log2-likelihood (``nll_bits``; perplexity =
+    2**nll_bits), fully vectorized via index_in + reduceat. No
+    reference counterpart (north-rule training-data operator)."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        flat, _ = _doc_token_lists(t)
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    vocab = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()
+    )
+    total_tokens = int(vocab.sum("c") or 0)
+    n_distinct = vocab.count()
+    head = pa.concat_tables(
+        vocab.sort(["c", "token"], descending=[True, False])
+        .limit(top_v)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    head_mass = int(pc.sum(head["c"]).as_py() or 0)
+    tail_distinct = n_distinct - len(head)
+    tail_mass = total_tokens - head_mass
+    if total_tokens == 0:
+        p_oov = 1.0
+    elif tail_distinct > 0 and tail_mass > 0:
+        p_oov = tail_mass / (total_tokens * tail_distinct)
+    else:
+        # no tail: an unseen token would get the least-likely-head prob
+        p_oov = 1.0 / total_tokens
+    log_p = np.log2(
+        head["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        / max(total_tokens, 1)
+    )
+    lp_oov = float(np.log2(p_oov))
+    head_ref = ray.put((head["token"], log_p))
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    def score(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("nll_bits", pa.float64())]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        tokens, logp = _get_broadcast(head_ref)
+        flat, n_per_doc = _doc_token_lists(t)
+        idx = pc.index_in(flat, value_set=tokens).to_numpy(zero_copy_only=False)
+        if idx.dtype.kind == "f":  # nulls -> NaN = OOV
+            oov = np.isnan(idx)
+            idxi = np.nan_to_num(idx, nan=0.0).astype(np.int64)
+        else:
+            oov = np.zeros(len(idx), dtype=bool)
+            idxi = idx.astype(np.int64)
+        lp = np.where(oov, lp_oov, logp[idxi] if len(logp) else lp_oov)
+        sums = _segment_sums(lp, n_per_doc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = np.where(n_per_doc > 0, -sums / np.maximum(n_per_doc, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_per_doc, type=pa.int64()),
+                "nll_bits": pa.array(np.round(nll, 4), type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _round4_half_away(x: np.ndarray) -> np.ndarray:
+    """Round to 4 decimals with DuckDB's half-AWAY-from-zero tie rule
+    (np.round is half-even: 1.90625 -> 1.9062 vs DuckDB 1.9063).
+    Only exact binary-fraction ties diverge between the two rules, so
+    this matters for ratios of small integers (mean counts), not for
+    irrational scores (logs)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+
+def _segment_sums(vals: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Sum ``vals`` over consecutive segments of the given lengths.
+    Safe for empty segments (np.add.reduceat would return the element
+    AT an empty segment's bound, and raises on a bound == len)."""
+    n_seg = len(seg_lens)
+    if n_seg == 0:
+        return np.zeros(0, dtype=np.float64)
+    if len(vals) == 0:
+        return np.zeros(n_seg, dtype=np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(vals, dtype=np.float64)])
+    ends = np.cumsum(seg_lens.astype(np.int64))
+    starts = ends - seg_lens
+    return cum[ends] - cum[starts]
+
+
+def _doc_trigrams(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Batch texts -> (flat token-trigram strings, trigrams-per-doc).
+    Trigram = three consecutive filtered tokens joined by one space,
+    never crossing a document border; docs with < 3 tokens contribute
+    none. Fully vectorized (three shifted Arrow slices + one
+    binary_join_element_wise)."""
+    flat, n_per_doc = _doc_token_lists(t)
+    n = len(flat)
+    n_tri_per_doc = np.maximum(n_per_doc - 2, 0)
+    if n < 3:
+        return pa.array([], type=pa.string()), n_tri_per_doc
+    tri = pc.binary_join_element_wise(
+        flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2), " "
+    )
+    # a trigram starting at flat position i is valid iff positions
+    # i and i+2 fall in the same doc
+    doc_of = np.repeat(np.arange(len(n_per_doc), dtype=np.int64), n_per_doc)
+    keep = doc_of[: n - 2] == doc_of[2:]
+    return tri.filter(pa.array(keep)), n_tri_per_doc
+
+
+def soft_dedup_weights(sf_dir: str) -> ray.data.Dataset:
+    """SoftDeDup-style reweighting (He et al., ACL 2024 "SoftDedup":
+    downweight instead of remove): per-doc "commonness" = mean global
+    corpus frequency of the doc's token trigrams, plus the count of
+    trigrams duplicated across the corpus (freq >= 2). Pass 1: global
+    trigram counts (per-block value_counts combiner -> one groupby).
+    Pass 2: counts re-attach via broadcast below the join cap (shuffle
+    join fallback above — the trigram vocabulary at 100 TB would route
+    there), then a per-doc groupby-free vectorized segment mean.
+    ``weight`` = 1/commonness is the sampling weight a trainer would
+    consume. No reference counterpart (north-rule operator)."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        tri, _ = _doc_trigrams(t)
+        vc = pc.value_counts(tri)
+        return pa.table(
+            {"sh": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()
+    )
+    from ordinarydumpdeduplicator_ray.stages.join import _BROADCAST_JOIN_CAP
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    if counts.count() <= _BROADCAST_JOIN_CAP:
+        packed = pa.concat_tables(
+            counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).combine_chunks()
+        ref = ray.put((packed["sh"], packed["c"].to_numpy(zero_copy_only=False)))
+
+        def score(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.schema(
+                    [("doc_id", pa.int64()), ("n_trigrams", pa.int64()),
+                     ("n_dup_trigrams", pa.int64()),
+                     ("commonness", pa.float64()),
+                     ("weight", pa.float64())]
+                ).empty_table()
+            sh_arr, c_vec = _get_broadcast(ref)
+            tri, n_tri = _doc_trigrams(t)
+            idx = pc.index_in(tri, value_set=sh_arr).to_numpy(
+                zero_copy_only=False
+            )
+            idxi = np.nan_to_num(idx.astype(np.float64), nan=0.0).astype(np.int64) \
+                if idx.dtype.kind == "f" else idx.astype(np.int64)
+            c = c_vec[idxi].astype(np.float64) if len(c_vec) else np.zeros(0)
+            sums = _segment_sums(c, n_tri)
+            dup_sums = _segment_sums((c >= 2).astype(np.float64), n_tri)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_c = np.where(n_tri > 0, sums / np.maximum(n_tri, 1), 0.0)
+            weight = np.where(mean_c > 0, 1.0 / np.where(mean_c > 0, mean_c, 1.0), 1.0)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_trigrams": pa.array(n_tri, type=pa.int64()),
+                    "n_dup_trigrams": pa.array(
+                        dup_sums.astype(np.int64), type=pa.int64()
+                    ),
+                    "commonness": pa.array(_round4_half_away(mean_c), type=pa.float64()),
+                    "weight": pa.array(_round4_half_away(weight), type=pa.float64()),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # shuffle route (trigram vocabulary above the broadcast cap):
+    # explode (doc_id, sh), join on sh, groupby doc_id; zero-trigram
+    # docs bypass the join and union in with zero rows so both routes
+    # emit one row per input doc
+    def explode(t: pa.Table) -> pa.Table:
+        tri, n_tri = _doc_trigrams(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(np.repeat(ids, n_tri), type=pa.int64()),
+             "sh": tri}
+        )
+
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    pairs = inner_join(
+        docs.map_batches(explode, batch_format="pyarrow"), counts,
+        on=("sh",), num_partitions=_nparts(),
+        empty_schema=pa.schema(
+            [("doc_id", pa.int64()), ("sh", pa.string()), ("c", pa.int64())]
+        ),
+    )
+
+    def mark_dup(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "isdup", pc.cast(pc.greater_equal(t["c"], 2), pa.int64())
+        )
+
+    agg = pairs.map_batches(mark_dup, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Count(alias_name="n_trigrams"), Sum("c", alias_name="c_sum"),
+            Sum("isdup", alias_name="n_dup_trigrams"),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_trigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_c = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        weight = np.where(mean_c > 0, 1.0 / np.where(mean_c > 0, mean_c, 1.0), 1.0)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_trigrams": t["n_trigrams"],
+             "n_dup_trigrams": t["n_dup_trigrams"],
+             "commonness": pa.array(_round4_half_away(mean_c), type=pa.float64()),
+             "weight": pa.array(_round4_half_away(weight), type=pa.float64())}
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        _, n_tri = _doc_trigrams(t)
+        z = t.filter(pa.array(n_tri == 0))
+        k = len(z)
+        return pa.table(
+            {"doc_id": z["doc_id"],
+             "n_trigrams": pa.array([0] * k, type=pa.int64()),
+             "n_dup_trigrams": pa.array([0] * k, type=pa.int64()),
+             "commonness": pa.array([0.0] * k, type=pa.float64()),
+             "weight": pa.array([1.0] * k, type=pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").union(
+        docs.map_batches(zero_rows, batch_format="pyarrow")
+    )
+
+
+def dsir_weights(sf_dir: str, n_buckets: int = 4096) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 "Data Selection
+    for Language Models via Importance Resampling"): hashed-bigram
+    bag-of-words features; per-doc log importance ratio
+    log p_target(doc) - log p_raw(doc) under add-one-smoothed
+    multinomials over ``n_buckets`` hash buckets. Target distribution =
+    the English slice of the corpus; raw = the whole corpus. Both
+    bucket-count vectors are tiny fixed-size aggregates (per-block
+    bincount partials summed driver-side) broadcast once; scoring is a
+    stateless vectorized map. Rows-only (the frozen uint64 shingle hash
+    is not SQL-expressible); hash-locked via dsir_weights_checksum."""
+    from ordinarydumpdeduplicator_ray.functions.hashing import (
+        TokenHasher, shingle_hashes,
+    )
+    from ordinarydumpdeduplicator_ray.functions.text import tokenize
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "lang", "text"]) \
+        .materialize()
+    B = int(n_buckets)
+
+    def _bigram_buckets(texts: list) -> list[np.ndarray]:
+        h = TokenHasher()
+        out = []
+        for x in texts:
+            toks = tokenize(x or "", True)
+            if len(toks) < 2:
+                out.append(np.zeros(0, dtype=np.int64))
+                continue
+            bg = shingle_hashes(h.hash_tokens(toks), 2)
+            out.append((bg % np.uint64(B)).astype(np.int64))
+        return out
+
+    def block_counts(t: pa.Table) -> np.ndarray:
+        """-> stacked [raw_counts(B), target_counts(B)] int64."""
+        raw = np.zeros(B, dtype=np.int64)
+        tgt = np.zeros(B, dtype=np.int64)
+        langs = t["lang"].to_pylist() if "lang" in t.column_names else [None] * len(t)
+        for lang, bks in zip(langs, _bigram_buckets(t["text"].to_pylist())):
+            if len(bks) == 0:
+                continue
+            bc = np.bincount(bks, minlength=B)
+            raw += bc
+            if lang == "en":
+                tgt += bc
+        return np.stack([raw, tgt])
+
+    parts = map_blocks(docs, block_counts)
+    stacked = np.sum(np.stack(parts), axis=0) if parts else np.zeros((2, B), np.int64)
+    raw_c, tgt_c = stacked[0], stacked[1]
+    log_raw = np.log((raw_c + 1.0) / float(raw_c.sum() + B))
+    log_tgt = np.log((tgt_c + 1.0) / float(tgt_c.sum() + B))
+    ref = ray.put(log_tgt - log_raw)
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                 ("log_ratio", pa.float64())]
+            ).empty_table()
+        delta = _get_broadcast(ref)
+        ids, ns, lrs = [], [], []
+        for did, bks in zip(
+            t["doc_id"].to_pylist(), _bigram_buckets(t["text"].to_pylist())
+        ):
+            ids.append(did)
+            ns.append(len(bks))
+            lrs.append(float(delta[bks].sum()) if len(bks) else 0.0)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_bigrams": pa.array(ns, type=pa.int64()),
+             "log_ratio": pa.array(np.round(lrs, 4), type=pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the DSIR importance-weight table."""
+    return _row_digest_table(
+        dsir_weights(sf_dir), ["doc_id", "n_bigrams", "log_ratio"],
+        "n_docs",
+    )

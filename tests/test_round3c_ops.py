@@ -200,3 +200,134 @@ def test_near_dup_components_carry_query(ray_session):
     # labels are canonical members of their own component
     for url, lab in labels.items():
         assert lab in labels and labels[lab] == lab
+
+
+def test_lm_perplexity_brute_force(ray_session, tmp_path):
+    """lm_doc_perplexity vs a driver-side brute-force unigram LM on a
+    tiny synthetic corpus — head/tail split, OOV mass, nll arithmetic."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import lm_doc_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a completely different zebra sentence here",
+        "",            # zero tokens
+        "the the the",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts), type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    top_v = 4
+    out = {r["doc_id"]: r for r in
+           lm_doc_perplexity(str(tmp_path), top_v=top_v).take_all()}
+
+    # brute force
+    import re
+    tok = lambda s: re.findall(r"\w+", s.lower())
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        c.update(tok(t))
+    total = sum(c.values())
+    head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    head_d = dict(head)
+    tail_mass = total - sum(head_d.values())
+    tail_distinct = len(c) - len(head_d)
+    p_oov = tail_mass / (total * tail_distinct)
+    for i, t in enumerate(texts):
+        toks = tok(t)
+        assert out[i]["n_tokens"] == len(toks)
+        if not toks:
+            assert out[i]["nll_bits"] == 0.0
+            continue
+        ll = sum(
+            math.log2(head_d[w] / total) if w in head_d else math.log2(p_oov)
+            for w in toks
+        )
+        assert abs(out[i]["nll_bits"] - round(-ll / len(toks), 4)) <= 1e-4
+
+
+def test_soft_dedup_routes_agree(ray_session, tmp_path, monkeypatch):
+    """Broadcast and shuffle-join routes of soft_dedup_weights emit
+    identical rows (the above-cap fallback is exercised by forcing the
+    cap to 0 via the join module constant)."""
+    import pyarrow.parquet as pq
+
+    import ordinarydumpdeduplicator_ray.pipelines.queries as qmod
+    from ordinarydumpdeduplicator_ray.pipelines.queries import soft_dedup_weights
+
+    texts = [
+        "alpha beta gamma delta alpha beta gamma",
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta",
+        "xy",           # < 3 tokens -> zero trigrams
+        "alpha beta gamma delta alpha beta gamma",  # exact dup of doc 0
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts), type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    def rows(ds):
+        return sorted(
+            (tuple(r.values()) for r in ds.take_all()),
+        )
+
+    fast = rows(soft_dedup_weights(str(tmp_path)))
+
+    import ordinarydumpdeduplicator_ray.stages.join as join_mod
+    monkeypatch.setattr(join_mod, "_BROADCAST_JOIN_CAP", 0)
+    slow = rows(soft_dedup_weights(str(tmp_path)))
+    assert fast == slow
+    assert len(fast) == len(texts)
+    by_id = {r[0]: r for r in fast}
+    assert by_id[3][1] == 0 and by_id[3][4] == 1.0   # zero trigrams
+    # the exact-dup pair's trigrams all appear >= 2 times
+    assert by_id[0][2] == by_id[0][1]
+
+
+def test_dsir_weights_semantics(ray_session, tmp_path):
+    """English docs must score a higher target/raw log-ratio than the
+    non-English slice when the target is the 'en' subset; zero-bigram
+    docs get 0.0; output is deterministic."""
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import dsir_weights
+
+    texts = ["the quick brown fox jumps", "le renard brun rapide saute",
+             "the lazy dog sleeps", "x"]
+    langs = ["en", "fr", "en", "en"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in dsir_weights(str(tmp_path)).take_all()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["log_ratio"] == 0.0
+    # per-bigram mean ratio: en docs should beat the fr doc
+    en_mean = (out[0]["log_ratio"] / out[0]["n_bigrams"]
+               + out[2]["log_ratio"] / out[2]["n_bigrams"]) / 2
+    fr_mean = out[1]["log_ratio"] / out[1]["n_bigrams"]
+    assert en_mean > fr_mean
+
+    again = {r["doc_id"]: r for r in dsir_weights(str(tmp_path)).take_all()}
+    assert again == out
