@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: DSIR importance weights (rows-only) ------------
         "dsir_weights": q.dsir_weights,
         "dsir_weights_checksum": q.dsir_weights_checksum,
+        # --- new in round 3c: per-group exact percentiles --------------------
+        "lang_length_stats": q.lang_length_stats,
+        # --- new in round 3c: full-corpus distributed Lloyd k-means ----------
+        "embedding_kmeans_stats": q.embedding_kmeans_stats,
+        "embedding_kmeans_checksum": q.embedding_kmeans_checksum,
     }
 
 
@@ -1192,5 +1197,21 @@ FROM documents d LEFT JOIN per p USING (doc_id)
         # order-independent row digest at sf0.01)
         "dsir_weights_checksum": """
 SELECT CAST(500 AS BIGINT) AS n_docs, 'e5991c8a12f4a555' AS checksum
+""",
+        # per-language exact percentile_disc profile (one 16-byte-row
+        # sort + block-metadata rank location per group)
+        "lang_length_stats": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p50_len,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p90_len,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY length(text)) AS BIGINT) AS p99_len,
+       CAST(max(length(text)) AS BIGINT) AS max_len
+FROM documents GROUP BY lang
+""",
+        # full-corpus Lloyd k-means assignment digest (int64 micro-unit
+        # partial sums make the run blocking-independent, so the stored
+        # constant locks the whole iterative clustering)
+        "embedding_kmeans_checksum": """
+SELECT CAST(500 AS BIGINT) AS n_vectors, '967fea7a5d7964be' AS checksum
 """,
     }

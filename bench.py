@@ -140,6 +140,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "lm_doc_perplexity",
         "soft_dedup_weights",
         "dsir_weights",
+        "lang_length_stats",
+        "embedding_kmeans_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -3920,3 +3920,83 @@ def dsir_weights_checksum(sf_dir: str) -> pa.Table:
         dsir_weights(sf_dir), ["doc_id", "n_bigrams", "log_ratio"],
         "n_docs",
     )
+
+
+def lang_length_stats(sf_dir: str) -> pa.Table:
+    """Per-language exact length distribution: count + p50/p90/p99/max
+    of character length, one row per lang — the stratified profile a
+    curation run uses to set per-language length cutoffs. One
+    (lang, len) 16-byte-row sort + block-metadata rank location
+    (stages/quantiles.py grouped_exact_percentiles); O(langs x 4)
+    block fetches regardless of corpus size."""
+    from ordinarydumpdeduplicator_ray.stages.quantiles import (
+        grouped_exact_percentiles,
+    )
+
+    docs = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"],
+             "len": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        )
+
+    tbl = grouped_exact_percentiles(
+        docs.map_batches(with_len, batch_format="pyarrow"),
+        key="lang", column="len", qs=[0.5, 0.9, 0.99],
+    )
+    return pa.table(
+        {
+            "lang": tbl["lang"],
+            "n_docs": tbl["n"],
+            "p50_len": pc.cast(tbl["q0.5"], pa.int64()),
+            "p90_len": pc.cast(tbl["q0.9"], pa.int64()),
+            "p99_len": pc.cast(tbl["q0.99"], pa.int64()),
+            "max_len": pc.cast(tbl["max"], pa.int64()),
+        }
+    )
+
+
+_KMEANS_CACHE: dict = {}
+
+
+def _kmeans_assignments(sf_dir: str) -> ray.data.Dataset:
+    cached = _KMEANS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    from ordinarydumpdeduplicator_ray.stages.kmeanslloyd import (
+        distributed_kmeans,
+    )
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    _, assigns = distributed_kmeans(emb, k=8, iters=4)
+    out = assigns.materialize()
+    _KMEANS_CACHE[sf_dir] = out
+    return out
+
+
+def embedding_kmeans_stats(sf_dir: str) -> pa.Table:
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    (stages/kmeanslloyd.py): per-cluster size + mean cosine to the
+    learned centroid. Every row votes in every update — one block pass
+    per iteration, exact int64 micro-unit partials so the result is
+    bit-identical under ANY blocking. Rows-only (iterative float
+    clustering is not SQL-expressible); the blocking-independence and
+    convergence properties are pytest-carried and the full assignment
+    table is hash-locked via embedding_kmeans_checksum."""
+    from ordinarydumpdeduplicator_ray.stages.kmeanslloyd import (
+        kmeans_cluster_stats,
+    )
+
+    return kmeans_cluster_stats(_kmeans_assignments(sf_dir))
+
+
+def embedding_kmeans_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the full k-means assignment table."""
+    return _row_digest_table(
+        _kmeans_assignments(sf_dir), ["vec_id", "cluster", "cos"],
+        "n_vectors",
+    )

@@ -64,3 +64,77 @@ def exact_percentiles(
             fetched[bi] = blk
         out[q] = blk[column][off].as_py()
     return out
+
+
+def grouped_exact_percentiles(
+    ds: ray.data.Dataset, key: str, column: str, qs: list[float]
+) -> pa.Table:
+    """Per-group exact percentile_disc: one (key, column) projected
+    sort + one strata-sized count groupby; each group's picked ranks
+    are located from block-metadata row counts exactly like the global
+    variant — O(#groups x #percentiles) block fetches total, no group
+    ever materializes. Intended for LOW-cardinality strata (languages,
+    sources, splits); a million-group profile belongs in a groupby
+    aggregate instead.
+
+    Returns one row per group: (key, n, q<q> columns..., max)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[key]: r["n"]
+        for r in ds.groupby(key).aggregate(Count(alias_name="n")).take_all()
+    }
+    if not counts:
+        cols = {key: pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64())}
+        for q in qs:
+            cols[f"q{q}"] = pa.array([], type=pa.int64())
+        cols["max"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+    proj = ds.map_batches(
+        lambda t: t.select([key, column]), batch_format="pyarrow"
+    )
+    srt = proj.sort([key, column]).materialize()
+
+    refs, ns = [], []
+    for bundle in srt.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                ns.append(meta.num_rows)
+    cum = np.concatenate([[0], np.cumsum(ns)])
+
+    fetched: dict[int, pa.Table] = {}
+
+    def value_at(gidx: int):
+        bi = int(np.searchsorted(cum, gidx, side="right") - 1)
+        blk = fetched.get(bi)
+        if blk is None:
+            blk = ray.get(refs[bi])
+            if isinstance(blk, pa.RecordBatch):
+                blk = pa.Table.from_batches([blk])
+            fetched[bi] = blk
+        return blk[column][int(gidx - cum[bi])].as_py()
+
+    # group start offsets: prefix sums of group sizes in sort-key order
+    rows: dict[str, list] = {key: [], "n": []}
+    for q in qs:
+        rows[f"q{q}"] = []
+    rows["max"] = []
+    start = 0
+    for k in sorted(counts):
+        n_k = counts[k]
+        rows[key].append(k)
+        rows["n"].append(n_k)
+        for q in qs:
+            rows[f"q{q}"].append(value_at(start + max(1, math.ceil(q * n_k)) - 1))
+        rows["max"].append(value_at(start + n_k - 1))
+        start += n_k
+
+    cols = {key: pa.array(rows[key]), "n": pa.array(rows["n"], type=pa.int64())}
+    for q in qs:
+        cols[f"q{q}"] = pa.array(rows[f"q{q}"])
+    cols["max"] = pa.array(rows["max"])
+    return pa.table(cols)

@@ -331,3 +331,108 @@ def test_dsir_weights_semantics(ray_session, tmp_path):
 
     again = {r["doc_id"]: r for r in dsir_weights(str(tmp_path)).take_all()}
     assert again == out
+
+
+def _toy_embeddings(n=120, d=8, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # three separated blobs + noise
+    centers = rng.normal(size=(3, d)) * 4
+    rows = centers[np.arange(n) % 3] + rng.normal(size=(n, d)) * 0.3
+    return pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              type=pa.list_(pa.float32())),
+    })
+
+
+def test_distributed_kmeans_blocking_independent(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.kmeanslloyd import (
+        distributed_kmeans,
+    )
+
+    tbl = _toy_embeddings()
+    outs = []
+    for nblocks in (1, 3, 17):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        cents, assigns = distributed_kmeans(ds, k=3, iters=5)
+        rows = sorted(
+            (r["vec_id"], r["cluster"], r["cos"]) for r in assigns.take_all()
+        )
+        outs.append((cents.tobytes(), rows))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_distributed_kmeans_recovers_blobs(ray_session):
+    import numpy as np
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.kmeanslloyd import (
+        distributed_kmeans, kmeans_cluster_stats,
+    )
+
+    tbl = _toy_embeddings()
+    cents, assigns = distributed_kmeans(ray.data.from_arrow(tbl), k=3, iters=8)
+    rows = {r["vec_id"]: r["cluster"] for r in assigns.take_all()}
+    # ground truth: vec_id % 3 — clusters must be a pure relabeling
+    seen = {}
+    pure = 0
+    for vid, cl in rows.items():
+        truth = vid % 3
+        seen.setdefault(truth, {}).setdefault(cl, 0)
+        seen[truth][cl] += 1
+    for truth, dist in seen.items():
+        pure += max(dist.values())
+    assert pure / len(rows) >= 0.95   # separated blobs: near-perfect
+    stats = kmeans_cluster_stats(assigns)
+    assert sum(stats["n"].to_pylist()) == len(rows)
+    assert all(v > 0.8 for v in stats["mean_cos"].to_pylist())
+
+
+def test_distributed_kmeans_empty_and_fewer_than_k(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.kmeanslloyd import (
+        distributed_kmeans,
+    )
+
+    empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    })
+    cents, assigns = distributed_kmeans(ray.data.from_arrow(empty), k=4, iters=2)
+    assert assigns.count() == 0
+
+    tiny = _toy_embeddings(n=2)
+    cents, assigns = distributed_kmeans(ray.data.from_arrow(tiny), k=8, iters=2)
+    assert len(cents) == 2 and assigns.count() == 2
+
+
+def test_lang_length_stats_matches_bruteforce(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import lang_length_stats
+
+    texts, langs = [], []
+    for i in range(57):
+        texts.append("x" * (i * 7 % 53 + 1))
+        langs.append(["en", "de", "fr"][i % 3])
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(langs),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["lang"]: r for r in lang_length_stats(str(tmp_path)).to_pylist()}
+    for lang in ("en", "de", "fr"):
+        lens = sorted(len(t) for t, lg in zip(texts, langs) if lg == lang)
+        assert out[lang]["n_docs"] == len(lens)
+        for q, col in [(0.5, "p50_len"), (0.9, "p90_len"), (0.99, "p99_len")]:
+            assert out[lang][col] == lens[max(1, math.ceil(q * len(lens))) - 1]
+        assert out[lang]["max_len"] == lens[-1]
