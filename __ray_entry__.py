@@ -257,6 +257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: full-corpus distributed Lloyd k-means ----------
         "embedding_kmeans_stats": q.embedding_kmeans_stats,
         "embedding_kmeans_checksum": q.embedding_kmeans_checksum,
+        # --- new in round 3c: per-host curation profile ----------------------
+        "host_profile": q.host_profile,
+        # --- new in round 3c: threshold sensitivity sweep (rows-only) --------
+        "dedup_threshold_sweep": q.dedup_threshold_sweep,
+        "dedup_threshold_sweep_checksum": q.dedup_threshold_sweep_checksum,
     }
 
 
@@ -1213,5 +1218,26 @@ FROM documents GROUP BY lang
         # constant locks the whole iterative clustering)
         "embedding_kmeans_checksum": """
 SELECT CAST(500 AS BIGINT) AS n_vectors, '967fea7a5d7964be' AS checksum
+""",
+        # per-host page counts, exact-dup membership rate and mean length
+        "host_profile": f"""
+WITH {_PAGES_HOST_CTE},
+d AS (SELECT sha256(text) AS sha FROM pages GROUP BY sha256(text) HAVING count(*) > 1),
+f AS (
+  SELECT source || '.example' AS host,
+         sha256(text) IN (SELECT sha FROM d) AS is_dup,
+         length(text) AS len
+  FROM pages
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pages,
+       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_rate,
+       round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS mean_len
+FROM f GROUP BY host
+""",
+        # Jaccard threshold sensitivity sweep digest (MinHash-estimated
+        # edge scores; locked at sf0.01)
+        "dedup_threshold_sweep_checksum": """
+SELECT CAST(5 AS BIGINT) AS n_thresholds, '563d2cda94710b1b' AS checksum
 """,
     }

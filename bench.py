@@ -142,6 +142,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dsir_weights",
         "lang_length_stats",
         "embedding_kmeans_stats",
+        "host_profile",
+        "dedup_threshold_sweep",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -4000,3 +4000,151 @@ def embedding_kmeans_checksum(sf_dir: str) -> pa.Table:
         _kmeans_assignments(sf_dir), ["vec_id", "cluster", "cos"],
         "n_vectors",
     )
+
+
+def host_profile(sf_dir: str) -> ray.data.Dataset:
+    """Per-host curation profile over the injected-dup corpus: page
+    count, exact-duplicate page count (content sha shared with ANY
+    other page corpus-wide), dup rate and mean page length — the
+    domain-level dashboard a crawl operator prioritizes blocklists and
+    caps from. Dup shas come from a per-block value_counts combiner +
+    one narrow groupby (shuffle moves distinct-sha rows, not pages);
+    the (small) dup-sha set broadcasts back through one membership
+    pass. Reference analogue: the per-directory duplicate rollup
+    (DuplicateReport.cs:114-203) keyed by host instead."""
+    from ordinarydumpdeduplicator_ray.schemas import STATUS_OK
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    extracted = _extracted(
+        dup_corpus(sf_dir, with_source_host=True)
+    ).materialize()
+
+    def partial_sha_counts(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["status"], STATUS_OK))
+        vc = pc.value_counts(ok["text_sha256"].combine_chunks())
+        return pa.table(
+            {"sha": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    dup_shas = (
+        extracted.map_batches(partial_sha_counts, batch_format="pyarrow")
+        .groupby("sha").aggregate(Sum("n", alias_name="n"))
+        .filter(expr="n > 1")
+        .materialize()
+    )
+    packed = pa.concat_tables(
+        dup_shas.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks() if dup_shas.count() else None
+    ref = ray.put(packed["sha"] if packed is not None else None)
+
+    def per_host_partial(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["status"], STATUS_OK))
+        if len(ok) == 0:
+            return pa.table({
+                "host": pa.array([], type=pa.string()),
+                "n_pages": pa.array([], type=pa.int64()),
+                "n_dup_pages": pa.array([], type=pa.int64()),
+                "sum_len": pa.array([], type=pa.int64()),
+            })
+        dupset = _get_broadcast(ref)
+        host = pc.extract_regex(ok["url"], r"^https://(?P<host>[^/]+)/")
+        host = pc.struct_field(host, "host")
+        if dupset is not None:
+            is_dup = pc.is_valid(pc.index_in(ok["text_sha256"], value_set=dupset))
+        else:
+            is_dup = pa.array([False] * len(ok), type=pa.bool_())
+        lens = pc.utf8_length(ok["text"])
+        return pa.table({
+            "host": host,
+            "dup": pc.cast(is_dup, pa.int64()),
+            "len": pc.cast(lens, pa.int64()),
+        })
+
+    agg = (
+        extracted.map_batches(per_host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Sum("dup", alias_name="n_dup_pages"),
+            Sum("len", alias_name="sum_len"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_pages"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["n_dup_pages"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "host": t["host"],
+            "n_pages": t["n_pages"],
+            "n_dup_pages": t["n_dup_pages"],
+            "dup_rate": pa.array(_round4_half_away(d / n), type=pa.float64()),
+            "mean_len": pa.array(_round4_half_away(s / n), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_threshold_sweep(sf_dir: str) -> pa.Table:
+    """Near-dup sensitivity analysis: component count / member count /
+    reclaimable bytes at several Jaccard thresholds, from ONE flagship
+    run — the verified edge table (O(duplicated docs), already
+    estimated-Jaccard-scored) is filtered per threshold and re-labeled,
+    so the corpus streams once no matter how many thresholds the
+    operator sweeps. The production knob-tuning loop ("how much do we
+    lose at 0.9 vs 0.8?") without re-running LSH. Rows-only (the
+    MinHash estimate is not SQL-expressible); locked via
+    dedup_threshold_sweep_checksum, and monotonicity is pytest-carried."""
+    from ordinarydumpdeduplicator_ray.state.unionfind import (
+        components_from_edges, label_propagation,
+    )
+
+    edges = _flagship(sf_dir)["edges"].materialize()
+    # same driver-vs-distributed auto-select as the flagship
+    # (pipelines/dedup.py build_components); the driver path handles
+    # every realistic edge volume, label propagation covers the rest
+    driver_ok = edges.count() <= 50_000_000  # DedupPipeline.max_driver_edges
+    rows = {"threshold": [], "n_components": [], "n_members": [],
+            "reclaim_bytes": []}
+    for thr in (0.7, 0.8, 0.9, 0.95, 1.0):
+        sub = edges.filter(expr=f"jaccard >= {thr}")
+        if driver_ok:
+            comp = components_from_edges(sub)
+        else:  # pragma: no cover - exercised only at cluster scale
+            comp = pa.concat_tables(label_propagation(sub).iter_batches(
+                batch_size=None, batch_format="pyarrow"))
+        rows["threshold"].append(thr)
+        if len(comp) == 0:
+            rows["n_components"].append(0)
+            rows["n_members"].append(0)
+            rows["reclaim_bytes"].append(0)
+            continue
+        import pandas as pd
+
+        df = comp.to_pandas()
+        n_comp = df["component_id"].nunique()
+        # reclaimable = total member bytes minus one kept copy per comp
+        if "n_bytes" in df.columns:
+            per = df.groupby("component_id")["n_bytes"]
+            reclaim = int(per.sum().sum() - per.min().sum())
+        else:
+            reclaim = 0
+        rows["n_components"].append(int(n_comp))
+        rows["n_members"].append(int(len(df)))
+        rows["reclaim_bytes"].append(reclaim)
+    return pa.table({
+        "threshold": pa.array(rows["threshold"], type=pa.float64()),
+        "n_components": pa.array(rows["n_components"], type=pa.int64()),
+        "n_members": pa.array(rows["n_members"], type=pa.int64()),
+        "reclaim_bytes": pa.array(rows["reclaim_bytes"], type=pa.int64()),
+    })
+
+
+def dedup_threshold_sweep_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the threshold sweep."""
+    return _row_digest_table(
+        ray.data.from_arrow(dedup_threshold_sweep(sf_dir)),
+        ["threshold", "n_components", "n_members", "reclaim_bytes"],
+        "n_thresholds",
+    )

@@ -436,3 +436,40 @@ def test_lang_length_stats_matches_bruteforce(ray_session, tmp_path):
         for q, col in [(0.5, "p50_len"), (0.9, "p90_len"), (0.99, "p99_len")]:
             assert out[lang][col] == lens[max(1, math.ceil(q * len(lens))) - 1]
         assert out[lang]["max_len"] == lens[-1]
+
+
+def test_threshold_sweep_monotone(ray_session):
+    """Raising the Jaccard threshold can only shrink the duplicate
+    graph: components, members and reclaimable bytes all non-increasing;
+    threshold 1.0 keeps at least the exact-dup edges."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        dedup_threshold_sweep,
+    )
+
+    t = dedup_threshold_sweep("/root/testdata/sf0.001").to_pydict()
+    for col in ("n_members", "reclaim_bytes"):
+        vals = t[col]
+        assert all(a >= b for a, b in zip(vals, vals[1:])), (col, vals)
+    assert t["n_components"][-1] > 0          # exact dups survive 1.0
+    assert t["n_members"][0] >= t["n_members"][-1]
+
+
+def test_host_profile_zero_dup_host(ray_session, tmp_path):
+    """A corpus with no duplicated content yields dup_rate 0 per host."""
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import host_profile
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 4, 5], type=pa.int64()),  # no %3==0: no -copy rows
+        "text": pa.array(["aaa", "bbb", "ccc", "ddd"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s1", "s1", "s2", "s2"]),
+        "n_chars": pa.array([3, 3, 3, 3], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["host"]: r for r in host_profile(str(tmp_path)).take_all()}
+    assert set(out) == {"s1.example", "s2.example"}
+    for r in out.values():
+        assert r["n_pages"] == 2 and r["n_dup_pages"] == 0
+        assert r["dup_rate"] == 0.0 and r["mean_len"] == 3.0
