@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: threshold sensitivity sweep (rows-only) --------
         "dedup_threshold_sweep": q.dedup_threshold_sweep,
         "dedup_threshold_sweep_checksum": q.dedup_threshold_sweep_checksum,
+        # --- new in round 3c: cross-snapshot content novelty ------------------
+        "novelty_scores": q.novelty_scores,
+        # --- new in round 3c: dedup method agreement matrix (rows-only) ------
+        "dedup_method_matrix": q.dedup_method_matrix,
+        "dedup_method_matrix_checksum": q.dedup_method_matrix_checksum,
     }
 
 
@@ -1239,5 +1244,44 @@ FROM f GROUP BY host
         # edge scores; locked at sf0.01)
         "dedup_threshold_sweep_checksum": """
 SELECT CAST(5 AS BIGINT) AS n_thresholds, '563d2cda94710b1b' AS checksum
+""",
+        # cur-snapshot trigram novelty vs the prev snapshot's DISTINCT
+        # trigram set (content-keyed complement of snapshot_diff)
+        "novelty_scores": r"""
+WITH snap_prev AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents WHERE doc_id % 11 <> 0
+),
+snap_cur AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+ptri AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT regexp_extract_all(lower(text), '\w+') AS w FROM snap_prev)
+),
+ctri AS (
+  SELECT url, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT url, regexp_extract_all(lower(text), '\w+') AS w FROM snap_cur)
+),
+per AS (
+  SELECT c.url, count(*) AS n_trigrams,
+         CAST(sum(CASE WHEN p.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+  FROM ctri c LEFT JOIN ptri p USING (sh)
+  GROUP BY c.url
+)
+SELECT s.url,
+       CAST(coalesce(per.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(per.n_unseen, 0) AS BIGINT) AS n_unseen,
+       round(coalesce(CAST(per.n_unseen AS DOUBLE) / per.n_trigrams, 0.0), 4) AS novelty
+FROM snap_cur s LEFT JOIN per USING (url)
+""",
+        # dedup method-agreement matrix digest (exact / minhash /
+        # simhash / winnow flag sets; locked at sf0.01)
+        "dedup_method_matrix_checksum": """
+SELECT CAST(767 AS BIGINT) AS n_pages, '012cd0d510e2b4ad' AS checksum
 """,
     }

@@ -144,6 +144,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "embedding_kmeans_stats",
         "host_profile",
         "dedup_threshold_sweep",
+        "novelty_scores",
+        "dedup_method_matrix",
     ]
     timings: dict[str, float] = {}
     for name in picks:

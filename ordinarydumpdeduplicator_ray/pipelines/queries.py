@@ -2780,7 +2780,14 @@ def winnow_containment_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Da
         winnow_containment_pairs as impl,
     )
 
-    return impl(dup_corpus(sf_dir, near=True), threshold=threshold)
+    # session-adaptive pool size: a fixed concurrency=4 pool next to the
+    # candidate-sort aggregators deadlocks a 4-CPU session
+    cfg = _qcfg()
+    return impl(
+        dup_corpus(sf_dir, near=True), threshold=threshold,
+        config=cfg, num_partitions=_nparts(),
+        concurrency=max(2, min(4, cfg.sig_concurrency // 2)),
+    )
 
 
 def tiered_corpus(sf_dir: str) -> ray.data.Dataset:
@@ -4147,4 +4154,198 @@ def dedup_threshold_sweep_checksum(sf_dir: str) -> pa.Table:
         ray.data.from_arrow(dedup_threshold_sweep(sf_dir)),
         ["threshold", "n_components", "n_members", "reclaim_bytes"],
         "n_thresholds",
+    )
+
+
+def novelty_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document content NOVELTY of the current crawl snapshot vs
+    the previous one: the fraction of each cur-doc's token trigrams
+    never seen in ANY prev-snapshot doc — the "how much genuinely new
+    text did this re-crawl bring" signal that complements the
+    url-keyed snapshot_diff (content-keyed, url-independent). The
+    prior side collapses to its DISTINCT trigram set (per-block
+    value_counts combiner -> one narrow groupby); below the join cap
+    the set broadcasts once and the cur snapshot streams through a
+    single membership pass; above it the exploded (url, trigram) rows
+    take a shuffle anti-join (stages/join.py broadcast_anti_join picks
+    the route). SQL-oracled."""
+    from ordinarydumpdeduplicator_ray.stages.join import _BROADCAST_JOIN_CAP
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    prev = _snapshot_pages(sf_dir, "prev")
+    cur = _snapshot_pages(sf_dir, "cur")
+
+    def partial_distinct(t: pa.Table) -> pa.Table:
+        tri, _ = _doc_trigrams(t)
+        vc = pc.value_counts(tri)
+        return pa.table({"sh": vc.field("values")})
+
+    prev_set = (
+        prev.map_batches(partial_distinct, batch_format="pyarrow")
+        .groupby("sh").aggregate(Count(alias_name="c"))
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [("url", pa.string()), ("n_trigrams", pa.int64()),
+         ("n_unseen", pa.int64()), ("novelty", pa.float64())]
+    )
+
+    if prev_set.count() <= _BROADCAST_JOIN_CAP:
+        packed = pa.concat_tables(
+            prev_set.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).combine_chunks() if prev_set.count() else None
+        ref = ray.put(packed["sh"] if packed is not None else None)
+
+        def score(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return out_schema.empty_table()
+            shset = _get_broadcast(ref)
+            tri, n_tri = _doc_trigrams(t)
+            if shset is not None and len(tri):
+                seen = pc.is_valid(
+                    pc.index_in(tri, value_set=shset)
+                ).to_numpy(zero_copy_only=False)
+            else:
+                seen = np.zeros(len(tri), dtype=bool)
+            unseen = _segment_sums((~seen).astype(np.float64), n_tri)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nov = np.where(n_tri > 0, unseen / np.maximum(n_tri, 1), 0.0)
+            return pa.table({
+                "url": t["url"],
+                "n_trigrams": pa.array(n_tri, type=pa.int64()),
+                "n_unseen": pa.array(unseen.astype(np.int64), type=pa.int64()),
+                "novelty": pa.array(_round4_half_away(nov), type=pa.float64()),
+            })
+
+        return cur.map_batches(score, batch_format="pyarrow")
+
+    # above-cap route: explode and anti-join (shuffle fallback inside)
+    from ordinarydumpdeduplicator_ray.stages.join import (
+        broadcast_anti_join, broadcast_left_join,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        tri, n_tri = _doc_trigrams(t)
+        urls = np.repeat(
+            np.asarray(t["url"].to_pylist(), dtype=object), n_tri
+        )
+        return pa.table({"url": pa.array(urls, type=pa.string()), "sh": tri})
+
+    exploded = cur.map_batches(explode, batch_format="pyarrow")
+    unseen_rows = broadcast_anti_join(exploded, prev_set, on="sh")
+    unseen_per_url = unseen_rows.groupby("url").aggregate(
+        Count(alias_name="n_unseen")
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        tri, n_tri = _doc_trigrams(t)
+        return pa.table({
+            "url": t["url"],
+            "n_trigrams": pa.array(n_tri, type=pa.int64()),
+        })
+
+    tot = cur.map_batches(totals, batch_format="pyarrow")
+    joined = broadcast_left_join(
+        tot, unseen_per_url, on="url",
+        empty_schema=pa.schema(
+            [("url", pa.string()), ("n_trigrams", pa.int64()),
+             ("n_unseen", pa.int64())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_trigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = pc.fill_null(t["n_unseen"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nov = np.where(n > 0, u / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "url": t["url"],
+            "n_trigrams": t["n_trigrams"],
+            "n_unseen": pa.array(u.astype(np.int64), type=pa.int64()),
+            "novelty": pa.array(_round4_half_away(nov), type=pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_method_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Method-agreement matrix: one row per page with a boolean per
+    dedup detector — exact sha, MinHash-near, SimHash-near, winnowed
+    containment — the side-by-side a curation team reads before picking
+    its production tier mix (which docs does each method uniquely
+    catch?). All four flag sets are O(duplicated docs): the flagship's
+    edge table split by source plus the winnow pair table, each
+    collapsed to a distinct-url set worker-side and broadcast; the
+    corpus then streams through ONE membership pass. Rows-only
+    (three of the four detectors are not SQL-expressible); locked via
+    dedup_method_matrix_checksum."""
+    from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    fl = _flagship(sf_dir)
+    edges = fl["edges"].materialize()
+    winnow = winnow_containment_pairs(sf_dir).materialize()
+
+    def edge_urls_of(src: str):
+        def f(t: pa.Table) -> pa.Array:
+            sub = t.filter(pc.equal(t["source"], src))
+            return pc.unique(pa.chunked_array(
+                [sub["url_a"].combine_chunks(), sub["url_b"].combine_chunks()]
+            ))
+        return f
+
+    def pair_urls(t: pa.Table) -> pa.Array:
+        return pc.unique(pa.chunked_array(
+            [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+        ))
+
+    sets = {}
+    for name, ds_, fn in [
+        ("exact", edges, edge_urls_of("exact")),
+        ("minhash", edges, edge_urls_of("minhash")),
+        ("simhash", edges, edge_urls_of("simhash")),
+        ("winnow", winnow, pair_urls),
+    ]:
+        parts = [a for a in map_blocks(ds_, fn) if len(a)]
+        uniq = pc.unique(pa.chunked_array(parts)) if parts \
+            else pa.array([], type=pa.string())
+        if isinstance(uniq, pa.ChunkedArray):
+            uniq = uniq.combine_chunks()
+        sets[name] = uniq
+    ref = ray.put(sets)
+
+    pages = dup_corpus(sf_dir, near=True)
+
+    def flag(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("url", pa.string())] +
+            [(f"by_{m}", pa.bool_()) for m in
+             ("exact", "minhash", "simhash", "winnow")] +
+            [("n_methods", pa.int64())]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        lk = _get_broadcast(ref)
+        cols = {"url": t["url"]}
+        total = np.zeros(len(t), dtype=np.int64)
+        for m in ("exact", "minhash", "simhash", "winnow"):
+            hit = pc.is_valid(pc.index_in(t["url"], value_set=lk[m])) \
+                if len(lk[m]) else pa.array([False] * len(t))
+            cols[f"by_{m}"] = hit
+            total += hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        cols["n_methods"] = pa.array(total, type=pa.int64())
+        return pa.table(cols)
+
+    return pages.map_batches(flag, batch_format="pyarrow")
+
+
+def dedup_method_matrix_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the method-agreement matrix."""
+    return _row_digest_table(
+        dedup_method_matrix(sf_dir),
+        ["url", "by_exact", "by_minhash", "by_simhash", "by_winnow",
+         "n_methods"],
+        "n_pages",
     )

@@ -473,3 +473,63 @@ def test_host_profile_zero_dup_host(ray_session, tmp_path):
     for r in out.values():
         assert r["n_pages"] == 2 and r["n_dup_pages"] == 0
         assert r["dup_rate"] == 0.0 and r["mean_len"] == 3.0
+
+
+def test_novelty_scores_routes_and_semantics(ray_session, tmp_path, monkeypatch):
+    """Unchanged docs score 0 novelty; a fully-new doc scores 1.0; the
+    broadcast and anti-join routes agree."""
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import novelty_scores
+
+    # doc_ids chosen so snapshots overlap: %11 and %13 keep most rows
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "one two three four five six",
+        3: "shared words stay shared here always",
+        7: "seven words change under the update rule",  # %7==0 -> edited in cur
+        5: "completely different text lives here now",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values())),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(v) for v in texts.values()], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    fast = rows(novelty_scores(str(tmp_path)))
+    import ordinarydumpdeduplicator_ray.stages.join as join_mod
+    monkeypatch.setattr(join_mod, "_BROADCAST_JOIN_CAP", 0)
+    slow = rows(novelty_scores(str(tmp_path)))
+    assert fast == slow
+
+    by_url = {r[0]: r for r in fast}
+    unchanged = "testdata://documents/00000001"
+    assert by_url[unchanged][3] == 0.0           # novelty
+    edited = "testdata://documents/00000007"
+    assert by_url[edited][3] > 0.0               # ' updated' suffix is new
+
+
+def test_dedup_method_matrix_exact_flags(ray_session):
+    """Exact flags must equal the brute-force sha-dup set of the
+    injected corpus; near methods must cover the -near planted copies."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        dedup_method_matrix,
+    )
+
+    rows = dedup_method_matrix("/root/testdata/sf0.001").take_all()
+    by_url = {r["url"]: r for r in rows}
+    for r in rows:
+        u = r["url"]
+        if u.endswith("-copy"):
+            assert r["by_exact"], u
+            assert by_url[u[:-5]]["by_exact"], u
+        if u.endswith("-near"):
+            assert r["by_minhash"] or r["by_simhash"] or r["by_winnow"], u
+    n_flagged = sum(1 for r in rows if r["n_methods"] > 0)
+    assert n_flagged >= sum(1 for r in rows if r["url"].endswith(("-copy", "-near")))
