@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: dedup method agreement matrix (rows-only) ------
         "dedup_method_matrix": q.dedup_method_matrix,
         "dedup_method_matrix_checksum": q.dedup_method_matrix_checksum,
+        # --- new in round 3c: within-document repetition ---------------------
+        "intra_dup_stats": q.intra_dup_stats,
+        # --- new in round 3c: TPC-H Q3 multi-way join composition ------------
+        "q3_shipping_priority": q.q3_shipping_priority,
     }
 
 
@@ -1283,5 +1287,35 @@ FROM snap_cur s LEFT JOIN per USING (url)
         # simhash / winnow flag sets; locked at sf0.01)
         "dedup_method_matrix_checksum": """
 SELECT CAST(767 AS BIGINT) AS n_pages, '012cd0d510e2b4ad' AS checksum
+""",
+        # within-doc repetition: total vs distinct trigrams per doc
+        "intra_dup_stats": r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents)
+)
+SELECT doc_id,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(tri) > 0
+             THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+             ELSE 0.0 END, 4) AS intra_dup_rate
+FROM arr
+""",
+        # TPC-H Q3 shape: 3-way join + revenue groupby + top-10
+        "q3_shipping_priority": """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_shipdate > TIMESTAMP '1997-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
 """,
     }

@@ -146,6 +146,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dedup_threshold_sweep",
         "novelty_scores",
         "dedup_method_matrix",
+        "intra_dup_stats",
+        "q3_shipping_priority",
     ]
     timings: dict[str, float] = {}
     for name in picks:

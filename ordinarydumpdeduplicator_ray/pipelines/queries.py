@@ -4349,3 +4349,158 @@ def dedup_method_matrix_checksum(sf_dir: str) -> pa.Table:
          "n_methods"],
         "n_pages",
     )
+
+
+def intra_dup_stats(sf_dir: str) -> ray.data.Dataset:
+    """WITHIN-document repetition: per doc, total vs distinct trigram
+    counts and the intra-dup rate (1 - distinct/total) — the
+    self-repetition signal (boilerplate loops, generated spam) that
+    corpus-level dedup never sees because no second document is
+    involved. Stateless and fully vectorized: one Arrow sort of the
+    batch's (segment, trigram) pairs, neighbor-inequality boundaries,
+    segmented counts — no per-doc Python, no shuffle at all.
+    SQL-oracled (len vs len(list_distinct))."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("n_trigrams", pa.int64()),
+             ("n_distinct", pa.int64()), ("intra_dup_rate", pa.float64())]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        tri, n_tri = _doc_trigrams(t)
+        seg = np.repeat(np.arange(len(n_tri), dtype=np.int64), n_tri)
+        if len(tri):
+            pairs = pa.table({"seg": pa.array(seg), "sh": tri})
+            order = pc.sort_indices(
+                pairs, sort_keys=[("seg", "ascending"), ("sh", "ascending")]
+            )
+            s_seg = pc.take(pairs["seg"], order).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            s_sh = pc.take(pairs["sh"], order).combine_chunks()
+            n = len(s_seg)
+            # a sorted row opens a new distinct value iff its segment or
+            # its trigram differs from the previous row
+            seg_change = np.concatenate([[True], s_seg[1:] != s_seg[:-1]])
+            sh_change = np.concatenate([[True], pc.not_equal(
+                s_sh.slice(1), s_sh.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)])
+            new_val = (seg_change | sh_change).astype(np.int64)
+            distinct = np.zeros(len(n_tri), dtype=np.int64)
+            np.add.at(distinct, s_seg, new_val)
+        else:
+            distinct = np.zeros(len(n_tri), dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = np.where(
+                n_tri > 0, 1.0 - distinct / np.maximum(n_tri, 1), 0.0
+            )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_trigrams": pa.array(n_tri, type=pa.int64()),
+            "n_distinct": pa.array(distinct, type=pa.int64()),
+            "intra_dup_rate": pa.array(_round4_half_away(rate),
+                                       type=pa.float64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1997-07-01") -> pa.Table:
+    """TPC-H Q3 shape over the relational side tables: revenue of
+    not-yet-shipped lineitems for one market segment's pre-cutoff
+    orders, top 10 by revenue. Shows the engine's multi-way join
+    composition: customer (filtered, tiny) broadcast-joins into
+    orders; the surviving orders (small) broadcast-join into the
+    lineitem STREAM — zero shuffles below the caps, hash-join fallback
+    above; the revenue groupby keys on int64 orderkeys. Top-10 via
+    sort+limit of the (small) per-order aggregate."""
+    import datetime as _dt
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr=f"c_mktsegment == '{segment}'").map_batches(
+        lambda t: t.select(["c_custkey"]), batch_format="pyarrow"
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_pre_cutoff(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"], pa.scalar(cut, type=t["o_orderdate"].type))
+        return t.filter(keep)
+
+    orders = orders.map_batches(orders_pre_cutoff, batch_format="pyarrow")
+    # customer side: rename key for the broadcast join
+    cust_k = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+        batch_format="pyarrow",
+    )
+    from ordinarydumpdeduplicator_ray.stages.join import (
+        broadcast_inner_join,
+    )
+
+    seg_orders = broadcast_inner_join(
+        orders, cust_k, on="o_custkey",
+        empty_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]),
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        }),
+        batch_format="pyarrow",
+    )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_post_cutoff(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(cut, type=t["l_shipdate"].type))
+        t = t.filter(keep)
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pc.cast(rev, pa.float64())})
+
+    line = line.map_batches(line_post_cutoff, batch_format="pyarrow")
+    joined = broadcast_inner_join(
+        line, seg_orders, on="l_orderkey",
+        empty_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("rev", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]),
+    )
+    agg = joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev", alias_name="revenue"))
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]) \
+        .limit(10)
+    tbl = pa.concat_tables(
+        top.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+    return pa.table({
+        "l_orderkey": tbl["l_orderkey"],
+        "revenue": pa.array(
+            _round4_half_away(
+                tbl["revenue"].to_numpy(zero_copy_only=False)
+            ), type=pa.float64(),
+        ),
+        # normalize the parquet's timestamp[s] to us for oracle parity
+        "o_orderdate": pc.cast(tbl["o_orderdate"], pa.timestamp("us")),
+        "o_orderpriority": tbl["o_orderpriority"],
+    })

@@ -533,3 +533,28 @@ def test_dedup_method_matrix_exact_flags(ray_session):
             assert r["by_minhash"] or r["by_simhash"] or r["by_winnow"], u
     n_flagged = sum(1 for r in rows if r["n_methods"] > 0)
     assert n_flagged >= sum(1 for r in rows if r["url"].endswith(("-copy", "-near")))
+
+
+def test_intra_dup_rate_planted_repetition(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import intra_dup_stats
+
+    texts = [
+        "a b c a b c a b c a b c",   # one trigram window repeating
+        "one two three four five",   # all distinct
+        "xy",                        # < 3 tokens
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in intra_dup_stats(str(tmp_path)).take_all()}
+    # doc 0: 10 trigram windows over the cycle a b c -> only 3 distinct
+    assert out[0]["n_trigrams"] == 10 and out[0]["n_distinct"] == 3
+    assert out[1]["n_distinct"] == out[1]["n_trigrams"] == 3
+    assert out[1]["intra_dup_rate"] == 0.0
+    assert out[2]["n_trigrams"] == 0 and out[2]["intra_dup_rate"] == 0.0
