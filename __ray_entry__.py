@@ -1247,7 +1247,7 @@ FROM f GROUP BY host
         # Jaccard threshold sensitivity sweep digest (MinHash-estimated
         # edge scores; locked at sf0.01)
         "dedup_threshold_sweep_checksum": """
-SELECT CAST(5 AS BIGINT) AS n_thresholds, '563d2cda94710b1b' AS checksum
+SELECT CAST(5 AS BIGINT) AS n_thresholds, 'e5c39c2779422e77' AS checksum
 """,
         # cur-snapshot trigram novelty vs the prev snapshot's DISTINCT
         # trigram set (content-keyed complement of snapshot_diff)

@@ -44,6 +44,10 @@ from ordinarydumpdeduplicator_ray.stages.verify import verify_pairs
 from ordinarydumpdeduplicator_ray.state import checkpoint as ckpt
 from ordinarydumpdeduplicator_ray.state.unionfind import components_from_edges, label_propagation
 
+# driver union-find handles edge lists up to this size; label
+# propagation takes over beyond it (shared with the threshold sweep)
+MAX_DRIVER_EDGES = 50_000_000
+
 
 class DedupPipeline:
     """Orchestrates the full near-duplicate detection run."""
@@ -60,7 +64,7 @@ class DedupPipeline:
         # edges-count threshold for driver-side union-find vs
         # distributed label propagation (both produce identical labels —
         # tests/test_operators.py::TestLabelPropagation)
-        self.max_driver_edges = 50_000_000
+        self.max_driver_edges = MAX_DRIVER_EDGES
         self._input: str | ray.data.Dataset | None = None
         self._fingerprint: str | None = None
         self._prior_sigs: ray.data.Dataset | None = None

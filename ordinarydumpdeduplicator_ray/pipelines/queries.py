@@ -2770,6 +2770,9 @@ def bloom_new_docs(sf_dir: str, fpp: float = 0.01) -> ray.data.Dataset:
     return impl(new_pages, prior, fpp=fpp)
 
 
+_WINNOW_CACHE: dict = {}
+
+
 def winnow_containment_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """Local-copy / containment detection (stages/winnowpairs.py) over
     the near-dup-injected corpus: winnowed fingerprints (SIGMOD'03) ->
@@ -2780,14 +2783,20 @@ def winnow_containment_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Da
         winnow_containment_pairs as impl,
     )
 
+    key = (sf_dir, threshold)
+    cached = _WINNOW_CACHE.get(key)
+    if cached is not None:
+        return cached
     # session-adaptive pool size: a fixed concurrency=4 pool next to the
     # candidate-sort aggregators deadlocks a 4-CPU session
     cfg = _qcfg()
-    return impl(
+    out = impl(
         dup_corpus(sf_dir, near=True), threshold=threshold,
         config=cfg, num_partitions=_nparts(),
         concurrency=max(2, min(4, cfg.sig_concurrency // 2)),
-    )
+    ).materialize()
+    _WINNOW_CACHE[key] = out
+    return out
 
 
 def tiered_corpus(sf_dir: str) -> ray.data.Dataset:
@@ -3609,11 +3618,14 @@ def lm_doc_perplexity(sf_dir: str, top_v: int = 20) -> ray.data.Dataset:
     )
     total_tokens = int(vocab.sum("c") or 0)
     n_distinct = vocab.count()
-    head = pa.concat_tables(
+    head_batches = list(
         vocab.sort(["c", "token"], descending=[True, False])
         .limit(top_v)
         .iter_batches(batch_size=None, batch_format="pyarrow")
-    ).combine_chunks()
+    )
+    head = pa.concat_tables(head_batches).combine_chunks() if head_batches \
+        else pa.table({"token": pa.array([], type=pa.string()),
+                       "c": pa.array([], type=pa.int64())})
     head_mass = int(pc.sum(head["c"]).as_py() or 0)
     tail_distinct = n_distinct - len(head)
     tail_mass = total_tokens - head_mass
@@ -3740,10 +3752,16 @@ def soft_dedup_weights(sf_dir: str) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
 
     if counts.count() <= _BROADCAST_JOIN_CAP:
-        packed = pa.concat_tables(
-            counts.iter_batches(batch_size=None, batch_format="pyarrow")
-        ).combine_chunks()
-        ref = ray.put((packed["sh"], packed["c"].to_numpy(zero_copy_only=False)))
+        if counts.count():
+            packed = pa.concat_tables(
+                counts.iter_batches(batch_size=None, batch_format="pyarrow")
+            ).combine_chunks()
+            ref = ray.put(
+                (packed["sh"], packed["c"].to_numpy(zero_copy_only=False))
+            )
+        else:  # all docs < 3 tokens: every count lookup misses
+            ref = ray.put((pa.array([], type=pa.string()),
+                           np.zeros(0, dtype=np.int64)))
 
         def score(t: pa.Table) -> pa.Table:
             if len(t) == 0:
@@ -4050,9 +4068,8 @@ def host_profile(sf_dir: str) -> ray.data.Dataset:
         if len(ok) == 0:
             return pa.table({
                 "host": pa.array([], type=pa.string()),
-                "n_pages": pa.array([], type=pa.int64()),
-                "n_dup_pages": pa.array([], type=pa.int64()),
-                "sum_len": pa.array([], type=pa.int64()),
+                "dup": pa.array([], type=pa.int64()),
+                "len": pa.array([], type=pa.int64()),
             })
         dupset = _get_broadcast(ref)
         host = pc.extract_regex(ok["url"], r"^https://(?P<host>[^/]+)/")
@@ -4111,7 +4128,9 @@ def dedup_threshold_sweep(sf_dir: str) -> pa.Table:
     # same driver-vs-distributed auto-select as the flagship
     # (pipelines/dedup.py build_components); the driver path handles
     # every realistic edge volume, label propagation covers the rest
-    driver_ok = edges.count() <= 50_000_000  # DedupPipeline.max_driver_edges
+    from ordinarydumpdeduplicator_ray.pipelines.dedup import MAX_DRIVER_EDGES
+
+    driver_ok = edges.count() <= MAX_DRIVER_EDGES
     rows = {"threshold": [], "n_components": [], "n_members": [],
             "reclaim_bytes": []}
     for thr in (0.7, 0.8, 0.9, 0.95, 1.0):
@@ -4131,10 +4150,11 @@ def dedup_threshold_sweep(sf_dir: str) -> pa.Table:
 
         df = comp.to_pandas()
         n_comp = df["component_id"].nunique()
-        # reclaimable = total member bytes minus one kept copy per comp
+        # reclaimable = sum - max per component (keep the largest copy —
+        # the flagship's dup_data_size convention, stages/groups.py)
         if "n_bytes" in df.columns:
             per = df.groupby("component_id")["n_bytes"]
-            reclaim = int(per.sum().sum() - per.min().sum())
+            reclaim = int(per.sum().sum() - per.max().sum())
         else:
             reclaim = 0
         rows["n_components"].append(int(n_comp))
@@ -4284,6 +4304,10 @@ def dedup_method_matrix(sf_dir: str) -> ray.data.Dataset:
     from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
     from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
 
+    cached = _MATRIX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
     fl = _flagship(sf_dir)
     edges = fl["edges"].materialize()
     winnow = winnow_containment_pairs(sf_dir).materialize()
@@ -4296,24 +4320,18 @@ def dedup_method_matrix(sf_dir: str) -> ray.data.Dataset:
             ))
         return f
 
-    def pair_urls(t: pa.Table) -> pa.Array:
-        return pc.unique(pa.chunked_array(
-            [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
-        ))
+    from ordinarydumpdeduplicator_ray.stages.spans import _pair_urls
 
     sets = {}
-    for name, ds_, fn in [
-        ("exact", edges, edge_urls_of("exact")),
-        ("minhash", edges, edge_urls_of("minhash")),
-        ("simhash", edges, edge_urls_of("simhash")),
-        ("winnow", winnow, pair_urls),
-    ]:
-        parts = [a for a in map_blocks(ds_, fn) if len(a)]
+    for name, src in (("exact", "exact"), ("minhash", "minhash"),
+                      ("simhash", "simhash")):
+        parts = [a for a in map_blocks(edges, edge_urls_of(src)) if len(a)]
         uniq = pc.unique(pa.chunked_array(parts)) if parts \
             else pa.array([], type=pa.string())
         if isinstance(uniq, pa.ChunkedArray):
             uniq = uniq.combine_chunks()
         sets[name] = uniq
+    sets["winnow"] = _pair_urls(winnow)
     ref = ray.put(sets)
 
     pages = dup_corpus(sf_dir, near=True)
@@ -4338,7 +4356,12 @@ def dedup_method_matrix(sf_dir: str) -> ray.data.Dataset:
         cols["n_methods"] = pa.array(total, type=pa.int64())
         return pa.table(cols)
 
-    return pages.map_batches(flag, batch_format="pyarrow")
+    out = pages.map_batches(flag, batch_format="pyarrow").materialize()
+    _MATRIX_CACHE[sf_dir] = out
+    return out
+
+
+_MATRIX_CACHE: dict = {}
 
 
 def dedup_method_matrix_checksum(sf_dir: str) -> pa.Table:
@@ -4489,9 +4512,14 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         .aggregate(Sum("rev", alias_name="revenue"))
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]) \
         .limit(10)
-    tbl = pa.concat_tables(
-        top.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    batches = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema([
+            ("l_orderkey", pa.int64()), ("revenue", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]).empty_table()
+    tbl = pa.concat_tables(batches)
 
     return pa.table({
         "l_orderkey": tbl["l_orderkey"],

@@ -81,16 +81,30 @@ def grouped_exact_percentiles(
     import ray
     from ray.data.aggregate import Count
 
+    # null keys are EXCLUDED (documented): Python's sorted() cannot
+    # order None against values, and Ray's sort would place null rows
+    # somewhere this offset arithmetic does not model
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[key]))
+
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(drop_null_keys, batch_format="pyarrow")
     counts = {
         r[key]: r["n"]
         for r in ds.groupby(key).aggregate(Count(alias_name="n")).take_all()
     }
+    schema = ds.schema()
+    key_t = schema.base_schema.field(key).type if schema is not None \
+        else pa.string()
+    val_t = schema.base_schema.field(column).type if schema is not None \
+        else pa.int64()
     if not counts:
-        cols = {key: pa.array([], type=pa.string()),
+        cols = {key: pa.array([], type=key_t),
                 "n": pa.array([], type=pa.int64())}
         for q in qs:
-            cols[f"q{q}"] = pa.array([], type=pa.int64())
-        cols["max"] = pa.array([], type=pa.int64())
+            cols[f"q{q}"] = pa.array([], type=val_t)
+        cols["max"] = pa.array([], type=val_t)
         return pa.table(cols)
 
     proj = ds.map_batches(

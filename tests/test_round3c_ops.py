@@ -558,3 +558,55 @@ def test_intra_dup_rate_planted_repetition(ray_session, tmp_path):
     assert out[1]["n_distinct"] == out[1]["n_trigrams"] == 3
     assert out[1]["intra_dup_rate"] == 0.0
     assert out[2]["n_trigrams"] == 0 and out[2]["intra_dup_rate"] == 0.0
+
+
+def test_task_failure_retry_preserves_results(ray_session, tmp_path):
+    """Kill the first attempt of one signature task mid-pipeline: Ray's
+    task retry must re-run it and the flagship output must be
+    bit-identical to an undisturbed run — the worker-crash story a
+    256-node deployment depends on."""
+    import os
+
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.synth import generate_pages
+    from ordinarydumpdeduplicator_ray.pipelines.dedup import DedupPipeline
+    from ordinarydumpdeduplicator_ray.config import DedupConfig
+
+    pages, _ = generate_pages(200, seed=7)
+
+    marker = str(tmp_path / "failed_once")
+
+    def chaos(t: pa.Table) -> pa.Table:
+        # first task attempt anywhere in the cluster trips the marker
+        # and HARD-KILLS its worker process (a user exception would not
+        # be retried; a process death is a system failure and is);
+        # every retry (and every other task) passes through
+        if not os.path.exists(marker):
+            try:
+                with open(marker, "x") as f:
+                    f.write("x")
+            except FileExistsError:
+                return t
+            os._exit(1)  # simulated worker crash
+        return t
+
+    def run(with_chaos: bool):
+        ds = ray.data.from_arrow(pages)
+        if with_chaos:
+            ds = ds.map_batches(chaos, batch_format="pyarrow", batch_size=64)
+        out = DedupPipeline(
+            DedupConfig(sig_concurrency=2), num_partitions=4
+        ).run(ds)
+        comp = sorted(
+            (r["url"], r["component_id"]) for r in out["components"].take_all()
+        )
+        exact = sorted(
+            tuple(sorted(r.items())) for r in out["groups_exact"].take_all()
+        )
+        return comp, exact
+
+    clean = run(False)
+    disturbed = run(True)
+    assert os.path.exists(marker), "chaos task never ran"
+    assert clean == disturbed
