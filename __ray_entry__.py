@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intra_dup_stats": q.intra_dup_stats,
         # --- new in round 3c: TPC-H Q3 multi-way join composition ------------
         "q3_shipping_priority": q.q3_shipping_priority,
+        # --- new in round 3c: event-time tumbling windows ---------------------
+        "event_window_stats": q.event_window_stats,
     }
 
 
@@ -1317,5 +1319,16 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
 LIMIT 10
+""",
+        # event-time tumbling windows: count / distinct users / value sum
+        # per (event_type, hour window)
+        "event_window_stats": """
+SELECT event_type,
+       CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1000000) AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY event_type, (epoch_us(ts) // 3600000000)
 """,
     }

@@ -148,6 +148,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dedup_method_matrix",
         "intra_dup_stats",
         "q3_shipping_priority",
+        "event_window_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -4532,3 +4532,61 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         "o_orderdate": pc.cast(tbl["o_orderdate"], pa.timestamp("us")),
         "o_orderpriority": tbl["o_orderpriority"],
     })
+
+
+def event_window_stats(sf_dir: str, window_min: int = 60) -> ray.data.Dataset:
+    """Event-time tumbling windows: per (event_type, hour window) count,
+    value sum and distinct users — the batch form of a streaming
+    windowed aggregate (event-time keyed, so late/out-of-order rows
+    land in the right window by construction). Distinct users
+    pre-aggregate per block ((type, window, user) value_counts
+    combiner) so the shuffle moves per-block-distinct rows, then one
+    groupby finishes counts exactly."""
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "user_id", "value"],
+    )
+    w_us = window_min * 60 * 1_000_000
+
+    def to_windows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(ts, w_us), w_us)
+        tt = pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "user_id": t["user_id"],
+            "value": t["value"],
+        })
+        # combiner: per (type, window, user) partials within the block
+        import pandas as pd
+
+        df = tt.to_pandas()
+        g = df.groupby(["event_type", "window_start", "user_id"],
+                       sort=False, as_index=False).agg(
+            n=("value", "size"), v=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events.map_batches(to_windows, batch_format="pyarrow")
+    # exact distinct users: first collapse (type, window, user) globally
+    # (a user's window can span blocks), then count rows per window
+    per_user = partials.groupby(
+        ["event_type", "window_start", "user_id"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+    agg = per_user.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("v", alias_name="value_sum"),
+        Count(alias_name="n_users"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+            "value_sum": pa.array(_round4_half_away(
+                t["value_sum"].to_numpy(zero_copy_only=False)
+            ), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
