@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": q.q3_shipping_priority,
         # --- new in round 3c: event-time tumbling windows ---------------------
         "event_window_stats": q.event_window_stats,
+        # --- new in round 3c: GROUPING-SETS multi-level rollup ---------------
+        "corpus_rollup_sets": q.corpus_rollup_sets,
+        # --- new in round 3c: bucket-partitioned inverted-index search -------
+        "token_search": q.token_search,
     }
 
 
@@ -1330,5 +1334,27 @@ SELECT event_type,
        round(sum(value), 4) AS value_sum
 FROM events
 GROUP BY event_type, (epoch_us(ts) // 3600000000)
+""",
+        # GROUPING-SETS rollup: (lang, source) / (lang) / () subtotals
+        "corpus_rollup_sets": """
+SELECT lang, source,
+       CASE WHEN GROUPING(lang) = 0 AND GROUPING(source) = 0 THEN 'lang_source'
+            WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'all' END AS grouping_level,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+""",
+        # inverted-index point lookup (the Ray side reads ONE bucket
+        # partition; the oracle full-scans)
+        "token_search": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+  FROM documents
+),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE token = 'join' GROUP BY doc_id)
+SELECT d.doc_id, p.tf, d.n_chars
+FROM documents d JOIN p USING (doc_id)
 """,
     }

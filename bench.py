@@ -149,6 +149,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "intra_dup_stats",
         "q3_shipping_priority",
         "event_window_stats",
+        "corpus_rollup_sets",
+        "token_search",
     ]
     timings: dict[str, float] = {}
     for name in picks:

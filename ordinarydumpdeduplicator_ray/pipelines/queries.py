@@ -4590,3 +4590,180 @@ def event_window_stats(sf_dir: str, window_min: int = 60) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_rollup_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING-SETS-style multi-level rollup in one pass: doc count,
+    char sum and mean length at (lang, source), (lang, ALL) and
+    (ALL, ALL) granularities — the OLAP subtotal shape
+    (reference analogue: the per-directory rollup's every-ancestor
+    aggregation, DuplicateReport.cs:114-203, generalized to two
+    dimensions). ONE (lang, source) groupby produces the finest level;
+    the coarser levels fold from that SMALL aggregate driver-free via
+    two more tiny groupbys — the corpus is read once."""
+    docs = _read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+
+    fine = docs.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"),
+    ).materialize()
+
+    def finish(level: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = t["sum_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lang = t["lang"] if "lang" in t.column_names \
+                else pa.nulls(len(t), type=pa.string())
+            src = t["source"] if "source" in t.column_names \
+                else pa.nulls(len(t), type=pa.string())
+            return pa.table({
+                "lang": lang,
+                "source": src,
+                "grouping_level": pa.array([level] * len(t), type=pa.string()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+                "mean_chars": pa.array(_round4_half_away(s / np.maximum(n, 1)),
+                                       type=pa.float64()),
+            })
+        return f
+
+    by_lang = fine.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    tot = fine.aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    total = ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([int(tot["n_docs"] or 0)], type=pa.int64()),
+        "sum_chars": pa.array([int(tot["sum_chars"] or 0)], type=pa.int64()),
+    }))
+    return (
+        fine.map_batches(finish("lang_source"), batch_format="pyarrow")
+        .union(by_lang.map_batches(finish("lang"), batch_format="pyarrow"))
+        .union(total.map_batches(finish("all"), batch_format="pyarrow"))
+    )
+
+
+_TOKEN_INDEX_CACHE: dict = {}
+_TOKEN_INDEX_BUCKETS = 16
+
+
+def _token_index_dir(sf_dir: str) -> str:
+    """Build (once per corpus state) a bucket-partitioned inverted
+    token index under /tmp: (token, doc_id, tf) rows written as
+    Parquet partitioned by ``bucket = md5(token) % 16``, so a term
+    lookup reads ONE partition directory — the partition-pruned-read
+    pattern that makes point lookups O(index/buckets) instead of a
+    corpus scan. At 100 TB the bucket count scales up and the same
+    layout serves as a shuffle-free join side keyed by token bucket.
+    Cache keyed by source mtime+size (the _converted_documents
+    atomic-rename idiom)."""
+    import hashlib as _hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"tokidx|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", f"odd_token_index_{key}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    cached = _TOKEN_INDEX_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        flat, n_per_doc = _doc_token_lists(t)
+        ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), n_per_doc
+        )
+        if len(flat) == 0:
+            return pa.table({
+                "token": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        # per-block (doc, token) tf combiner via one Arrow sort
+        pairs = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                          "token": flat})
+        order = pc.sort_indices(
+            pairs, sort_keys=[("doc_id", "ascending"), ("token", "ascending")]
+        )
+        s_id = pc.take(pairs["doc_id"], order).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        s_tok = pc.take(pairs["token"], order).combine_chunks()
+        n = len(s_id)
+        id_change = np.concatenate([[True], s_id[1:] != s_id[:-1]])
+        tok_change = np.concatenate([[True], pc.not_equal(
+            s_tok.slice(1), s_tok.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)])
+        new_run = id_change | tok_change
+        starts = np.flatnonzero(new_run)
+        tf = np.diff(np.concatenate([starts, [n]]))
+        tok_out = s_tok.take(pa.array(starts))
+        id_out = s_id[starts]
+        buckets = np.array(
+            [int(_h.md5(x.encode()).hexdigest()[:8], 16) % _TOKEN_INDEX_BUCKETS
+             for x in tok_out.to_pylist()], dtype=np.int64,
+        )
+        return pa.table({
+            "token": tok_out,
+            "doc_id": pa.array(id_out, type=pa.int64()),
+            "tf": pa.array(tf, type=pa.int64()),
+            "bucket": pa.array(buckets, type=pa.int64()),
+        })
+
+    tmp_dir = out_dir + ".building"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    docs.map_batches(explode, batch_format="pyarrow").write_parquet(
+        tmp_dir, partition_cols=["bucket"]
+    )
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent builder won
+    _TOKEN_INDEX_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+def token_search(sf_dir: str, term: str = "join") -> ray.data.Dataset:
+    """Point lookup against the bucket-partitioned inverted index:
+    docs containing ``term`` with term frequency and char length —
+    ONLY the term's bucket partition is read (1/16th of the index
+    here; at scale, 1/buckets), then the (tiny) postings broadcast-join
+    back to documents for the length column. SQL-oracled against a
+    full-scan DuckDB equivalent."""
+    import hashlib as _h
+
+    idx_dir = _token_index_dir(sf_dir)
+    bucket = int(_h.md5(term.encode()).hexdigest()[:8], 16) % _TOKEN_INDEX_BUCKETS
+    part = os.path.join(idx_dir, f"bucket={bucket}")
+    empty = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("tf", pa.int64()),
+    ])
+    if not os.path.isdir(part):  # small corpora may not fill every bucket
+        return ray.data.from_arrow(empty.empty_table())
+    postings = ray.data.read_parquet(part).filter(
+        expr=f"token == '{term}'"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "tf"]), batch_format="pyarrow"
+    )
+    docs = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = broadcast_inner_join(
+        docs, postings, on="doc_id",
+        empty_schema=pa.schema([
+            ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+            ("tf", pa.int64()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "tf", "n_chars"]),
+        batch_format="pyarrow",
+    )

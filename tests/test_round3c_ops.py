@@ -610,3 +610,61 @@ def test_task_failure_retry_preserves_results(ray_session, tmp_path):
     disturbed = run(True)
     assert os.path.exists(marker), "chaos task never ran"
     assert clean == disturbed
+
+
+def test_token_search_prunes_to_one_bucket(ray_session, tmp_path):
+    """Index build writes 16 bucket partitions; a lookup touches only
+    the term's bucket and returns exact tf counts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        _TOKEN_INDEX_BUCKETS, _token_index_dir, token_search,
+    )
+
+    texts = ["alpha beta alpha", "beta gamma", "alpha alpha alpha", "delta"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    idx = _token_index_dir(str(tmp_path))
+    parts = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert parts and len(parts) <= _TOKEN_INDEX_BUCKETS
+
+    out = {r["doc_id"]: r for r in
+           token_search(str(tmp_path), term="alpha").take_all()}
+    assert set(out) == {0, 2}
+    assert out[0]["tf"] == 2 and out[2]["tf"] == 3
+
+    assert token_search(str(tmp_path), term="zzz_absent").count() == 0
+
+
+def test_corpus_rollup_sets_subtotals(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        corpus_rollup_sets,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr"]),
+        "source": pa.array(["a", "a", "b", "a", "a", "b"]),
+        "n_chars": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = corpus_rollup_sets(str(tmp_path)).take_all()
+    by = {(r["grouping_level"], r["lang"], r["source"]): r for r in rows}
+    assert by[("lang_source", "en", "a")]["n_docs"] == 2
+    assert by[("lang_source", "en", "a")]["sum_chars"] == 30
+    assert by[("lang", "en", None)]["n_docs"] == 3
+    assert by[("lang", "de", None)]["sum_chars"] == 90
+    assert by[("all", None, None)]["n_docs"] == 6
+    assert by[("all", None, None)]["mean_chars"] == 35.0
+    assert len(rows) == 4 + 3 + 1
