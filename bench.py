@@ -151,6 +151,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "event_window_stats",
         "corpus_rollup_sets",
         "token_search",
+        "dup_graph_hubs",
     ]
     timings: dict[str, float] = {}
     for name in picks:

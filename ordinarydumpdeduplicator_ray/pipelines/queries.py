@@ -4767,3 +4767,37 @@ def token_search(sf_dir: str, term: str = "join") -> ray.data.Dataset:
         lambda t: t.select(["doc_id", "tf", "n_chars"]),
         batch_format="pyarrow",
     )
+
+
+def dup_graph_hubs(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k PageRank hubs of the near-dup graph (state/pagerank.py):
+    the template/mirror documents the most duplication mass flows
+    through — what an operator inspects before bulk-dropping a
+    component. Integer-quantized power iteration over the flagship's
+    edge table: deterministic, blocking-independent, hash-locked via
+    dup_graph_hubs_checksum. Rows-only (iterative graph analytics is
+    not SQL-expressible)."""
+    from ordinarydumpdeduplicator_ray.state.pagerank import pagerank
+
+    tbl = pagerank(_flagship(sf_dir)["edges"])
+    if len(tbl) == 0:
+        return pa.table({"url": pa.array([], type=pa.string()),
+                         "rank_nano": pa.array([], type=pa.int64())})
+    ranks = np.rint(
+        tbl["rank"].to_numpy(zero_copy_only=False) * 1e9
+    ).astype(np.int64)
+    order = np.lexsort(
+        (np.asarray(tbl["url"].to_pylist(), dtype=object), -ranks)
+    )[:k]
+    return pa.table({
+        "url": tbl["url"].take(pa.array(order)),
+        "rank_nano": pa.array(ranks[order], type=pa.int64()),
+    })
+
+
+def dup_graph_hubs_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the dup-graph PageRank hubs."""
+    return _row_digest_table(
+        ray.data.from_arrow(dup_graph_hubs(sf_dir)),
+        ["url", "rank_nano"], "n_hubs",
+    )

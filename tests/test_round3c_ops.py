@@ -668,3 +668,34 @@ def test_corpus_rollup_sets_subtotals(ray_session, tmp_path):
     assert by[("all", None, None)]["n_docs"] == 6
     assert by[("all", None, None)]["mean_chars"] == 35.0
     assert len(rows) == 4 + 3 + 1
+
+
+def test_pagerank_blocking_independent_and_sane(ray_session):
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.pagerank import pagerank
+
+    # star around 'hub' + a disjoint pair: hub must outrank everything
+    pairs = [("hub", f"leaf{i}") for i in range(8)] + [("p1", "p2")]
+    def edges(nblocks):
+        t = pa.table({
+            "url_a": pa.array([a for a, _ in pairs]),
+            "url_b": pa.array([b for _, b in pairs]),
+        })
+        return ray.data.from_arrow(t).repartition(nblocks)
+
+    outs = []
+    for nb in (1, 3, 7):
+        tbl = pagerank(edges(nb))
+        outs.append(sorted(zip(tbl["url"].to_pylist(),
+                               tbl["rank"].to_pylist())))
+    assert outs[0] == outs[1] == outs[2]
+    ranks = dict(outs[0])
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
+    assert abs(sum(ranks.values()) - 1.0) < 0.01
+
+    empty = pagerank(ray.data.from_arrow(pa.table({
+        "url_a": pa.array([], type=pa.string()),
+        "url_b": pa.array([], type=pa.string()),
+    })))
+    assert len(empty) == 0
