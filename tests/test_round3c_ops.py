@@ -699,3 +699,41 @@ def test_pagerank_blocking_independent_and_sane(ray_session):
         "url_b": pa.array([], type=pa.string()),
     })))
     assert len(empty) == 0
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    """40 tiny shards -> few target-sized files; rows and content
+    preserved exactly (order-insensitive digest)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.compact import (
+        compact_parquet_dir,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    rows = []
+    for i in range(40):
+        t = pa.table({
+            "k": pa.array([i * 10 + j for j in range(10)], type=pa.int64()),
+            "v": pa.array([f"row{i}-{j}" for j in range(10)]),
+        })
+        rows.extend(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+        pq.write_table(t, src / f"part-{i:04d}.parquet")
+
+    out = tmp_path / "compacted"
+    stats = compact_parquet_dir(str(src), str(out), target_mb=256)
+    assert stats["n_files_before"] == 40
+    assert stats["n_files_after"] < 40
+    assert stats["n_rows"] == 400
+
+    got = sorted(
+        (r["k"], r["v"])
+        for r in ray.data.read_parquet(str(out)).take_all()
+    )
+    assert got == sorted(rows)
+    # crashed-run residue is cleaned by the atomic-rename protocol
+    assert not os.path.exists(str(out) + ".compacting")
