@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3c: dup-graph PageRank hubs (rows-only) ------------
         "dup_graph_hubs": q.dup_graph_hubs,
         "dup_graph_hubs_checksum": q.dup_graph_hubs_checksum,
+        # --- new in round 3c: incremental index append lifecycle -------------
+        "token_search_incremental": q.token_search_incremental,
     }
 
 
@@ -1364,5 +1366,27 @@ FROM documents d JOIN p USING (doc_id)
         # iteration; blocking-independent, locked at sf0.01)
         "dup_graph_hubs_checksum": """
 SELECT CAST(20 AS BIGINT) AS n_hubs, '74c8d1b70175dddd' AS checksum
+""",
+        # incremental index lifecycle: prev snapshot builds, cur's NEW
+        # urls append delta files, lookup reads the union from one
+        # bucket; oracle full-scans prev ∪ cur-new
+        "token_search_incremental": r"""
+WITH snap_prev AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url, text
+  FROM documents WHERE doc_id % 11 <> 0
+),
+snap_cur AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+unioned AS (
+  SELECT * FROM snap_prev
+  UNION ALL
+  SELECT * FROM snap_cur WHERE url NOT IN (SELECT url FROM snap_prev)
+),
+toks AS (SELECT url, unnest(regexp_extract_all(lower(text), '\w+')) AS token FROM unioned)
+SELECT url, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE token = 'join' GROUP BY url
 """,
     }

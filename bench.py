@@ -152,6 +152,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "corpus_rollup_sets",
         "token_search",
         "dup_graph_hubs",
+        "token_search_incremental",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -4801,3 +4801,51 @@ def dup_graph_hubs_checksum(sf_dir: str) -> pa.Table:
         ray.data.from_arrow(dup_graph_hubs(sf_dir)),
         ["url", "rank_nano"], "n_hubs",
     )
+
+
+def token_search_incremental(sf_dir: str, term: str = "join") -> ray.data.Dataset:
+    """Index lifecycle end to end (sources/tokenindex.py): the prev
+    snapshot builds the bucket-partitioned inverted index ONCE; the cur
+    snapshot's NEW urls append their postings as delta files inside the
+    live buckets (no rewrite of the existing index); a term lookup then
+    reads the union from the term's single bucket partition. This is
+    how a 100-TB ingest keeps its search index current without
+    reindexing the corpus. SQL-oracled against a full scan of
+    prev ∪ cur-new."""
+    import hashlib as _hashlib
+
+    from ordinarydumpdeduplicator_ray.sources.tokenindex import (
+        append_token_index, build_token_index, lookup_postings,
+    )
+    from ordinarydumpdeduplicator_ray.stages.join import broadcast_anti_join
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"tokidx2|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    idx_dir = os.path.join("/tmp", f"odd_token_index2_{key}")
+
+    if not os.path.isdir(idx_dir):
+        prev = _snapshot_pages(sf_dir, "prev").map_batches(
+            lambda t: t.select(["url", "text"]), batch_format="pyarrow"
+        )
+        build_token_index(prev, idx_dir, key_col="url")
+        if os.path.isdir(idx_dir):
+            prev_urls = _snapshot_pages(sf_dir, "prev").map_batches(
+                lambda t: t.select(["url"]), batch_format="pyarrow"
+            )
+            cur_new = broadcast_anti_join(
+                _snapshot_pages(sf_dir, "cur").map_batches(
+                    lambda t: t.select(["url", "text"]),
+                    batch_format="pyarrow",
+                ),
+                prev_urls, on="url",
+            )
+            append_token_index(idx_dir, cur_new, key_col="url")
+
+    out = lookup_postings(idx_dir, term)
+    return out.map_batches(
+        lambda t: pa.table({"url": t["key"], "tf": t["tf"]}),
+        batch_format="pyarrow",
+    )

@@ -737,3 +737,53 @@ def test_compact_parquet_dir(ray_session, tmp_path):
     assert got == sorted(rows)
     # crashed-run residue is cleaned by the atomic-rename protocol
     assert not os.path.exists(str(out) + ".compacting")
+
+
+def test_token_index_append_and_compact(ray_session, tmp_path):
+    """Append adds postings without touching existing files; lookup
+    sees the union; compaction of a fragmented bucket preserves it."""
+    import os
+
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.compact import (
+        compact_parquet_dir,
+    )
+    from ordinarydumpdeduplicator_ray.sources.tokenindex import (
+        append_token_index, build_token_index, lookup_postings,
+        token_bucket,
+    )
+
+    def docs(rows):
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([u for u, _ in rows]),
+            "text": pa.array([t for _, t in rows]),
+        }))
+
+    idx = str(tmp_path / "idx")
+    build_token_index(docs([("u1", "apple banana apple"),
+                            ("u2", "banana cherry")]), idx, key_col="url")
+
+    bucket_dir = os.path.join(idx, f"bucket={token_bucket('apple')}")
+    before = set(os.listdir(bucket_dir))
+
+    n = append_token_index(
+        idx, docs([("u3", "apple apple apple"), ("u4", "durian")]),
+        key_col="url",
+    )
+    assert n == 2  # (u3, apple) and (u4, durian) postings
+    after = set(os.listdir(bucket_dir))
+    assert before <= after and len(after) > len(before)  # delta files added
+
+    got = {r["key"]: r["tf"]
+           for r in lookup_postings(idx, "apple").take_all()}
+    assert got == {"u1": 2, "u3": 3}
+
+    # compact the fragmented bucket in place (write to sibling, swap)
+    stats = compact_parquet_dir(bucket_dir, bucket_dir + ".c", target_mb=64)
+    os.rename(bucket_dir, bucket_dir + ".old")
+    os.rename(bucket_dir + ".c", bucket_dir)
+    got2 = {r["key"]: r["tf"]
+            for r in lookup_postings(idx, "apple").take_all()}
+    assert got2 == got
+    assert stats["n_files_after"] <= stats["n_files_before"]
