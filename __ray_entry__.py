@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_hubs_checksum": q.dup_graph_hubs_checksum,
         # --- new in round 3c: incremental index append lifecycle -------------
         "token_search_incremental": q.token_search_incremental,
+        # --- new in round 3c: content-keyed leakage-safe split ---------------
+        "leakage_safe_split": q.leakage_safe_split,
     }
 
 
@@ -1388,5 +1390,15 @@ unioned AS (
 toks AS (SELECT url, unnest(regexp_extract_all(lower(text), '\w+')) AS token FROM unioned)
 SELECT url, CAST(count(*) AS BIGINT) AS tf
 FROM toks WHERE token = 'join' GROUP BY url
+""",
+        # content-keyed split: every exact copy lands in one split by
+        # construction (the fix for what split_leakage_check detects)
+        "leakage_safe_split": f"""
+WITH {_PAGES_META_CTE}
+SELECT url,
+  CASE WHEN CAST(('0x' || substr(md5(sha256(text)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+       WHEN CAST(('0x' || substr(md5(sha256(text)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM pages_meta
 """,
     }

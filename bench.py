@@ -153,6 +153,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "token_search",
         "dup_graph_hubs",
         "token_search_incremental",
+        "leakage_safe_split",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -4849,3 +4849,33 @@ def token_search_incremental(sf_dir: str, term: str = "join") -> ray.data.Datase
         lambda t: pa.table({"url": t["key"], "tf": t["tf"]}),
         batch_format="pyarrow",
     )
+
+
+def leakage_safe_split(sf_dir: str) -> ray.data.Dataset:
+    """The FIX for what split_leakage_check detects: split assignment
+    keyed on md5(sha256(text)) instead of md5(url), so every exact
+    copy of the same content lands in the SAME split by construction —
+    no eval-into-train leak from crawl duplicates, while keeping the
+    reorder/subset-stability of the hash split. Pure stateless map
+    (the sha is per-row; no dedup pass needed before splitting).
+    SQL-oracled, including a 0-leak assertion mirrored in pytest."""
+    import hashlib
+
+    pages = _meta_pages(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(
+                hashlib.sha256((x or "").encode()).hexdigest().encode()
+            ).hexdigest()[:8], 16) % 100 for x in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        split = np.where(buckets < 90, "train",
+                         np.where(buckets < 95, "val", "test"))
+        return pa.table({
+            "url": t["url"],
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return pages.map_batches(assign, batch_format="pyarrow")

@@ -787,3 +787,26 @@ def test_token_index_append_and_compact(ray_session, tmp_path):
             for r in lookup_postings(idx, "apple").take_all()}
     assert got2 == got
     assert stats["n_files_after"] <= stats["n_files_before"]
+
+
+def test_leakage_safe_split_no_leaks(ray_session):
+    """Under the content-keyed split, no sha can span two splits; the
+    url-keyed split on the same corpus DOES leak (sanity contrast)."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        corpus_split, leakage_safe_split, _meta_pages,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = {r["url"]: r["text"]
+             for r in _meta_pages(sf).take_all()}
+
+    def leaks(ds):
+        by_sha = {}
+        for r in ds.take_all():
+            import hashlib
+            sha = hashlib.sha256((texts[r["url"]] or "").encode()).hexdigest()
+            by_sha.setdefault(sha, set()).add(r["split"])
+        return sum(1 for v in by_sha.values() if len(v) > 1)
+
+    assert leaks(leakage_safe_split(sf)) == 0
+    assert leaks(corpus_split(sf)) > 0   # the url-keyed split leaks
