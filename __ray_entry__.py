@@ -284,6 +284,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_search_incremental": q.token_search_incremental,
         # --- new in round 3c: content-keyed leakage-safe split ---------------
         "leakage_safe_split": q.leakage_safe_split,
+        # --- new in round 3c: component-keyed split (near-dup safe) ----------
+        "component_safe_split": q.component_safe_split,
+        "component_safe_split_checksum": q.component_safe_split_checksum,
+        # --- new in round 3c: k-means cluster keyword interpretation ---------
+        "cluster_keywords": q.cluster_keywords,
+        "cluster_keywords_checksum": q.cluster_keywords_checksum,
     }
 
 
@@ -1400,5 +1406,14 @@ SELECT url,
        WHEN CAST(('0x' || substr(md5(sha256(text)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
        ELSE 'test' END AS split
 FROM pages_meta
+""",
+        # component-keyed split digest: near-dup components split as a
+        # unit, non-members by content sha (locked at sf0.01)
+        "component_safe_split_checksum": """
+SELECT CAST(767 AS BIGINT) AS n_pages, '8b1d6e4cad46fd06' AS checksum
+""",
+        # per-cluster distinctive-token digest (lift over exact counts)
+        "cluster_keywords_checksum": """
+SELECT CAST(24 AS BIGINT) AS n_rows, '1d893d01d41daa04' AS checksum
 """,
     }

@@ -154,6 +154,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "dup_graph_hubs",
         "token_search_incremental",
         "leakage_safe_split",
+        "component_safe_split",
+        "cluster_keywords",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -4879,3 +4879,163 @@ def leakage_safe_split(sf_dir: str) -> ray.data.Dataset:
         })
 
     return pages.map_batches(assign, batch_format="pyarrow")
+
+
+def component_safe_split(sf_dir: str) -> ray.data.Dataset:
+    """Split assignment that seals NEAR-dup leakage too: members of a
+    flagship near-dup component split by md5(component canonical url)
+    — the whole component lands together — while non-members fall back
+    to the content-sha key of leakage_safe_split (exact copies still
+    co-located). The component label map is O(dup docs), broadcast
+    once; the corpus streams through one membership pass. Rows-only
+    (components are not SQL-expressible); locked via
+    component_safe_split_checksum."""
+    import hashlib
+
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    comp = _flagship(sf_dir)["components"].materialize()
+    packed = pa.concat_tables(
+        comp.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks() if comp.count() else None
+    ref = ray.put(
+        (packed["url"], packed["component_id"]) if packed is not None else None
+    )
+
+    pages = dup_corpus(sf_dir, near=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lk = _get_broadcast(ref)
+        urls = t["url"].to_pylist()
+        texts = t["text"].to_pylist()
+        if lk is not None:
+            idx = pc.index_in(t["url"], value_set=lk[0])
+            comp_of = pc.take(lk[1], idx).to_pylist()  # null -> None
+        else:
+            comp_of = [None] * len(t)
+
+        def bucket(key: str) -> int:
+            return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+
+        buckets = np.fromiter(
+            (bucket(c) if c is not None else bucket(
+                hashlib.sha256((x or "").encode()).hexdigest()
+            ) for c, x in zip(comp_of, texts)),
+            dtype=np.int64, count=len(t),
+        )
+        split = np.where(buckets < 90, "train",
+                         np.where(buckets < 95, "val", "test"))
+        return pa.table({
+            "url": t["url"],
+            "in_component": pa.array([c is not None for c in comp_of],
+                                     type=pa.bool_()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return pages.map_batches(assign, batch_format="pyarrow")
+
+
+def component_safe_split_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the component-safe split assignment."""
+    return _row_digest_table(
+        component_safe_split(sf_dir), ["url", "in_component", "split"],
+        "n_pages",
+    )
+
+
+def cluster_keywords(sf_dir: str, top_k: int = 3) -> pa.Table:
+    """Interpretation layer for the distributed k-means: the ``top_k``
+    most DISTINCTIVE tokens per embedding cluster, ranked by lift
+    (cluster tf share / corpus tf share). Cluster assignments
+    (vec_id-aligned with doc_id) broadcast once; per-block
+    (cluster, token) counts fold exactly like the vocabulary combiner;
+    lift is a ratio of exact int counts (round4, half-away).
+    Rows-only; locked via cluster_keywords_checksum."""
+    from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+    assigns = _kmeans_assignments(sf_dir)
+    packed = pa.concat_tables(
+        assigns.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    ref = ray.put((packed["vec_id"], packed["cluster"]))
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                "cluster": pa.array([], type=pa.int32()),
+                "token": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        ids, cls = _get_broadcast(ref)
+        idx = pc.index_in(t["doc_id"], value_set=ids)
+        cl_of = pc.take(cls, idx).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        flat, n_per_doc = _doc_token_lists(t)
+        seg = np.repeat(cl_of.astype(np.int64), n_per_doc)
+        pairs = pa.table({"cluster": pa.array(seg), "token": flat})
+        order = pc.sort_indices(
+            pairs, sort_keys=[("cluster", "ascending"), ("token", "ascending")]
+        )
+        s_c = pc.take(pairs["cluster"], order).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        s_t = pc.take(pairs["token"], order).combine_chunks()
+        n = len(s_c)
+        if n == 0:
+            return pa.table({
+                "cluster": pa.array([], type=pa.int32()),
+                "token": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        c_change = np.concatenate([[True], s_c[1:] != s_c[:-1]])
+        t_change = np.concatenate([[True], pc.not_equal(
+            s_t.slice(1), s_t.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)])
+        starts = np.flatnonzero(c_change | t_change)
+        cnt = np.diff(np.concatenate([starts, [n]]))
+        return pa.table({
+            "cluster": pa.array(s_c[starts].astype(np.int32), type=pa.int32()),
+            "token": s_t.take(pa.array(starts)),
+            "n": pa.array(cnt, type=pa.int64()),
+        })
+
+    agg = pa.concat_tables(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cluster", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).combine_chunks()
+    # small vocabulary x cluster table: finish driver-side, exactly
+    df = agg.to_pandas()
+    corpus_tf = df.groupby("token")["n"].sum()
+    cluster_tot = df.groupby("cluster")["n"].sum()
+    total = int(df["n"].sum())
+    rows = {"cluster": [], "token": [], "n": [], "lift": []}
+    for cl, sub in df.groupby("cluster"):
+        share = sub["n"] / cluster_tot[cl]
+        corp_share = sub["token"].map(corpus_tf) / total
+        lift = (share / corp_share).to_numpy()
+        sub = sub.assign(lift=lift).sort_values(
+            ["lift", "token"], ascending=[False, True]
+        ).head(top_k)
+        rows["cluster"].extend(int(c) for c in sub["cluster"])
+        rows["token"].extend(sub["token"])
+        rows["n"].extend(int(x) for x in sub["n"])
+        rows["lift"].extend(float(x) for x in _round4_half_away(
+            sub["lift"].to_numpy()
+        ))
+    return pa.table({
+        "cluster": pa.array(rows["cluster"], type=pa.int32()),
+        "token": pa.array(rows["token"], type=pa.string()),
+        "n": pa.array(rows["n"], type=pa.int64()),
+        "lift": pa.array(rows["lift"], type=pa.float64()),
+    })
+
+
+def cluster_keywords_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the cluster keywords table."""
+    return _row_digest_table(
+        ray.data.from_arrow(cluster_keywords(sf_dir)),
+        ["cluster", "token", "n", "lift"], "n_rows",
+    )

@@ -810,3 +810,26 @@ def test_leakage_safe_split_no_leaks(ray_session):
 
     assert leaks(leakage_safe_split(sf)) == 0
     assert leaks(corpus_split(sf)) > 0   # the url-keyed split leaks
+
+
+def test_component_safe_split_seals_near_dups(ray_session):
+    """Every flagship component's members land in ONE split; the
+    content-keyed split cannot guarantee that for near (non-exact)
+    dups."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        _flagship, component_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = {r["url"]: r["component_id"]
+            for r in _flagship(sf)["components"].take_all()}
+    split = {r["url"]: r["split"]
+             for r in component_safe_split(sf).take_all()}
+    by_comp = {}
+    for url, cid in comp.items():
+        by_comp.setdefault(cid, set()).add(split[url])
+    assert all(len(v) == 1 for v in by_comp.values())
+    # flags agree with membership
+    flagged = {r["url"]: r["in_component"]
+               for r in component_safe_split(sf).take_all()}
+    assert all(flagged[u] for u in comp)
