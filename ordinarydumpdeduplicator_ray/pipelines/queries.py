@@ -2680,6 +2680,65 @@ def image_phash_near_dups_checksum(sf_dir: str) -> pa.Table:
     )
 
 
+def minhash_edges_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the flagship's verified MinHash edges — the
+    core near-dup candidate path (north rule) finally gets a green
+    driver row via the order/blocking-independent digest."""
+    return _row_digest_table(
+        minhash_edges(sf_dir),
+        ["url_a", "url_b", "nb_a", "nb_b", "jaccard"],
+        "n_edges",
+    )
+
+
+def simhash_edges_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the flagship's verified SimHash edges."""
+    return _row_digest_table(
+        simhash_edges(sf_dir),
+        ["url_a", "url_b", "nb_a", "nb_b", "jaccard"],
+        "n_edges",
+    )
+
+
+def near_dup_components_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the flagship union-find component labels
+    (url -> component_id assignments, DataControllerSimple.cs:247-304
+    group semantics at the near-dup extension)."""
+    return _row_digest_table(
+        near_dup_components(sf_dir),
+        ["url", "component_id", "n_bytes"],
+        "n_members",
+    )
+
+
+def near_dup_groups_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the flagship near-dup group report."""
+    return _row_digest_table(
+        near_dup_groups(sf_dir),
+        ["group_key", "n_copies", "n_bytes", "canonical_url",
+         "all_data_size", "dup_data_size"],
+        "n_groups",
+    )
+
+
+def substring_spans_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the suffix-array exact substring spans."""
+    return _row_digest_table(
+        substring_spans(sf_dir),
+        ["url_a", "url_b", "a_start", "a_end", "b_start", "b_end"],
+        "n_spans",
+    )
+
+
+def all_dup_groups_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the exact ∪ near-dup group union (J5)."""
+    return _row_digest_table(
+        all_dup_groups(sf_dir),
+        ["canonical_url", "n_copies", "n_bytes", "kind"],
+        "n_groups",
+    )
+
+
 def doc_fingerprint_checksum(sf_dir: str) -> pa.Table:
     """1-row digest of ``doc_fingerprints``: (n_docs, checksum) with
     checksum = sum mod 2^64 of mix64(fingerprint ^ mix64(doc_id)) over
