@@ -1031,10 +1031,12 @@ def image_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
     """Hamming-tolerant perceptual image near-dup: the 64-bit aHash is
     banded 4 x 16 bits (pigeonhole: any pair within hamming 3 shares at
     least one intact band), band buckets feed the skew-aware
-    candidate_pairs machinery, and candidates verify with an exact
-    popcount against a broadcast id->phash map (one row per image —
-    fine to 2M images; beyond that the packed-broadcast/join fallback
-    family in stages/verify.py is the route). Catches noisy/damaged
+    candidate_pairs machinery, and candidates verify with a
+    numpy-vectorized popcount against a candidate-filtered packed
+    broadcast (sorted int64 ids + uint64 phash arrays, built
+    worker-side and restricted to ids appearing in a candidate pair —
+    O(candidate pairs) driver memory, not O(corpus); the
+    stages/embeddings.py packed-broadcast pattern). Catches noisy/damaged
     copies the exact-phash groupby misses. Rows-only; pytest carries
     the brute-force hamming oracle."""
     from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
@@ -1067,33 +1069,70 @@ def image_phash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset
     ).materialize()
     pairs = candidate_pairs(
         buckets, _qcfg(), _nparts(), member_field=("img_id", pa.int64())
-    )
-    ph_map = {
-        r["img_id"]: int(np.uint64(np.int64(r["phash"])))
-        for r in hashes.take_all()
-    }
-    ref = ray.put(ph_map)
+    ).materialize()
+
+    # Candidate-filtered packed broadcast (the stages/embeddings.py
+    # _rerank_broadcast pattern): only ids that appear in a candidate
+    # pair are shipped — O(candidate pairs), not O(corpus) — and the
+    # id->phash lookup is two packed numpy arrays, not a Python dict.
+    import pyarrow.compute as pc
+
+    id_chunks: list[pa.Array] = []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        id_chunks.append(b["img_id_a"].combine_chunks())
+        id_chunks.append(b["img_id_b"].combine_chunks())
+    out_schema = pa.schema([("img_a", pa.int64()), ("img_b", pa.int64()),
+                            ("hamming", pa.int64())])
+    if not id_chunks:
+        return ray.data.from_arrow(out_schema.empty_table())
+    wanted_ref = ray.put(pc.unique(pa.chunked_array(id_chunks)))
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["img_id"], value_set=ray.get(wanted_ref)))
+        if len(t) == 0:
+            return pa.table({"ids": pa.array([], type=pa.binary()),
+                             "ph": pa.array([], type=pa.binary())})
+        ids = t["img_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ph = t["phash"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"ids": pa.array([ids.tobytes()], type=pa.binary()),
+                         "ph": pa.array([ph.tobytes()], type=pa.binary())})
+
+    parts = [
+        r for r in hashes.map_batches(project, batch_format="pyarrow").take_all()
+        if r["ids"]
+    ]
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    ids = np.concatenate([np.frombuffer(r["ids"], dtype=np.int64) for r in parts])
+    ph = np.concatenate([np.frombuffer(r["ph"], dtype=np.int64) for r in parts])
+    order = np.argsort(ids)
+    lookup_ref = ray.put({"ids": ids[order], "ph": ph[order].astype(np.uint64)})
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"img_a": pa.array([], type=pa.int64()),
-                             "img_b": pa.array([], type=pa.int64()),
-                             "hamming": pa.array([], type=pa.int64())})
-        m = ray.get(ref)
-        out_a, out_b, out_h = [], [], []
-        for x, y in zip(t["img_id_a"].to_pylist(), t["img_id_b"].to_pylist()):
-            d = int(bin(m[x] ^ m[y]).count("1"))
-            if d <= max_hamming:
-                out_a.append(x)
-                out_b.append(y)
-                out_h.append(d)
+            return out_schema.empty_table()
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        lk = _get_broadcast(lookup_ref)
+        ids_s, ph_s = lk["ids"], lk["ph"]
+        a = t["img_id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["img_id_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        x = ph_s[ia] ^ ph_s[ib]
+        # vectorized 64-bit popcount via byte-view unpackbits
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1) \
+            .sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
         return pa.table({
-            "img_a": pa.array(out_a, type=pa.int64()),
-            "img_b": pa.array(out_b, type=pa.int64()),
-            "hamming": pa.array(out_h, type=pa.int64()),
+            "img_a": pa.array(a[keep], type=pa.int64()),
+            "img_b": pa.array(b[keep], type=pa.int64()),
+            "hamming": pa.array(d[keep], type=pa.int64()),
         })
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
 class _PhashActor:
@@ -4195,29 +4234,22 @@ def dedup_threshold_sweep(sf_dir: str) -> pa.Table:
     for thr in (0.7, 0.8, 0.9, 0.95, 1.0):
         sub = edges.filter(expr=f"jaccard >= {thr}")
         if driver_ok:
-            comp = components_from_edges(sub)
+            # comp is the driver union-find's own output (the flagship's
+            # documented <=MAX_DRIVER_EDGES regime) — summarize it with
+            # vectorized numpy group-reduces, no pandas round-trip
+            n_comp, n_members, reclaim = _summarize_members_table(
+                components_from_edges(sub)
+            )
         else:  # pragma: no cover - exercised only at cluster scale
-            comp = pa.concat_tables(label_propagation(sub).iter_batches(
-                batch_size=None, batch_format="pyarrow"))
+            # distributed regime: per-component aggregation stays in Ray
+            # (groupby + Sum/Max/Count), only the per-block 1-row
+            # partials reach the driver — the member table never does
+            n_comp, n_members, reclaim = _summarize_members_dataset(
+                label_propagation(sub), sub
+            )
         rows["threshold"].append(thr)
-        if len(comp) == 0:
-            rows["n_components"].append(0)
-            rows["n_members"].append(0)
-            rows["reclaim_bytes"].append(0)
-            continue
-        import pandas as pd
-
-        df = comp.to_pandas()
-        n_comp = df["component_id"].nunique()
-        # reclaimable = sum - max per component (keep the largest copy —
-        # the flagship's dup_data_size convention, stages/groups.py)
-        if "n_bytes" in df.columns:
-            per = df.groupby("component_id")["n_bytes"]
-            reclaim = int(per.sum().sum() - per.max().sum())
-        else:
-            reclaim = 0
-        rows["n_components"].append(int(n_comp))
-        rows["n_members"].append(int(len(df)))
+        rows["n_components"].append(n_comp)
+        rows["n_members"].append(n_members)
         rows["reclaim_bytes"].append(reclaim)
     return pa.table({
         "threshold": pa.array(rows["threshold"], type=pa.float64()),
@@ -4225,6 +4257,79 @@ def dedup_threshold_sweep(sf_dir: str) -> pa.Table:
         "n_members": pa.array(rows["n_members"], type=pa.int64()),
         "reclaim_bytes": pa.array(rows["reclaim_bytes"], type=pa.int64()),
     })
+
+
+def _summarize_members_table(comp: pa.Table) -> tuple[int, int, int]:
+    """(n_components, n_members, reclaim_bytes) of a driver-resident
+    component-members table, via dictionary-encode + np.add/maximum.at
+    group-reduces. reclaim = sum - max of n_bytes per component (keep
+    the largest copy — the flagship's dup_data_size convention,
+    stages/groups.py)."""
+    import pyarrow.compute as pc
+
+    if len(comp) == 0:
+        return 0, 0, 0
+    enc = pc.dictionary_encode(comp["component_id"].combine_chunks())
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(enc.dictionary)
+    if "n_bytes" not in comp.column_names:
+        return k, len(comp), 0
+    nb = comp["n_bytes"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sums = np.zeros(k, dtype=np.int64)
+    np.add.at(sums, idx, nb)
+    maxs = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(maxs, idx, nb)
+    return k, len(comp), int(sums.sum() - maxs.sum())
+
+
+def _summarize_members_dataset(
+    labels: ray.data.Dataset, edges_sub: ray.data.Dataset
+) -> tuple[int, int, int]:  # pragma: no cover - cluster-scale path
+    """Same summary for the distributed label-propagation regime with
+    the per-component aggregation in Ray: attach each member's n_bytes
+    (carried on the verified edges as nb_a/nb_b), groupby component
+    with Sum/Max/Count, then reduce the per-component table to one row
+    per block — only O(blocks) partials reach the driver."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    def url_nb(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.concat_arrays([t["url_a"].combine_chunks(),
+                                     t["url_b"].combine_chunks()]),
+            "nb": pa.concat_arrays([
+                t["nb_a"].combine_chunks(), t["nb_b"].combine_chunks()
+            ]),
+        })
+
+    nbs = (
+        edges_sub.map_batches(url_nb, batch_format="pyarrow")
+        .groupby("url").aggregate(Min("nb", alias_name="n_bytes"))
+    )
+    per_comp = (
+        inner_join(labels, nbs, on=("url",))
+        .groupby("component_id")
+        .aggregate(Count(alias_name="n"), Sum("n_bytes", alias_name="s"),
+                   Max("n_bytes", alias_name="m"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "r": pa.array([], type=pa.int64())})
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array([len(t)], type=pa.int64()),
+                         "n": pa.array([int(n.sum())], type=pa.int64()),
+                         "r": pa.array([int((s - m).sum())], type=pa.int64())})
+
+    parts = per_comp.map_batches(partial, batch_format="pyarrow").take_all()
+    return (sum(p["k"] for p in parts), sum(p["n"] for p in parts),
+            sum(p["r"] for p in parts))
 
 
 def dedup_threshold_sweep_checksum(sf_dir: str) -> pa.Table:
@@ -5029,6 +5134,19 @@ def cluster_keywords(sf_dir: str, top_k: int = 3) -> pa.Table:
             })
         ids, cls = _get_broadcast(ref)
         idx = pc.index_in(t["doc_id"], value_set=ids)
+        # drop docs absent from the k-means assignments BEFORE the cast:
+        # a null index would otherwise surface as NaN -> garbage int64
+        # cluster ids downstream (ADVICE round 4)
+        covered = pc.is_valid(idx)
+        if not pc.all(covered).as_py():
+            t = t.filter(covered)
+            idx = idx.filter(covered)
+            if len(t) == 0:
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int32()),
+                    "token": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                })
         cl_of = pc.take(cls, idx).combine_chunks() \
             .to_numpy(zero_copy_only=False)
         flat, n_per_doc = _doc_token_lists(t)
@@ -5059,36 +5177,82 @@ def cluster_keywords(sf_dir: str, top_k: int = 3) -> pa.Table:
             "n": pa.array(cnt, type=pa.int64()),
         })
 
-    agg = pa.concat_tables(
+    agg = (
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby(["cluster", "token"])
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    # The (cluster x vocab) table is web-scale (10^8+ tokens): it never
+    # reaches the driver. Corpus per-token totals come from a second
+    # (distributed) groupby over agg; cluster totals are k rows; lift is
+    # scored per block after a token-keyed shuffle join; each block then
+    # emits only its top_k-per-cluster candidates, so the driver merge
+    # sees O(blocks * k * top_k) rows — and stays EXACT: every global
+    # top-k row is necessarily in its own block's top-k under the same
+    # (lift desc, token asc) total order.
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    corpus = agg.groupby("token").aggregate(Sum("n", alias_name="corpus_n"))
+    ct_rows = agg.groupby("cluster").aggregate(
+        Sum("n", alias_name="cluster_n")
+    ).take_all()
+    cluster_tot = {int(r["cluster"]): float(r["cluster_n"]) for r in ct_rows}
+    total = float(sum(r["cluster_n"] for r in ct_rows))
+    out_schema = pa.schema([
+        ("cluster", pa.int32()), ("token", pa.string()),
+        ("n", pa.int64()), ("lift", pa.float64()),
+    ])
+    if not cluster_tot:
+        return out_schema.empty_table()
+
+    def _top_per_cluster(t: pa.Table, k: int) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("cluster", "ascending"), ("lift", "descending"),
+            ("token", "ascending"),
+        ])
+        s = t.take(order)
+        cl = s["cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[True], cl[1:] != cl[:-1]])
+        rank = np.arange(len(cl)) - np.maximum.accumulate(
+            np.where(starts, np.arange(len(cl)), 0)
+        )
+        return s.filter(pa.array(rank < k))
+
+    def score_and_cap(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        cl = t["cluster"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cn = t["corpus_n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ctot = np.array([cluster_tot[int(c)] for c in cl], dtype=np.float64)
+        lift = (n / ctot) / (cn / total)
+        scored = pa.table({
+            "cluster": pc.cast(t["cluster"], pa.int32()),
+            "token": t["token"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "lift": pa.array(lift, type=pa.float64()),
+        })
+        return _top_per_cluster(scored, top_k)
+
+    cands = pa.concat_tables(
+        inner_join(agg, corpus, on=("token",))
+        .map_batches(score_and_cap, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ).combine_chunks()
-    # small vocabulary x cluster table: finish driver-side, exactly
-    df = agg.to_pandas()
-    corpus_tf = df.groupby("token")["n"].sum()
-    cluster_tot = df.groupby("cluster")["n"].sum()
-    total = int(df["n"].sum())
-    rows = {"cluster": [], "token": [], "n": [], "lift": []}
-    for cl, sub in df.groupby("cluster"):
-        share = sub["n"] / cluster_tot[cl]
-        corp_share = sub["token"].map(corpus_tf) / total
-        lift = (share / corp_share).to_numpy()
-        sub = sub.assign(lift=lift).sort_values(
-            ["lift", "token"], ascending=[False, True]
-        ).head(top_k)
-        rows["cluster"].extend(int(c) for c in sub["cluster"])
-        rows["token"].extend(sub["token"])
-        rows["n"].extend(int(x) for x in sub["n"])
-        rows["lift"].extend(float(x) for x in _round4_half_away(
-            sub["lift"].to_numpy()
-        ))
+    if len(cands) == 0:
+        return out_schema.empty_table()
+    best = _top_per_cluster(cands, top_k)
     return pa.table({
-        "cluster": pa.array(rows["cluster"], type=pa.int32()),
-        "token": pa.array(rows["token"], type=pa.string()),
-        "n": pa.array(rows["n"], type=pa.int64()),
-        "lift": pa.array(rows["lift"], type=pa.float64()),
+        "cluster": best["cluster"],
+        "token": best["token"],
+        "n": best["n"],
+        "lift": pa.array(_round4_half_away(
+            best["lift"].combine_chunks().to_numpy(zero_copy_only=False)
+        ), type=pa.float64()),
     })
 
 
