@@ -4914,10 +4914,13 @@ def token_search(sf_dir: str, term: str = "join") -> ray.data.Dataset:
     ])
     if not os.path.isdir(part):  # small corpora may not fill every bucket
         return ray.data.from_arrow(empty.empty_table())
-    postings = ray.data.read_parquet(part).filter(
-        expr=f"token == '{term}'"
-    ).map_batches(
-        lambda t: t.select(["doc_id", "tf"]), batch_format="pyarrow"
+    # compute-predicate match, not string interpolation into the filter
+    # expression (arbitrary ``term`` strings are safe — ADVICE round 4)
+    def _match(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["token"], term)).select(["doc_id", "tf"])
+
+    postings = ray.data.read_parquet(part).map_batches(
+        _match, batch_format="pyarrow"
     )
     docs = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
     out = broadcast_inner_join(
@@ -4991,11 +4994,20 @@ def token_search_incremental(sf_dir: str, term: str = "join") -> ray.data.Datase
     idx_dir = os.path.join("/tmp", f"odd_token_index2_{key}")
 
     if not os.path.isdir(idx_dir):
+        # Build base + delta into a private temp dir and publish with one
+        # atomic rename: the mtime-keyed cache can never hold a
+        # base-only index (crash between build and append previously
+        # left it permanently stale), and a lost build race discards its
+        # temp instead of double-appending the delta (ADVICE round 4).
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tmp_dir = f"{idx_dir}.build-{_uuid.uuid4().hex[:8]}"
         prev = _snapshot_pages(sf_dir, "prev").map_batches(
             lambda t: t.select(["url", "text"]), batch_format="pyarrow"
         )
-        build_token_index(prev, idx_dir, key_col="url")
-        if os.path.isdir(idx_dir):
+        build_token_index(prev, tmp_dir, key_col="url")
+        if os.path.isdir(tmp_dir):
             prev_urls = _snapshot_pages(sf_dir, "prev").map_batches(
                 lambda t: t.select(["url"]), batch_format="pyarrow"
             )
@@ -5006,7 +5018,11 @@ def token_search_incremental(sf_dir: str, term: str = "join") -> ray.data.Datase
                 ),
                 prev_urls, on="url",
             )
-            append_token_index(idx_dir, cur_new, key_col="url")
+            append_token_index(tmp_dir, cur_new, key_col="url")
+            try:
+                os.rename(tmp_dir, idx_dir)
+            except OSError:  # concurrent builder won the publish race
+                _shutil.rmtree(tmp_dir, ignore_errors=True)
 
     out = lookup_postings(idx_dir, term)
     return out.map_batches(

@@ -42,10 +42,19 @@ def compact_parquet_dir(
     ds = ray.data.read_parquet(in_dir)
     n_rows = ds.count()
     tmp = out_dir + ".compacting"
+    old = out_dir + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     ds.repartition(n_out).write_parquet(tmp)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # publish without an ENOENT window: rename the live dir aside, swap
+    # the fully-written tmp into place, then drop the old copy — a crash
+    # or concurrent reader never observes the output missing, and a
+    # leftover ``.old``/``.compacting`` is cleaned on the next run
+    # (ADVICE round 4: rmtree-then-rename left a gap and could collide)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     n_after = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
     return {
         "n_files_before": len(files),

@@ -148,8 +148,16 @@ def lookup_postings(
     empty = pa.schema([("key", pa.string()), ("tf", pa.int64())])
     if not os.path.isdir(part):
         return ray.data.from_arrow(empty.empty_table())
-    return ray.data.read_parquet(part).filter(
-        expr=f"token == '{term}'"
-    ).map_batches(
-        lambda t: t.select(["key", "tf"]), batch_format="pyarrow"
+
+    # public API taking an arbitrary string: match with a compute
+    # predicate, never by interpolating ``term`` into a filter
+    # expression (a quote in the term would break or change the
+    # expression's meaning — ADVICE round 4)
+    def match(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["token"], term)).select(["key", "tf"])
+
+    return ray.data.read_parquet(part).map_batches(
+        match, batch_format="pyarrow"
     )

@@ -34,9 +34,16 @@ def exact_percentiles(
     O(len(qs)) block fetches. Returns {q: value}, None for empty input."""
     import ray
 
-    proj = ds.map_batches(
-        lambda t: t.select([column]), batch_format="pyarrow"
-    )
+    def proj_valid(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select([column])
+        return t.filter(pc.is_valid(t[column]))
+
+    # value-nulls are dropped to match SQL percentile_disc (which
+    # ignores nulls); Arrow's sort would otherwise interleave them
+    # into the rank arithmetic (ADVICE round 4)
+    proj = ds.map_batches(proj_valid, batch_format="pyarrow")
     srt = proj.sort(column).materialize()
 
     refs, counts = [], []
@@ -83,13 +90,23 @@ def grouped_exact_percentiles(
 
     # null keys are EXCLUDED (documented): Python's sorted() cannot
     # order None against values, and Ray's sort would place null rows
-    # somewhere this offset arithmetic does not model
-    def drop_null_keys(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t[key]))
-
+    # somewhere this offset arithmetic does not model. Null VALUES are
+    # excluded too, matching SQL percentile_disc semantics (nulls are
+    # ignored) — and because Arrow's sort would place them inside a
+    # group's range where the rank offsets don't model them; the
+    # per-group counts below are computed AFTER this filter, so ranks
+    # stay consistent (ADVICE round 4). The driver-side sorted() of
+    # group keys matches the distributed sort order for the supported
+    # key types: int64 directly, and UTF-8 strings because Arrow's
+    # binary comparison equals code-point order.
     import pyarrow.compute as pc
 
-    ds = ds.map_batches(drop_null_keys, batch_format="pyarrow")
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t[key]), pc.is_valid(t[column]))
+        )
+
+    ds = ds.map_batches(drop_nulls, batch_format="pyarrow")
     counts = {
         r[key]: r["n"]
         for r in ds.groupby(key).aggregate(Count(alias_name="n")).take_all()

@@ -833,3 +833,55 @@ def test_component_safe_split_seals_near_dups(ray_session):
     flagged = {r["url"]: r["in_component"]
                for r in component_safe_split(sf).take_all()}
     assert all(flagged[u] for u in comp)
+
+
+def test_lookup_postings_quote_safe(ray_session, tmp_path):
+    """ADVICE round 4: lookup terms are matched with a compute
+    predicate, so a term containing a quote neither crashes nor
+    changes the filter's meaning."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.tokenindex import (
+        build_token_index, lookup_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_token_index(
+        ray.data.from_arrow(pa.table({
+            "url": pa.array(["u1"]), "text": pa.array(["apple banana"]),
+        })),
+        idx, key_col="url",
+    )
+    # malicious / odd terms: must return empty, never raise
+    for term in ["it's", "x' OR '1'=='1", "don''t"]:
+        assert lookup_postings(idx, term).count() == 0
+    assert lookup_postings(idx, "apple").count() == 1
+
+
+def test_grouped_percentiles_ignore_null_values(ray_session):
+    """ADVICE round 4: value-nulls are excluded (SQL percentile_disc
+    semantics) and per-group counts shrink accordingly."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.quantiles import (
+        exact_percentiles, grouped_exact_percentiles,
+    )
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + [None]),
+        "v": pa.array([10, None, 30, 20, None, 5, 15, 7], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = grouped_exact_percentiles(ds, "k", "v", [0.5]).to_pylist()
+    rows = {r["k"]: r for r in out}
+    # group a: valid values [10, 20, 30] -> n=3, p50=20, max=30
+    assert rows["a"]["n"] == 3 and rows["a"]["q0.5"] == 20
+    assert rows["a"]["max"] == 30
+    # group b: valid values [5, 15] -> n=2, p50=5, max=15
+    assert rows["b"]["n"] == 2 and rows["b"]["q0.5"] == 5
+    assert rows["b"]["max"] == 15
+    assert None not in rows  # null keys still excluded
+
+    glob = exact_percentiles(ds, "v", [0.5, 1.0])
+    # global valid values sorted: [5, 7, 10, 15, 20, 30] -> p50=10
+    assert glob[0.5] == 10 and glob[1.0] == 30
