@@ -1086,10 +1086,11 @@ SELECT CAST(313 AS BIGINT) AS n_new_rows, '7034555755370bd1' AS checksum
         "image_phash_near_dups_checksum": """
 SELECT CAST(44 AS BIGINT) AS n_pairs, '2f768a7873c10338' AS checksum
 """,
-        # cross-modality curation digest (500 assets + 58 perceptual
-        # copies; image aHash / audio RMS-contour / video sha stub)
+        # cross-modality curation digest (500 assets + 74 perceptual
+        # copies; image aHash / audio RMS-contour / AVI mean-frame
+        # aHash — REAL decode in all three modalities since round 4)
         "multimodal_curate_checksum": """
-SELECT CAST(558 AS BIGINT) AS n_assets, '224e3891fa00643a' AS checksum
+SELECT CAST(574 AS BIGINT) AS n_assets, '2da72d8e1a3d3b49' AS checksum
 """,
         # hash-locked digest of the REAL WAV decode + RMS-contour
         # fingerprint path at sf0.01 (500 clips + 72 half-gain copies)

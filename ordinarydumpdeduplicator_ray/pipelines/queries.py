@@ -1318,13 +1318,16 @@ def audio_fp_checksum(sf_dir: str) -> pa.Table:
 def _mixed_media_corpus(sf_dir: str) -> ray.data.Dataset:
     """Mixed-modality asset corpus: per embeddings vec_id, asset type
     by vec_id % 3 — 0: real PNG (16x16 RGB, _png_pixels), 1: real WAV
-    (1600 even int16 PCM samples), 2: opaque 'video' payload (the
-    documented codec stub). Injections: every type-0 id % 5 == 0 adds
-    a +8-brightness PNG copy, every type-1 id % 7 == 0 a half-gain WAV
-    copy — perceptual dups with different bytes."""
+    (1600 even int16 PCM samples), 2: real uncompressed 24-bit AVI
+    (4 frames of 16x16 RGB, functions/videocodec.encode_avi).
+    Injections: every type-0 id % 5 == 0 adds a +8-brightness PNG
+    copy, every type-1 id % 7 == 0 a half-gain WAV copy, every type-2
+    id % 11 == 2 a +8-brightness AVI copy — perceptual dups with
+    different bytes in every modality."""
     import struct
 
     from ordinarydumpdeduplicator_ray.functions.imagecodec import encode_png
+    from ordinarydumpdeduplicator_ray.functions.videocodec import encode_avi
 
     ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
@@ -1366,10 +1369,16 @@ def _mixed_media_corpus(sf_dir: str) -> ray.data.Dataset:
                     ids_out.append(v + 6_000_000)
                     payloads.append(wav_bytes((ints // 2).astype(np.int16)))
             else:
-                with np.errstate(over="ignore"):
-                    raw = _mix64(np.arange(64, dtype=np.uint64) + np.uint64(v))
+                frames = np.stack(
+                    [_png_pixels(v * 131 + fi) for fi in range(4)]
+                )
                 ids_out.append(v)
-                payloads.append(b"VID0" + raw.tobytes())
+                payloads.append(encode_avi(frames))
+                if v % 11 == 2:
+                    # uniform +8 brightness (pixels stay < 208: no
+                    # wrap) — different bytes, identical aHash
+                    ids_out.append(v + 6_000_000)
+                    payloads.append(encode_avi(frames + np.uint8(8)))
         return pa.table(
             {
                 "asset_id": pa.array(ids_out, type=pa.int64()),
@@ -1382,9 +1391,12 @@ def _mixed_media_corpus(sf_dir: str) -> ray.data.Dataset:
 
 class _MediaDedupActor:
     """Actor-pool batch map: sniff modality by magic, decode for real
-    (PNG -> aHash, WAV -> RMS-contour fingerprint), video falls back to
-    the exact-bytes sha fingerprint (the documented stub — perceptual
-    video fingerprints need a codec library this container lacks)."""
+    (PNG -> aHash, WAV -> RMS-contour fingerprint, uncompressed AVI ->
+    aHash of the temporal-mean sampled frame — uniform brightness
+    shifts cancel in the threshold compare, so re-graded copies
+    fingerprint identically). Non-AVI video containers fall back to
+    the exact-bytes sha fingerprint (the pyav/ffmpeg integration
+    point)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib as _hashlib
@@ -1398,6 +1410,14 @@ class _MediaDedupActor:
             PNG_MAGIC,
             average_hash,
             decode_png,
+        )
+        from ordinarydumpdeduplicator_ray.functions.videocodec import (
+            UnsupportedVideoError,
+            decode_avi,
+            sniff_avi,
+        )
+        from ordinarydumpdeduplicator_ray.stages.multimodal import (
+            frame_sample_offsets,
         )
 
         types: list[str] = []
@@ -1414,8 +1434,15 @@ class _MediaDedupActor:
                                .view(np.int64)))
             else:
                 types.append("video")
-                d = _hashlib.sha256(p).digest()[:8]
-                fps.append(int.from_bytes(d, "little", signed=True))
+                try:
+                    _w, _h, frames = decode_avi(p)
+                    offs = frame_sample_offsets(len(frames))
+                    mean_frame = frames[offs].astype(np.float64).mean(axis=0)
+                    fps.append(int(np.uint64(average_hash(mean_frame))
+                                   .view(np.int64)))
+                except UnsupportedVideoError:
+                    d = _hashlib.sha256(p).digest()[:8]
+                    fps.append(int.from_bytes(d, "little", signed=True))
         return pa.table(
             {
                 "asset_id": t["asset_id"],
@@ -1430,9 +1457,9 @@ def multimodal_curate(sf_dir: str) -> ray.data.Dataset:
     per-modality perceptual fingerprint -> ONE groupby on
     (media_type, fp) -> keep-first (lowest asset_id) verdict per
     asset. Every injected brightness/half-gain copy must drop against
-    its original; video assets (stub fingerprint = content sha) only
-    dedup on exact bytes. Rows-only; digest-locked via
-    multimodal_curate_checksum."""
+    its original in ALL THREE modalities (PNG aHash, WAV RMS contour,
+    AVI mean-frame aHash — real decode each). Rows-only;
+    digest-locked via multimodal_curate_checksum."""
     fps = _mixed_media_corpus(sf_dir).map_batches(
         _MediaDedupActor, batch_format="pyarrow", batch_size=256,
         concurrency=_qcfg().sig_concurrency,

@@ -11,12 +11,14 @@ inflate + filter reversal), BMP pixels, GIF header dims + frame count —
 and derives the embedding from the ACTUAL pixels; AUDIO payloads with
 the pure-stdlib WAV decoder in ``functions/audiocodec.py`` (RIFF PCM
 chunk walk + segment-RMS/zero-crossing features from the actual
-samples). Payloads the stdlib codecs can't read (exotic images,
-compressed audio codecs) fall back to the deterministic digest-derived
-stub (per-row error tolerance, never failing the job). VIDEO decode
-remains the documented stub — ``real=True`` raises
-``NotImplementedError`` on the first video row (the pyav/ffmpeg
-integration point, not shipped in this container). ``real=False`` runs
+samples); VIDEO payloads with the pure-stdlib AVI decoder in
+``functions/videocodec.py`` (RIFF tree walk: uncompressed 24-bit AVI
+gets full frame decode + sampled-frame pixel features; compressed AVI
+gets real header dims/frame-count with a digest-derived embedding —
+the pyav/ffmpeg integration point). Payloads the stdlib codecs can't
+read (exotic images, compressed audio codecs, non-AVI video
+containers) fall back to the deterministic digest-derived stub
+(per-row error tolerance, never failing the job). ``real=False`` runs
 the deterministic fake decoder for every row.
 
 Scale notes: payloads are large, so batches must be SMALL
@@ -96,12 +98,12 @@ class MediaFeatureActor:
     embedding come from the actual bytes — the reference's
     byte-interpreting hash pass (``Common/FsUtils.cs:39-54``) extended
     to sample decode. For audio rows the dimension columns carry
-    (width=sample_rate, height=n_channels, n_frames=PCM frame count).
-    Undecodable image/audio payloads fall back to the deterministic
-    stub; video rows raise ``NotImplementedError`` (the codec-library
-    integration point). Rows with null payloads are dropped
-    (broken-row tolerance, same policy as the text pipeline's
-    ``status`` column).
+    (width=sample_rate, height=n_channels, n_frames=PCM frame count);
+    for video rows (width, height, n_frames=sampled frame count) from
+    the AVI headers/frames (``functions/videocodec.py``). Undecodable
+    payloads fall back to the deterministic stub. Rows with null
+    payloads are dropped (broken-row tolerance, same policy as the
+    text pipeline's ``status`` column).
     """
 
     def __init__(self, real: bool = False) -> None:
@@ -112,11 +114,6 @@ class MediaFeatureActor:
         if self.real:
             from ordinarydumpdeduplicator_ray.functions import imagecodec as ic
 
-            if mt == "video":
-                raise NotImplementedError(
-                    "real video decoding needs pyav/ffmpeg, not shipped in "
-                    "this container — image and WAV audio decode for real"
-                )
             import struct as _struct
             import zlib as _zlib
 
@@ -126,6 +123,28 @@ class MediaFeatureActor:
             # zlib.error / ValueError from a parse the header checks
             # didn't cover — degrade those to the stub too, never the job
             _codec_errors = (ValueError, _struct.error, _zlib.error)
+            if mt == "video":
+                from ordinarydumpdeduplicator_ray.functions import (
+                    videocodec as vc,
+                )
+
+                try:
+                    w, h, frames = vc.decode_avi(payload)
+                    offs = frame_sample_offsets(len(frames))
+                    return w, h, len(offs), vc.video_features(frames)
+                except _codec_errors:
+                    pass
+                try:
+                    # compressed AVI (MJPG/...): real header dims +
+                    # frame count, digest-derived embedding — the
+                    # decode_gif_header policy for video
+                    w, h, nf = vc.decode_avi_header(payload)
+                    return (w, h, len(frame_sample_offsets(max(nf, 1))),
+                            _fake_embedding(digest))
+                except _codec_errors:
+                    pass  # non-AVI container / corrupt -> stub below
+                w, h, nf = _fake_decode(payload, mt)
+                return w, h, len(frame_sample_offsets(nf)), _fake_embedding(digest)
             if mt == "audio":
                 from ordinarydumpdeduplicator_ray.functions import audiocodec as ac
 

@@ -61,19 +61,52 @@ class TestMultimodal:
         assert np.allclose(e0, e1)  # same content -> same embedding
         assert abs(np.linalg.norm(e0) - 1.0) < 1e-5
 
-    def test_real_video_decode_is_explicit_stub(self):
-        from ordinarydumpdeduplicator_ray.stages.multimodal import MediaFeatureActor
+    def test_avi_codec_roundtrip(self):
+        from ordinarydumpdeduplicator_ray.functions.videocodec import (
+            decode_avi,
+            decode_avi_header,
+            encode_avi,
+        )
 
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 200, size=(5, 12, 17, 3), dtype=np.uint8)
+        payload = encode_avi(frames, fps=8)
+        w, h, nf = decode_avi_header(payload)
+        assert (w, h, nf) == (17, 12, 5)
+        dw, dh, out = decode_avi(payload)
+        assert (dw, dh) == (17, 12)
+        assert np.array_equal(out, frames)  # exact pixel round-trip
+
+    def test_real_video_decode_from_actual_frames(self):
+        """real=True decodes uncompressed AVI: dims/frame-count and the
+        embedding come from the actual frames; non-AVI video payloads
+        fall back to the stub (same policy as undecodable images)."""
+        from ordinarydumpdeduplicator_ray.functions.videocodec import (
+            encode_avi,
+            video_features,
+        )
+        from ordinarydumpdeduplicator_ray.stages.multimodal import (
+            MediaFeatureActor,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 200, size=(3, 16, 16, 3), dtype=np.uint8)
         actor = MediaFeatureActor(real=True)
         batch = pa.table(
             {
-                "url": pa.array(["m://v"], type=pa.string()),
-                "media_type": pa.array(["video"], type=pa.string()),
-                "payload": pa.array([b"not-a-codec"], type=pa.binary()),
+                "url": pa.array(["m://v", "m://junk"], type=pa.string()),
+                "media_type": pa.array(["video", "video"], type=pa.string()),
+                "payload": pa.array(
+                    [encode_avi(frames), b"not-a-codec"], type=pa.binary()
+                ),
             }
         )
-        with pytest.raises(NotImplementedError):
-            actor(batch)
+        rows = actor(batch).to_pylist()
+        real = rows[0]
+        assert (real["width"], real["height"], real["n_frames"]) == (16, 16, 3)
+        assert np.allclose(real["embedding"], video_features(frames), atol=1e-6)
+        # the junk payload degrades to the digest stub, never raises
+        assert rows[1]["width"] > 0 and rows[1]["n_frames"] >= 1
 
     def test_wav_codec_roundtrip(self):
         from ordinarydumpdeduplicator_ray.functions.audiocodec import (
@@ -676,8 +709,9 @@ def test_image_phash_near_dups_brute_force(ray_session):
 
 def test_multimodal_curate(ray_session):
     """Every injected brightness/half-gain copy drops against its
-    original; all three modalities present; video (sha stub) never
-    perceptually dedups distinct payloads."""
+    original in ALL THREE modalities (round 4: video decodes for real
+    — the +8-brightness AVI copies perceptually dedup too); base
+    assets are all kept."""
     from ordinarydumpdeduplicator_ray.pipelines import queries as q
 
     rows = q.multimodal_curate("/root/testdata/sf0.001").take_all()
@@ -685,15 +719,18 @@ def test_multimodal_curate(ray_session):
     assert types == {"image", "audio", "video"}
     copies = [r for r in rows if r["asset_id"] >= 6_000_000]
     assert copies
+    dropped_types = set()
     for r in copies:
         assert not r["kept"]
         assert r["dup_of"] == r["asset_id"] - 6_000_000
-    vids = [r for r in rows if r["media_type"] == "video"]
-    assert all(r["kept"] for r in vids)
+        dropped_types.add(r["media_type"])
+    assert "video" in dropped_types  # real AVI perceptual dedup fired
+    base = [r for r in rows if r["asset_id"] < 6_000_000]
+    assert all(r["kept"] for r in base)
 
 
 def test_multimodal_curate_checksum_locked(ray_session):
     from ordinarydumpdeduplicator_ray.pipelines import queries as q
 
     t = q.multimodal_curate_checksum("/root/testdata/sf0.01").to_pydict()
-    assert t == {"n_assets": [558], "checksum": ["224e3891fa00643a"]}
+    assert t == {"n_assets": [574], "checksum": ["2da72d8e1a3d3b49"]}
