@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_stats": q.user_session_stats,
         "page_locations": q.page_locations,
         "snapshot_diff": q.snapshot_diff,
+        # round 4: N-snapshot FileState history chain (FileState.cs:14)
+        "file_state_chain": q.file_state_chain,
         "incremental_dedup_stats": q.incremental_dedup_stats,
         "dedup_actions_by_ts": q.dedup_actions_by_ts,
         "lang_dup_stats": q.lang_dup_stats,
@@ -1401,5 +1403,38 @@ SELECT CAST(157 AS BIGINT) AS n_spans, '113c85e3381cea41' AS checksum
 """,
         "all_dup_groups_checksum": """
 SELECT CAST(244 AS BIGINT) AS n_groups, '7bf081d68f958ff3' AS checksum
+""",
+        # round 4: N-snapshot FileState history chain — the pairwise
+        # full-outer-join formulation over the three derived snapshots
+        # (prev %11 / cur %13 +' updated'%7 / next %17 +' rev2'%5)
+        "file_state_chain": f"""
+WITH {_SNAP_PREV_CTE},
+{_SNAP_CUR_CTE},
+snap_next AS (
+  SELECT 'testdata://documents/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ' rev2' ELSE '' END) AS text
+  FROM documents WHERE doc_id % 17 <> 0
+),
+p0 AS (SELECT url, sha256(text) AS sha FROM snap_prev),
+p1 AS (SELECT url, sha256(text) AS sha FROM snap_cur),
+p2 AS (SELECT url, sha256(text) AS sha FROM snap_next)
+SELECT url, CAST(0 AS BIGINT) AS snap_id, CAST('new' AS VARCHAR) AS status,
+       sha, CAST(NULL AS VARCHAR) AS sha_prev
+FROM p0
+UNION ALL
+SELECT coalesce(c.url, p.url), CAST(1 AS BIGINT),
+       CASE WHEN p.sha IS NULL THEN 'new'
+            WHEN c.sha IS NULL THEN 'removed'
+            WHEN c.sha = p.sha THEN 'unchanged' ELSE 'modified' END,
+       c.sha, p.sha
+FROM p1 c FULL OUTER JOIN p0 p ON c.url = p.url
+UNION ALL
+SELECT coalesce(c.url, p.url), CAST(2 AS BIGINT),
+       CASE WHEN p.sha IS NULL THEN 'new'
+            WHEN c.sha IS NULL THEN 'removed'
+            WHEN c.sha = p.sha THEN 'unchanged' ELSE 'modified' END,
+       c.sha, p.sha
+FROM p2 c FULL OUTER JOIN p1 p ON c.url = p.url
 """,
     }

@@ -156,6 +156,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "leakage_safe_split",
         "component_safe_split",
         "cluster_keywords",
+        "file_state_chain",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -179,3 +179,173 @@ def latest_pages(
         diff |= k[order][1:] != k[order][:-1]
     keep = np.concatenate([[True], diff]) if len(order) else np.empty(0, bool)
     return interior.union(ray.data.from_arrow(edge_tbl.take(order[keep])))
+
+
+# ---------------------------------------------------------------------------
+# N-snapshot FileState history chain
+# ---------------------------------------------------------------------------
+
+CHAIN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("snap_id", pa.int32()),
+        ("status", pa.string()),      # new | unchanged | modified | removed
+        ("sha", pa.string()),         # content sha at snap_id (null: removed)
+        ("sha_prev", pa.string()),    # previous version's sha (null: new)
+    ]
+)
+
+
+def _chain_kernel(t: pa.Table, n_snaps: int) -> pa.Table:
+    """(url, snap_id, sha) rows sorted by (url, snap_id), COMPLETE url
+    runs only -> FileState chain rows. Vectorized: one shifted-compare
+    pass derives per-row status; synthesized ``removed`` rows come from
+    gap positions (present at s-1-ish, absent at s) and run ends.
+
+    Semantics per url (mirrors chaining ``snapshot_diff`` over every
+    consecutive snapshot pair, ``Common/FileState.cs:14,67-70`` /
+    ``Common/FileStatus.cs:5-14``):
+
+    - first presence -> ``new``
+    - present at k and k-1 -> ``unchanged``/``modified`` by sha equality
+      (null shas — broken rows — compare equal to each other)
+    - absent at k after presence at k-1 -> one ``removed`` row at k
+    - reappearance after a gap -> ``new`` again
+    """
+    n = len(t)
+    if n == 0:
+        return CHAIN_SCHEMA.empty_table()
+    urls = np.asarray(t["url"].to_pylist(), dtype=object)
+    snaps = np.asarray(t["snap_id"].to_pylist(), dtype=np.int64)
+    shas = np.asarray(t["sha"].to_pylist(), dtype=object)
+
+    same = np.concatenate([[False], urls[1:] == urls[:-1]])
+    prev_snap = np.concatenate([[-10], snaps[:-1]])
+    prev_sha = np.concatenate([[None], shas[:-1]])
+    contig = same & (snaps == prev_snap + 1)
+    eq = np.concatenate([[False], shas[1:] == shas[:-1]]) & contig
+
+    status = np.where(
+        contig, np.where(eq, STATUS_UNCHANGED, STATUS_MODIFIED), STATUS_NEW
+    )
+    base = pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "snap_id": pa.array(snaps.astype(np.int32), type=pa.int32()),
+        "status": pa.array(status.astype(object), type=pa.string()),
+        "sha": pa.array(shas, type=pa.string()),
+        "sha_prev": pa.array(np.where(contig, prev_sha, None), type=pa.string()),
+    })
+
+    # synthesized removed rows: after a gap, and after the final
+    # presence when the timeline continues past it
+    gap = np.flatnonzero(same & (snaps > prev_snap + 1))
+    run_last = np.concatenate([~same[1:], [True]])
+    tail = np.flatnonzero(run_last & (snaps < n_snaps - 1))
+    rem_urls = np.concatenate([urls[gap], urls[tail]])
+    rem_snaps = np.concatenate([prev_snap[gap] + 1, snaps[tail] + 1])
+    rem_prev = np.concatenate([prev_sha[gap], shas[tail]])
+    if len(rem_urls) == 0:
+        return base
+    removed = pa.table({
+        "url": pa.array(rem_urls, type=pa.string()),
+        "snap_id": pa.array(rem_snaps.astype(np.int32), type=pa.int32()),
+        "status": pa.array([STATUS_REMOVED] * len(rem_urls), type=pa.string()),
+        "sha": pa.nulls(len(rem_urls), type=pa.string()),
+        "sha_prev": pa.array(rem_prev, type=pa.string()),
+    })
+    return pa.concat_tables([base, removed])
+
+
+def file_state_chain(
+    snapshots: list[ray.data.Dataset],
+) -> ray.data.Dataset:
+    """N chronological pages snapshots -> the full per-url FileState
+    history chain — the reference's arbitrary-length per-file version
+    chain (``Common/FileState.cs:14,67-70``), not just the prev→cur
+    pair ``snapshot_diff`` covers.
+
+    Ray-Data-first: each snapshot projects to (url, snap_id, sha) via
+    the shared extract kernel, the union sorts ONCE on (url, snap_id),
+    and each sorted block emits chain rows for its interior url runs
+    vectorized; only the ≤2 border runs per block (a url run may span
+    blocks) are reconciled driver-side — O(blocks x N) driver rows,
+    never the corpus. Scales as one narrow-column sort of
+    sum(|snapshots|) rows."""
+    n_snaps = len(snapshots)
+    if n_snaps == 0:
+        return ray.data.from_arrow(CHAIN_SCHEMA.empty_table())
+
+    def project(i: int):
+        def fn(t: pa.Table) -> pa.Table:
+            e = extract_batch(t)
+            shas = [
+                s.hex() if s is not None else None
+                for s in e["text_sha256"].to_pylist()
+            ]
+            return pa.table({
+                "url": e["url"],
+                "snap_id": pa.array([i] * len(e), type=pa.int32()),
+                "sha": pa.array(shas, type=pa.string()),
+            })
+        return fn
+
+    unioned = snapshots[0].map_batches(project(0), batch_format="pyarrow")
+    for i in range(1, n_snaps):
+        unioned = unioned.union(
+            snapshots[i].map_batches(project(i), batch_format="pyarrow")
+        )
+    srt = unioned.sort(["url", "snap_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        n = len(t)
+        out_schema = pa.schema(
+            list(CHAIN_SCHEMA) + [pa.field("is_edge", pa.bool_())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        bounds = np.concatenate([[0], np.flatnonzero(urls[1:] != urls[:-1]) + 1, [n]])
+        # interior = complete runs strictly inside the block; the first
+        # and last run may continue into neighboring blocks
+        if len(bounds) <= 3:  # 0, 1 or 2 runs: everything is border
+            interior = CHAIN_SCHEMA.empty_table()
+            edge_raw = t
+        else:
+            lo, hi = int(bounds[1]), int(bounds[-2])
+            interior = _chain_kernel(t.slice(lo, hi - lo), n_snaps)
+            edge_raw = pa.concat_tables([t.slice(0, lo), t.slice(hi)])
+        interior = interior.append_column(
+            "is_edge", pa.array([False] * len(interior), type=pa.bool_()))
+        # border rows ride through RAW (url, snap_id, sha) in the chain
+        # schema: sha_prev carries the raw sha, status is a marker
+        edge = pa.table({
+            "url": edge_raw["url"],
+            "snap_id": edge_raw["snap_id"],
+            "status": pa.array(["__raw__"] * len(edge_raw), type=pa.string()),
+            "sha": edge_raw["sha"],
+            "sha_prev": pa.nulls(len(edge_raw), type=pa.string()),
+            "is_edge": pa.array([True] * len(edge_raw), type=pa.bool_()),
+        })
+        return pa.concat_tables([interior, edge])
+
+    marked = srt.map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = marked.filter(expr="is_edge == False").drop_columns(["is_edge"])
+    edge = marked.filter(expr="is_edge == True")
+    edge_tbl = pa.concat_tables(
+        list(edge.iter_batches(batch_size=1 << 20, batch_format="pyarrow")),
+        promote_options="default",
+    ) if edge.count() else None
+    if edge_tbl is None or edge_tbl.num_rows == 0:
+        return interior
+    raw = pa.table({
+        "url": edge_tbl["url"],
+        "snap_id": edge_tbl["snap_id"],
+        "sha": edge_tbl["sha"],
+    })
+    order = pc.sort_indices(
+        raw, sort_keys=[("url", "ascending"), ("snap_id", "ascending")]
+    )
+    merged = _chain_kernel(raw.take(order), n_snaps)
+    return interior.union(ray.data.from_arrow(merged))

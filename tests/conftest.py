@@ -10,6 +10,13 @@ import pytest
 warnings.filterwarnings("ignore")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute full-pipeline runs (deselect with -m 'not slow')",
+    )
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray

@@ -885,3 +885,58 @@ def test_grouped_percentiles_ignore_null_values(ray_session):
     glob = exact_percentiles(ds, "v", [0.5, 1.0])
     # global valid values sorted: [5, 7, 10, 15, 20, 30] -> p50=10
     assert glob[0.5] == 10 and glob[1.0] == 30
+
+
+def test_file_state_chain_semantics(ray_session):
+    """N-snapshot chain: new/unchanged/modified transitions, removed
+    synthesis after gaps and at end-of-presence, reappearance as new —
+    verified against a brute-force per-url chain walk; run twice at
+    different block counts to exercise the border-run reconciliation."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.snapshot import file_state_chain
+
+    # url -> list of (snap_id, text); absence = removed
+    timeline = {
+        "u-always": [(0, "a"), (1, "a"), (2, "b")],       # unchanged, modified
+        "u-gone": [(0, "x")],                              # removed at 1
+        "u-gap": [(0, "g"), (2, "g2")],                    # removed at 1, new at 2
+        "u-late": [(2, "z")],                              # new at 2
+        "u-mid": [(1, "m"), (2, "m")],                     # new, unchanged
+    }
+
+    def snap(i, blocks):
+        rows = [(u, t) for u, evs in timeline.items()
+                for s, t in evs if s == i]
+        tbl = pa.table({
+            "url": pa.array([u for u, _ in rows]),
+            "text": pa.array([t for _, t in rows]),
+        })
+        return ray.data.from_arrow(tbl).repartition(blocks)
+
+    import hashlib
+    sha = lambda t: hashlib.sha256(t.encode()).hexdigest()
+
+    expect = set()
+    n_snaps = 3
+    for u, evs in timeline.items():
+        evs = sorted(evs)
+        prev_s, prev_h = None, None
+        for s, t in evs:
+            h = sha(t)
+            if prev_s is None or s > prev_s + 1:
+                if prev_s is not None:
+                    expect.add((u, prev_s + 1, "removed", None, prev_h))
+                expect.add((u, s, "new", h, None))
+            else:
+                st = "unchanged" if h == prev_h else "modified"
+                expect.add((u, s, st, h, prev_h))
+            prev_s, prev_h = s, h
+        if prev_s < n_snaps - 1:
+            expect.add((u, prev_s + 1, "removed", None, prev_h))
+
+    for blocks in (1, 4):
+        out = file_state_chain([snap(i, blocks) for i in range(3)])
+        got = {(r["url"], r["snap_id"], r["status"], r["sha"], r["sha_prev"])
+               for r in out.take_all()}
+        assert got == expect, f"blocks={blocks}"

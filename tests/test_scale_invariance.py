@@ -1,0 +1,47 @@
+"""Large-scale blocking/parallelism invariance for the iterative ops
+(VERDICT r3 item 8): the flagship components, PageRank, carry, and
+distributed k-means must produce BIT-IDENTICAL outputs at different
+parallelism levels — fresh Ray sessions, different block counts,
+different actor-pool sizes — over the identical on-disk corpus.
+
+The default corpus is small enough for CI (override with
+``GRAFT_INVARIANCE_ROWS``); the 960k-doc evidence lives in BASELINE.md
+("iterative-op invariance at scale") and was produced by the same
+probe script. Marked slow: two full pipeline runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS = int(os.environ.get("GRAFT_INVARIANCE_ROWS", "20000"))
+
+
+@pytest.mark.slow
+def test_iterative_ops_parallelism_invariant(tmp_path):
+    from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+
+    pages_dir = write_pages_corpus(
+        str(tmp_path / "pages"), ROWS, seed=42, shards=16
+    )
+
+    def probe(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "invariance_probe.py"),
+             pages_dir, str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    a = probe(2)
+    b = probe(6)
+    assert a == b, f"digests diverge across parallelism:\n{a}\n{b}"
+    assert set(a) == {"components", "pagerank", "carry", "kmeans"}
+    assert all(v[0] > 0 for v in a.values())
