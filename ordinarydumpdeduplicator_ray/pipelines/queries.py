@@ -1849,15 +1849,48 @@ def file_state_chain(sf_dir: str) -> ray.data.Dataset:
     snapshot_diff only covers pairwise. One (url, snap_id) sort +
     vectorized block chain kernel (stages/snapshot.file_state_chain).
     SQL-oracled against the pairwise full-outer-join formulation."""
+    import hashlib as _hashlib
+
     from ordinarydumpdeduplicator_ray.stages.snapshot import (
-        file_state_chain as impl,
+        file_state_chain_projected,
     )
 
-    out = impl([
-        _snapshot_pages(sf_dir, "prev"),
-        _snapshot_pages(sf_dir, "cur"),
-        _snapshot_pages(sf_dir, "next"),
-    ])
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    # fused projection: ONE documents scan emits every snapshot's
+    # (url, snap_id, sha) rows — the same derivation as
+    # _snapshot_pages(prev/cur/next) with the text sha computed inline
+    # (byte-identical to extract_batch's text_sha256 on these rows:
+    # sha256(text.encode('utf-8')))
+    def build(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        texts = t["text"].to_pylist()
+        urls, snaps, shas = [], [], []
+        for d, txt in zip(ids, texts):
+            url = f"testdata://documents/{d:08d}"
+            cur_txt = txt + " updated" if d % 7 == 0 else txt
+            if d % 11 != 0:
+                urls.append(url)
+                snaps.append(0)
+                shas.append(_hashlib.sha256(txt.encode()).hexdigest())
+            if d % 13 != 0:
+                urls.append(url)
+                snaps.append(1)
+                shas.append(_hashlib.sha256(cur_txt.encode()).hexdigest())
+            if d % 17 != 0:
+                nxt = cur_txt + " rev2" if d % 5 == 0 else cur_txt
+                urls.append(url)
+                snaps.append(2)
+                shas.append(_hashlib.sha256(nxt.encode()).hexdigest())
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "snap_id": pa.array(snaps, type=pa.int32()),
+            "sha": pa.array(shas, type=pa.string()),
+        })
+
+    out = file_state_chain_projected(
+        docs.map_batches(build, batch_format="pyarrow"), n_snaps=3
+    )
 
     def widen(t: pa.Table) -> pa.Table:
         # int64 snap_id so the driver-side schema compare lines up with

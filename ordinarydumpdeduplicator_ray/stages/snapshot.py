@@ -294,7 +294,16 @@ def file_state_chain(
         unioned = unioned.union(
             snapshots[i].map_batches(project(i), batch_format="pyarrow")
         )
-    srt = unioned.sort(["url", "snap_id"])
+    return file_state_chain_projected(unioned, n_snaps)
+
+
+def file_state_chain_projected(
+    rows: ray.data.Dataset, n_snaps: int
+) -> ray.data.Dataset:
+    """Chain over pre-projected (url, snap_id:int32, sha) rows — the
+    entry point for callers that derive every snapshot from ONE read
+    of a base table (a fused projection saves N-1 source scans)."""
+    srt = rows.sort(["url", "snap_id"])
 
     def block(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -332,11 +341,13 @@ def file_state_chain(
         block, batch_format="pyarrow", batch_size=None
     ).materialize()
     interior = marked.filter(expr="is_edge == False").drop_columns(["is_edge"])
-    edge = marked.filter(expr="is_edge == True")
+    edge_batches = list(
+        marked.filter(expr="is_edge == True")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
     edge_tbl = pa.concat_tables(
-        list(edge.iter_batches(batch_size=1 << 20, batch_format="pyarrow")),
-        promote_options="default",
-    ) if edge.count() else None
+        edge_batches, promote_options="default"
+    ) if edge_batches else None
     if edge_tbl is None or edge_tbl.num_rows == 0:
         return interior
     raw = pa.table({
