@@ -41,7 +41,12 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        # log_to_driver=False: worker stdout lines (e.g. Arrow sampler
+        # warnings) would otherwise interleave with THE one JSON line
+        # this script's contract promises on stdout
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False,
+                 logging_level="ERROR")
 
 
 def _consume(res) -> int:
