@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_groups_checksum": q.near_dup_groups_checksum,
         "substring_spans_checksum": q.substring_spans_checksum,
         "all_dup_groups_checksum": q.all_dup_groups_checksum,
+        # round 4: the north rule's dup-pair recall bar as an operator
+        "near_dup_recall": q.near_dup_recall,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -1403,6 +1405,15 @@ SELECT CAST(157 AS BIGINT) AS n_spans, '113c85e3381cea41' AS checksum
 """,
         "all_dup_groups_checksum": """
 SELECT CAST(244 AS BIGINT) AS n_groups, '7bf081d68f958ff3' AS checksum
+""",
+        # the north rule's dup-pair recall bar (>=0.99) measured over
+        # the injected truth pairs of the derived corpus — the flagship
+        # recovers EVERY injected exact and near pair at sf0.01
+        "near_dup_recall": """
+SELECT * FROM (VALUES
+  ('exact', CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  ('near',  CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(1.0 AS DOUBLE))
+) AS t(kind, n_pairs, n_matched, recall)
 """,
         # round 4: N-snapshot FileState history chain — the pairwise
         # full-outer-join formulation over the three derived snapshots

@@ -162,6 +162,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "component_safe_split",
         "cluster_keywords",
         "file_state_chain",
+        "near_dup_recall",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -712,6 +712,103 @@ def near_dup_components(sf_dir: str) -> ray.data.Dataset:
     return _flagship(sf_dir)["components"]
 
 
+def near_dup_recall(sf_dir: str) -> pa.Table:
+    """The north rule's dup-pair recall bar (>=0.99) measured as a
+    first-class operator: the derived corpus injects known truth pairs
+    (X, X-copy) exact and (X, X-near) near — recall = fraction of
+    injected pairs whose endpoints land in the SAME flagship component.
+    Scale-safe: the component table splits into base/variant sides by
+    url suffix (a string map — no extra data), one base-url-keyed join
+    compares labels, per-block 1-row partials reduce to the 2-row
+    summary; denominators come from a documents count, so missed pairs
+    (an endpoint absent from any component) count against recall.
+    Hash-locked via literal oracle constants at sf0.01."""
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+
+    comp = near_dup_components(sf_dir).materialize()
+
+    def split(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        comps = t["component_id"].to_pylist()
+        base, kind, cid = [], [], []
+        for u, c in zip(urls, comps):
+            if u.endswith("-copy"):
+                base.append(u[:-5])
+                kind.append("exact")
+            elif u.endswith("-near"):
+                base.append(u[:-5])
+                kind.append("near")
+            else:
+                base.append(u)
+                kind.append("base")
+            cid.append(c)
+        return pa.table({
+            "base": pa.array(base, type=pa.string()),
+            "kind": pa.array(kind, type=pa.string()),
+            "cid": pa.array(cid, type=pa.string()),
+        })
+
+    tagged = comp.map_batches(split, batch_format="pyarrow").materialize()
+    bases = tagged.filter(expr="kind == 'base'").map_batches(
+        lambda t: pa.table({"base": t["base"], "cid_base": t["cid"]}),
+        batch_format="pyarrow",
+    )
+    variants = tagged.filter(expr="kind != 'base'")
+    joined = inner_join(
+        variants, bases, on=("base",),
+        empty_schema=pa.schema([
+            ("base", pa.string()), ("kind", pa.string()),
+            ("cid", pa.string()), ("cid_base", pa.string()),
+        ]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "m": pa.array([], type=pa.int64())})
+        hit = pc.equal(t["cid"], t["cid_base"])
+        kinds = t["kind"].to_pylist()
+        hits = hit.to_pylist()
+        agg: dict[str, int] = {}
+        for k, h in zip(kinds, hits):
+            agg[k] = agg.get(k, 0) + (1 if h else 0)
+        return pa.table({
+            "kind": pa.array(list(agg), type=pa.string()),
+            "m": pa.array(list(agg.values()), type=pa.int64()),
+        })
+
+    matched = {"exact": 0, "near": 0}
+    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():
+        matched[r["kind"]] = matched.get(r["kind"], 0) + r["m"]
+
+    # truth denominators straight from the corpus derivation
+    docs = _read_documents(sf_dir, columns=["doc_id"])
+
+    def truth_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "e": pa.array([int(np.sum(ids % 3 == 0))], type=pa.int64()),
+            "n": pa.array([int(np.sum(ids % 5 == 0))], type=pa.int64()),
+        })
+
+    n_exact = n_near = 0
+    for r in docs.map_batches(truth_partial, batch_format="pyarrow").take_all():
+        n_exact += r["e"]
+        n_near += r["n"]
+
+    return pa.table({
+        "kind": pa.array(["exact", "near"], type=pa.string()),
+        "n_pairs": pa.array([n_exact, n_near], type=pa.int64()),
+        "n_matched": pa.array([matched["exact"], matched["near"]],
+                              type=pa.int64()),
+        "recall": pa.array(
+            _round4_half_away(np.array([
+                matched["exact"] / n_exact if n_exact else 1.0,
+                matched["near"] / n_near if n_near else 1.0,
+            ])), type=pa.float64()),
+    })
+
+
 def near_dup_groups(sf_dir: str) -> ray.data.Dataset:
     return _flagship(sf_dir)["groups_near"]
 

@@ -940,3 +940,17 @@ def test_file_state_chain_semantics(ray_session):
         got = {(r["url"], r["snap_id"], r["status"], r["sha"], r["sha_prev"])
                for r in out.take_all()}
         assert got == expect, f"blocks={blocks}"
+
+
+def test_near_dup_recall_meets_north_rule(ray_session):
+    """The flagship recovers >=0.99 of the injected truth pairs — the
+    north rule's recall bar measured by the operator itself."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import near_dup_recall
+
+    rows = {r["kind"]: r for r in
+            near_dup_recall("/root/testdata/sf0.001").to_pylist()}
+    assert set(rows) == {"exact", "near"}
+    for r in rows.values():
+        assert r["n_pairs"] > 0
+        assert r["recall"] >= 0.99
+    assert rows["exact"]["recall"] == 1.0  # sha-exact pairs never miss
