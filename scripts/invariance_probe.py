@@ -74,6 +74,11 @@ def main() -> None:
 
     out["components"] = digest(
         res["components"], ["url", "component_id", "n_bytes"], "n")
+    # edges digested too: a downstream divergence (e.g. pagerank) can
+    # then be localized to "edge multiset differed" vs "iteration
+    # differed" — components alone cannot distinguish the two
+    out["edges"] = digest(
+        edges, ["url_a", "url_b", "nb_a", "nb_b", "source", "jaccard"], "n")
 
     # PageRank digest over rank nano-units (float ranks are themselves
     # integer-derived and blocking-independent, but digest the exact
