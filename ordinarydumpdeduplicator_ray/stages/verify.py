@@ -297,14 +297,22 @@ def _assemble_lookup(k: int, *rows: dict) -> dict:
 # and this cache makes the per-task ``ray.get`` + unpickle a one-time
 # cost per worker process
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def _get_broadcast(ref):
+    """Per-worker broadcast cache. Bounded at a few entries (FIFO)
+    rather than single-slot: kernels that read 2-3 broadcasts per batch
+    (pagerank's nodes/ranks/degrees, the incremental scan's key tables)
+    would otherwise evict each other every call and re-deserialize the
+    object per batch. Entries are plasma-backed (numpy views are
+    zero-copy), so the bound is about handle count, not bytes."""
     key = ref.hex()
     val = _BROADCAST_CACHE.get(key)
     if val is None:
         val = ray.get(ref)
-        _BROADCAST_CACHE.clear()
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = val
     return val
 
