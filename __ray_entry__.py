@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_dup_groups_checksum": q.all_dup_groups_checksum,
         # round 4: the north rule's dup-pair recall bar as an operator
         "near_dup_recall": q.near_dup_recall,
+        # round 4: quality-aware keeper selection (hash-locked)
+        "near_dup_actions_by_quality_checksum":
+            q.near_dup_actions_by_quality_checksum,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -253,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_hubs": q.dup_graph_hubs,
         "component_safe_split": q.component_safe_split,
         "cluster_keywords": q.cluster_keywords,
+        "near_dup_actions_by_quality": q.near_dup_actions_by_quality,
     }
 
 
@@ -1447,5 +1451,11 @@ SELECT coalesce(c.url, p.url), CAST(2 AS BIGINT),
             WHEN c.sha = p.sha THEN 'unchanged' ELSE 'modified' END,
        c.sha, p.sha
 FROM p2 c FULL OUTER JOIN p1 p ON c.url = p.url
+""",
+        # quality-aware keeper actions over the flagship components
+        # (keep the HIGHEST-quality member, ties min url) — digest
+        # verified bit-identical at 8 and 16 CPUs before pinning
+        "near_dup_actions_by_quality_checksum": """
+SELECT CAST(526 AS BIGINT) AS n_members, 'bc9933a7b8e279ae' AS checksum
 """,
     }

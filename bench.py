@@ -163,6 +163,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "cluster_keywords",
         "file_state_chain",
         "near_dup_recall",
+        "near_dup_actions_by_quality",
     ]
     timings: dict[str, float] = {}
     for name in picks:

@@ -712,6 +712,121 @@ def near_dup_components(sf_dir: str) -> ray.data.Dataset:
     return _flagship(sf_dir)["components"]
 
 
+def near_dup_actions_by_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality-aware keeper selection over the flagship's near-dup
+    components: instead of the reference's min-url canonical
+    (DuplicatesProcessor.cs keep-first), KEEP the member with the
+    HIGHEST quality score (ties -> min url) and isolate the rest — the
+    LLM-curation policy ("keep the best copy, not the first copy")
+    that matters precisely when members are near (not exact) dups and
+    their quality genuinely differs.
+
+    Scale shape: quality is a stateless streaming map over the corpus;
+    the component table (O(dup docs)) joins it url-keyed; keeper
+    selection is ONE (component_id, quality desc, url) sort + the
+    vectorized block-top-1 + O(blocks) border merge (the latest_pages
+    pattern), then one broadcast-side map attaches verdicts. Rows-only
+    (components are not SQL-expressible); hash-locked via
+    near_dup_actions_by_quality_checksum."""
+    from ordinarydumpdeduplicator_ray.functions.textstats import (
+        quality_features,
+        quality_score,
+    )
+    from ordinarydumpdeduplicator_ray.stages.join import inner_join
+    from ordinarydumpdeduplicator_ray.stages.snapshot import _latest_block
+
+    comp = near_dup_components(sf_dir).map_batches(
+        lambda t: t.select(["url", "component_id"]), batch_format="pyarrow"
+    ).materialize()
+
+    def score(t: pa.Table) -> pa.Table:
+        qs = [
+            quality_score(*quality_features(x or ""))
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({
+            "url": t["url"],
+            "quality": pa.array(qs, type=pa.float64()),
+        })
+
+    scored = dup_corpus(sf_dir, near=True).map_batches(
+        score, batch_format="pyarrow"
+    )
+    members = inner_join(
+        comp, scored, on=("url",),
+        empty_schema=pa.schema([
+            ("url", pa.string()), ("component_id", pa.string()),
+            ("quality", pa.float64()),
+        ]),
+    ).materialize()
+
+    # keeper per component: ONE sort (component, quality desc, url asc)
+    # + block top-1 with border-run reconciliation
+    import functools
+
+    srt = members.sort(
+        ["component_id", "quality", "url"], descending=[False, True, False]
+    )
+    marked = srt.map_batches(
+        functools.partial(_latest_block, key_cols=("component_id",)),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+    interior = marked.filter(expr="is_edge == False").drop_columns(["is_edge"])
+    edge_batches = list(
+        marked.filter(expr="is_edge == True").drop_columns(["is_edge"])
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    keepers = interior
+    if edge_batches:
+        et = pa.concat_tables(edge_batches, promote_options="default")
+        order = pc.sort_indices(et, sort_keys=[
+            ("component_id", "ascending"), ("quality", "descending"),
+            ("url", "ascending"),
+        ])
+        s = et.take(order)
+        cids = np.asarray(s["component_id"].to_pylist(), dtype=object)
+        first = np.concatenate([[True], cids[1:] != cids[:-1]])
+        keepers = interior.union(ray.data.from_arrow(s.filter(pa.array(first))))
+    keeper_tbl = keepers.map_batches(
+        lambda t: pa.table({"component_id": t["component_id"],
+                            "keeper": t["url"]}),
+        batch_format="pyarrow",
+    )
+
+    out = inner_join(
+        members.map_batches(
+            lambda t: t.select(["url", "component_id", "quality"]),
+            batch_format="pyarrow"),
+        keeper_tbl, on=("component_id",),
+        empty_schema=pa.schema([
+            ("url", pa.string()), ("component_id", pa.string()),
+            ("quality", pa.float64()), ("keeper", pa.string()),
+        ]),
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["url"], t["keeper"])
+        return pa.table({
+            "url": t["url"],
+            "action": pc.if_else(
+                keep, pa.array(["keep"] * len(t)),
+                pa.array(["isolate"] * len(t))),
+            "group_key": t["keeper"],
+            "quality": t["quality"],
+        })
+
+    return out.map_batches(verdict, batch_format="pyarrow")
+
+
+def near_dup_actions_by_quality_checksum(sf_dir: str) -> pa.Table:
+    """1-row hash-lock of the quality-keeper near-dup actions."""
+    return _row_digest_table(
+        near_dup_actions_by_quality(sf_dir),
+        ["url", "action", "group_key", "quality"],
+        "n_members",
+    )
+
+
 def near_dup_recall(sf_dir: str) -> pa.Table:
     """The north rule's dup-pair recall bar (>=0.99) measured as a
     first-class operator: the derived corpus injects known truth pairs

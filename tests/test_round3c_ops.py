@@ -954,3 +954,30 @@ def test_near_dup_recall_meets_north_rule(ray_session):
         assert r["n_pairs"] > 0
         assert r["recall"] >= 0.99
     assert rows["exact"]["recall"] == 1.0  # sha-exact pairs never miss
+
+
+def test_near_dup_actions_by_quality(ray_session):
+    """Quality-keeper actions: exactly one keep per component, the
+    keeper has the component's max quality (ties min url), isolates
+    point at the keeper."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        near_dup_actions_by_quality, near_dup_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = near_dup_actions_by_quality(sf).take_all()
+    assert rows
+    comp_n = near_dup_components(sf).count()
+    assert len(rows) == comp_n  # one verdict per component member
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["group_key"], []).append(r)
+    for g, members in by_g.items():
+        keeps = [r for r in members if r["action"] == "keep"]
+        assert len(keeps) == 1
+        k = keeps[0]
+        best_q = max(r["quality"] for r in members)
+        assert k["quality"] == best_q
+        ties = sorted(r["url"] for r in members if r["quality"] == best_q)
+        assert k["url"] == ties[0]  # min-url tie break
+        assert k["url"] == g
