@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: quality-aware keeper selection (hash-locked)
         "near_dup_actions_by_quality_checksum":
             q.near_dup_actions_by_quality_checksum,
+        # round 4: WARC container round-trip parity (SQL-oracled)
+        "warc_corpus_stats": q.warc_corpus_stats,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -1457,5 +1459,13 @@ FROM p2 c FULL OUTER JOIN p1 p ON c.url = p.url
         # verified bit-identical at 8 and 16 CPUs before pinning
         "near_dup_actions_by_quality_checksum": """
 SELECT CAST(526 AS BIGINT) AS n_members, 'bc9933a7b8e279ae' AS checksum
+""",
+        # WARC container round-trip parity: the aggregate over the
+        # extracted round-trip must equal the Parquet originals
+        "warc_corpus_stats": """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents
 """,
     }

@@ -3494,6 +3494,81 @@ def csv_corpus_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def warc_corpus_stats(sf_dir: str) -> pa.Table:
+    """Source-format parity for WARC (sources/warc.py — Common Crawl's
+    native container): documents wrap as HTTP-response WARC records
+    (mtime-keyed /tmp cache, atomic-rename publish), read back through
+    ``read_pages_warc`` + the standard ``extract_batch`` kernel, and
+    reduce to a 1-row aggregate. Matching COUNT/SUM(length(text))/
+    MIN/MAX(doc_id) against the Parquet originals proves the container
+    round-trip AND the html->text extraction are lossless for this
+    corpus."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    from ordinarydumpdeduplicator_ray.sources.warc import (
+        read_pages_warc,
+        write_pages_warc,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"warc|{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "odd_warc_" + key)
+    if not os.path.isdir(base):
+        docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            return pa.table({
+                "url": pa.array(
+                    [f"testdata://documents/{d:08d}" for d in ids],
+                    type=pa.string()),
+                "warc_ts": pa.array([_SNAP_PREV_US] * len(t),
+                                    type=pa.timestamp("us")),
+                "html": pa.array(
+                    [(x or "").encode() for x in t["text"].to_pylist()],
+                    type=pa.binary()),
+            })
+
+        tmp = f"{base}.tmp-{os.getpid()}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        write_pages_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"), tmp
+        )
+        try:
+            os.rename(tmp, base)
+        except OSError:  # lost a concurrent-build race
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    pages = read_pages_warc(base)
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = extract_batch(t)
+        texts = e["text"].to_pylist()
+        ids = [int(u.rsplit("/", 1)[1]) for u in e["url"].to_pylist()]
+        return pa.table({
+            "n": pa.array([len(e)], type=pa.int64()),
+            "c": pa.array([sum(len(x or "") for x in texts)], type=pa.int64()),
+            "lo": pa.array([min(ids) if ids else None], type=pa.int64()),
+            "hi": pa.array([max(ids) if ids else None], type=pa.int64()),
+        })
+
+    parts = pages.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_docs": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+        "sum_chars": pa.array([sum(p["c"] for p in parts)], type=pa.int64()),
+        "min_doc_id": pa.array(
+            [min(p["lo"] for p in parts if p["lo"] is not None)],
+            type=pa.int64()),
+        "max_doc_id": pa.array(
+            [max(p["hi"] for p in parts if p["hi"] is not None)],
+            type=pa.int64()),
+    })
+
+
 def classifier_labels(sf_dir: str) -> ray.data.Dataset:
     """Batched model inference (stages/classify.py): hashed-BoW linear
     classifier over documents — weights built once per actor, one GEMM

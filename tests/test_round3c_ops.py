@@ -981,3 +981,44 @@ def test_near_dup_actions_by_quality(ray_session):
         ties = sorted(r["url"] for r in members if r["quality"] == best_q)
         assert k["url"] == ties[0]  # min-url tie break
         assert k["url"] == g
+
+
+def test_warc_roundtrip(ray_session, tmp_path):
+    """WARC write -> read preserves url/ts/payload; non-response
+    records are skipped; truncation raises (never silently drops)."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.sources.warc import (
+        BadWarcRecord,
+        build_warc_bytes,
+        parse_warc_bytes,
+        read_pages_warc,
+        write_pages_warc,
+    )
+
+    rows = [
+        ("https://a.example/1", 1_735_689_600_000_000, b"<html>hi one</html>"),
+        ("https://a.example/2", 1_735_689_601_000_000,
+         b"body with \r\n\r\n separator inside"),
+    ]
+    blob = build_warc_bytes(rows)
+    # splice a warcinfo record in front: must be skipped
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+            b"info\r\n\r\n")
+    parsed = parse_warc_bytes(info + blob)
+    assert [(u, t, b) for u, t, b in parsed] == rows  # payload exact
+
+    with pytest.raises(BadWarcRecord):
+        parse_warc_bytes(blob[:-20])  # truncated body
+
+    out = str(tmp_path / "warc")
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], type=pa.binary()),
+    }))
+    assert write_pages_warc(ds, out) == 2
+    got = sorted(read_pages_warc(out).take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in got] == [r[0] for r in rows]
+    assert [r["html"] for r in got] == [r[2] for r in rows]
+    assert all(r["text"] is None for r in got)
