@@ -164,6 +164,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "file_state_chain",
         "near_dup_recall",
         "near_dup_actions_by_quality",
+        "warc_corpus_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:
