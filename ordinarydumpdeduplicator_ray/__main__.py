@@ -37,7 +37,11 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
         description="Ray-Data near-duplicate detection over a pages Parquet table",
     )
     ap.add_argument("--pages", required=True,
-                    help="input Parquet dir (url, warc_ts, html, text, lang)")
+                    help="input pages dir (url, warc_ts, html, text, lang)")
+    ap.add_argument("--format", default="parquet",
+                    choices=("parquet", "jsonl", "csv", "warc"),
+                    help="input container (default parquet — the scale "
+                         "format; jsonl/csv/warc parse per record)")
     ap.add_argument("--out", required=True,
                     help="output dir: one Parquet directory per result table")
     ap.add_argument("--checkpoint", default=None,
@@ -77,9 +81,24 @@ def main(argv: list[str] | None = None) -> int:
     cfg = DedupConfig(**overrides) if overrides else DedupConfig()
     nparts = args.num_partitions or max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
 
+    if args.format == "jsonl":
+        from ordinarydumpdeduplicator_ray.sources.jsonl import read_pages_jsonl
+
+        pages_in = read_pages_jsonl(args.pages)
+    elif args.format == "csv":
+        from ordinarydumpdeduplicator_ray.sources.csv_pages import read_pages_csv
+
+        pages_in = read_pages_csv(args.pages)
+    elif args.format == "warc":
+        from ordinarydumpdeduplicator_ray.sources.warc import read_pages_warc
+
+        pages_in = read_pages_warc(args.pages)
+    else:
+        pages_in = args.pages  # Parquet path: column-pruned read inside run()
+
     t0 = time.perf_counter()
     pipe = DedupPipeline(cfg, checkpoint_dir=args.checkpoint, num_partitions=nparts)
-    results = pipe.run(args.pages)
+    results = pipe.run(pages_in)
 
     wanted = [t.strip() for t in args.tables.split(",") if t.strip()]
     written = {}
