@@ -131,10 +131,11 @@ def write_pages_warc(ds: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
+        import calendar
+
         urls = t["url"].to_pylist()
         ts = (
-            [x.value if hasattr(x, "value") else x
-             for x in t["warc_ts"].cast(pa.timestamp("us")).to_pylist()]
+            t["warc_ts"].cast(pa.timestamp("us")).to_pylist()
             if "warc_ts" in t.column_names else [None] * len(t)
         )
         htmls = t["html"].to_pylist() if "html" in t.column_names \
@@ -148,8 +149,15 @@ def write_pages_warc(ds: ray.data.Dataset, out_dir: str) -> int:
             )
             if body is None:
                 continue
-            us = int(s.timestamp() * 1_000_000) if hasattr(s, "timestamp") \
-                else (int(s) if s is not None else None)
+            if s is None:
+                us = None
+            elif hasattr(s, "timetuple"):
+                # timegm, not datetime.timestamp(): Arrow gives naive
+                # UTC datetimes and .timestamp() would re-interpret
+                # them in the box's local timezone
+                us = calendar.timegm(s.timetuple()) * 1_000_000 + s.microsecond
+            else:
+                us = int(s)
             rows.append((u, us, body))
         if rows:
             path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")

@@ -1022,3 +1022,9 @@ def test_warc_roundtrip(ray_session, tmp_path):
     assert [r["url"] for r in got] == [r[0] for r in rows]
     assert [r["html"] for r in got] == [r[2] for r in rows]
     assert all(r["text"] is None for r in got)
+    # warc_ts round-trips at second precision as true UTC (timegm on
+    # write, timegm on parse — no local-timezone reinterpretation)
+    import calendar as _cal
+    got_us = [_cal.timegm(r["warc_ts"].timetuple()) * 1_000_000
+              for r in got]
+    assert got_us == [(r[1] // 1_000_000) * 1_000_000 for r in rows]
