@@ -123,11 +123,15 @@ def build_warc_bytes(
     return b"".join(chunks)
 
 
-def write_pages_warc(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_pages_warc(
+    ds: ray.data.Dataset, out_dir: str, batch_size: int = 1024
+) -> int:
     """Write a pages Dataset (url, warc_ts?, html or text) as sharded
     ``.warc`` files — one file per batch, written worker-side; returns
     the number of records written. Rows with neither html nor text are
-    skipped (nothing to wrap)."""
+    skipped (nothing to wrap). ``batch_size`` bounds the per-file byte
+    volume (batch x payload bytes must fit a worker's heap — size it
+    down for full-page html payloads, the multimodal batch discipline)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(t: pa.Table) -> pa.Table:
@@ -168,7 +172,7 @@ def write_pages_warc(ds: ray.data.Dataset, out_dir: str) -> int:
         return pa.table({"n": pa.array([len(rows)], type=pa.int64())})
 
     parts = ds.map_batches(
-        write_batch, batch_format="pyarrow", batch_size=4096
+        write_batch, batch_format="pyarrow", batch_size=batch_size
     ).take_all()
     return int(sum(p["n"] for p in parts))
 
