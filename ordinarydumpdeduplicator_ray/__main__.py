@@ -56,6 +56,9 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
                     help="also write kept/ and quarantine/ tables (apply_actions)")
     ap.add_argument("--report", action="store_true",
                     help="also write the per-host duplicate rollup report")
+    ap.add_argument("--stats", action="store_true",
+                    help="print each written table's Ray Data execution "
+                         "stats (operator walls, block sizes) to stderr")
     ap.add_argument("--tables", default="groups_exact,edges,components,groups_near,actions",
                     help="comma-separated result tables to write")
     return ap.parse_args(argv)
@@ -109,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         path = f"{args.out.rstrip('/')}/{name}"
         ds.write_parquet(path)
         written[name] = path
+        if args.stats:
+            print(f"--- stats: {name} ---\n{ds.stats()}", file=sys.stderr)
     if args.report:
         report = pipe.report_rollup()
         report.write_parquet(f"{args.out.rstrip('/')}/report")

@@ -104,3 +104,17 @@ class TestCli:
         ta = _pq.read_table(str(out_p / "actions"))
         tb = _pq.read_table(str(out_w / "actions"))
         assert sorted(ta["url"].to_pylist()) == sorted(tb["url"].to_pylist())
+
+    def test_stats_flag_prints_execution_stats(self, ray_session, tmp_path, capsys):
+        from ordinarydumpdeduplicator_ray.__main__ import main
+        from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+
+        pages_dir = write_pages_corpus(str(tmp_path / "corpus"), 60, seed=5, shards=1)
+        rc = main([
+            "--pages", pages_dir, "--out", str(tmp_path / "out"),
+            "--num-partitions", "4", "--tables", "actions", "--stats",
+        ])
+        assert rc == 0
+        captured = capsys.readouterr()
+        assert "--- stats: actions ---" in captured.err
+        json.loads(captured.out.strip().splitlines()[-1])  # stdout still clean JSON
