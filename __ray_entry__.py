@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.near_dup_actions_by_quality_checksum,
         # round 4: WARC container round-trip parity (SQL-oracled)
         "warc_corpus_stats": q.warc_corpus_stats,
+        # round 4: TPC-H Q1/Q6 shapes (integer-quantized exact sums)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q6_forecast_revenue": q.q6_forecast_revenue,
+        # round 4: crawl-frontier URL hygiene filter
+        "url_pattern_filter": q.url_pattern_filter,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -1467,5 +1472,59 @@ SELECT COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents
+""",
+        # TPC-H Q1 with integer-quantized sums: each per-row money value
+        # rounds to integer units FIRST (identical IEEE products on both
+        # sides), so the sums are exact int64 regardless of addition
+        # order; averages derive from the int sums with the same scalar
+        # arithmetic
+        "q1_pricing_summary": """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS b_c,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS d_m,
+         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT) AS c_m,
+         CAST(round(l_discount * 10000) AS BIGINT) AS dc_m
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(q_c) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(b_c) AS BIGINT) AS sum_base_c,
+       CAST(SUM(d_m) AS BIGINT) AS sum_disc_price_m4,
+       CAST(SUM(c_m) AS BIGINT) AS sum_charge_m4,
+       round(SUM(q_c) / 100.0 / COUNT(*), 4) AS avg_qty,
+       round(SUM(b_c) / 100.0 / COUNT(*), 4) AS avg_price,
+       round(SUM(dc_m) / 10000.0 / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+""",
+        "q6_forecast_revenue": """
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_m4,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        # crawl-frontier URL hygiene: the same deterministic url
+        # derivation + the same RE2 patterns
+        "url_pattern_filter": """
+WITH u AS (
+  SELECT 'https://' || source || '.example/'
+         || CASE WHEN doc_id % 9 = 0 THEN 'search' ELSE 'page' END
+         || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         || CASE WHEN doc_id % 13 = 0
+                 THEN '?sessionid=' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+  FROM documents
+)
+SELECT url,
+       regexp_matches(url, '://[^/]+/search/')
+         OR regexp_matches(url, '[?&]sessionid=') AS blocked,
+       CASE WHEN regexp_matches(url, '://[^/]+/search/') THEN 'search_page'
+            WHEN regexp_matches(url, '[?&]sessionid=') THEN 'session_param'
+            ELSE NULL END AS reason
+FROM u
 """,
     }

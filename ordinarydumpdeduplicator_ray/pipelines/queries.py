@@ -5084,6 +5084,182 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     })
 
 
+def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pa.Table:
+    """TPC-H Q1 shape (pricing summary report): per (returnflag,
+    linestatus) sums/averages over shipped lineitems. Float sums are
+    order-dependent, so every per-row money value quantizes to integer
+    units FIRST (round(x*100)/round(x*10000) — the same per-row IEEE
+    products on both sides) and the sums are exact int64 — the engine's
+    standard determinism trick (kmeanslloyd/pagerank) applied to a
+    classic relational aggregate. Per-block combiner partials (the key
+    space is ~6 pairs) fold driver-side; averages derive from the int
+    sums with identical scalar arithmetic in the SQL oracle."""
+    import datetime as _dt
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            t["l_shipdate"], pa.scalar(cut, type=t["l_shipdate"].type))
+        t = t.filter(keep)
+        if len(t) == 0:
+            return pa.table({
+                "k": pa.array([], type=pa.string()),
+                "qty": pa.array([], type=pa.int64()),
+                "base": pa.array([], type=pa.int64()),
+                "disc": pa.array([], type=pa.int64()),
+                "charge": pa.array([], type=pa.int64()),
+                "dsum": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        qty = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ep = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        tx = t["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        # floor(x + 0.5), not np.rint: DuckDB's round() is
+        # half-AWAY-from-zero while rint is half-to-even — rows landing
+        # exactly on .5 of a unit must quantize identically (all money
+        # values here are positive)
+        q_c = np.floor(qty * 100.0 + 0.5).astype(np.int64)
+        b_c = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        d_m = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        c_m = np.floor(ep * (1.0 - dc) * (1.0 + tx) * 10000.0 + 0.5).astype(np.int64)
+        dc_m = np.floor(dc * 10000.0 + 0.5).astype(np.int64)
+        keys = [f"{a}|{b}" for a, b in zip(
+            t["l_returnflag"].to_pylist(), t["l_linestatus"].to_pylist())]
+        agg: dict[str, list[int]] = {}
+        for i, k in enumerate(keys):
+            row = agg.setdefault(k, [0, 0, 0, 0, 0, 0])
+            row[0] += int(q_c[i])
+            row[1] += int(b_c[i])
+            row[2] += int(d_m[i])
+            row[3] += int(c_m[i])
+            row[4] += int(dc_m[i])
+            row[5] += 1
+        ks = sorted(agg)
+        return pa.table({
+            "k": pa.array(ks, type=pa.string()),
+            "qty": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+            "base": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+            "disc": pa.array([agg[k][2] for k in ks], type=pa.int64()),
+            "charge": pa.array([agg[k][3] for k in ks], type=pa.int64()),
+            "dsum": pa.array([agg[k][4] for k in ks], type=pa.int64()),
+            "n": pa.array([agg[k][5] for k in ks], type=pa.int64()),
+        })
+
+    folded: dict[str, list[int]] = {}
+    for r in line.map_batches(partial, batch_format="pyarrow").take_all():
+        row = folded.setdefault(r["k"], [0, 0, 0, 0, 0, 0])
+        for j, col in enumerate(("qty", "base", "disc", "charge", "dsum", "n")):
+            row[j] += r[col]
+    ks = sorted(folded)
+    n = np.array([folded[k][5] for k in ks], dtype=np.float64)
+    qty_c = np.array([folded[k][0] for k in ks], dtype=np.int64)
+    base_c = np.array([folded[k][1] for k in ks], dtype=np.int64)
+    dsum_m = np.array([folded[k][4] for k in ks], dtype=np.int64)
+    return pa.table({
+        "l_returnflag": pa.array([k.split("|")[0] for k in ks], type=pa.string()),
+        "l_linestatus": pa.array([k.split("|")[1] for k in ks], type=pa.string()),
+        "sum_qty_c": pa.array(qty_c, type=pa.int64()),
+        "sum_base_c": pa.array(base_c, type=pa.int64()),
+        "sum_disc_price_m4": pa.array(
+            [folded[k][2] for k in ks], type=pa.int64()),
+        "sum_charge_m4": pa.array(
+            [folded[k][3] for k in ks], type=pa.int64()),
+        "avg_qty": pa.array(
+            _round4_half_away(qty_c.astype(np.float64) / 100.0 / n),
+            type=pa.float64()),
+        "avg_price": pa.array(
+            _round4_half_away(base_c.astype(np.float64) / 100.0 / n),
+            type=pa.float64()),
+        "avg_disc": pa.array(
+            _round4_half_away(dsum_m.astype(np.float64) / 10000.0 / n),
+            type=pa.float64()),
+        "count_order": pa.array(n.astype(np.int64), type=pa.int64()),
+    })
+
+
+def q6_forecast_revenue(sf_dir: str, year: int = 1997) -> pa.Table:
+    """TPC-H Q6 shape: revenue delta from discounted small-quantity
+    lineitems of one year — a single filtered scalar aggregate, integer
+    -quantized per row (round(ep*disc*10000)) so the sum is exact and
+    order-independent."""
+    import datetime as _dt
+
+    lo = _dt.datetime(year, 1, 1)
+    hi = _dt.datetime(year + 1, 1, 1)
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(sd, pa.scalar(lo, type=sd.type)),
+                    pc.less(sd, pa.scalar(hi, type=sd.type))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(keep)
+        if len(t) == 0:
+            return pa.table({"r": pa.array([0], type=pa.int64()),
+                             "n": pa.array([0], type=pa.int64())})
+        ep = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = np.floor(ep * dc * 10000.0 + 0.5).astype(np.int64)  # half-away
+        return pa.table({"r": pa.array([int(r.sum())], type=pa.int64()),
+                         "n": pa.array([len(t)], type=pa.int64())})
+
+    parts = line.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_m4": pa.array([sum(p["r"] for p in parts)], type=pa.int64()),
+        "n_items": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+    })
+
+
+def url_pattern_filter(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-frontier URL hygiene: drop structurally-junk urls
+    (search/result pages, session-id query params — the standard
+    pre-download filters of a web pipeline) with a per-url verdict and
+    matched reason. Pure stateless map; the regexes run on the SAME
+    RE2 engine as the DuckDB oracle, so verdicts agree exactly."""
+    docs = _read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def verdict(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        srcs = t["source"].to_pylist()
+        urls = [
+            f"https://{s}.example/"
+            f"{'search' if d % 9 == 0 else 'page'}/{d:08d}"
+            + (f"?sessionid={d}" if d % 13 == 0 else "")
+            for d, s in zip(ids, srcs)
+        ]
+        u = pa.array(urls, type=pa.string())
+        is_search = pc.match_substring_regex(u, r"://[^/]+/search/")
+        has_session = pc.match_substring_regex(u, r"[?&]sessionid=")
+        blocked = pc.or_(is_search, has_session)
+        reason = pc.if_else(
+            is_search, pa.array(["search_page"] * len(t)),
+            pc.if_else(has_session, pa.array(["session_param"] * len(t)),
+                       pa.nulls(len(t), type=pa.string())))
+        return pa.table({
+            "url": u,
+            "blocked": blocked,
+            "reason": reason,
+        })
+
+    return docs.map_batches(verdict, batch_format="pyarrow")
+
+
 def event_window_stats(sf_dir: str, window_min: int = 60) -> ray.data.Dataset:
     """Event-time tumbling windows: per (event_type, hour window) count,
     value sum and distinct users — the batch form of a streaming
