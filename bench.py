@@ -165,6 +165,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "near_dup_recall",
         "near_dup_actions_by_quality",
         "warc_corpus_stats",
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "url_pattern_filter",
     ]
     timings: dict[str, float] = {}
     for name in picks:
