@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": q.q6_forecast_revenue,
         # round 4: crawl-frontier URL hygiene filter
         "url_pattern_filter": q.url_pattern_filter,
+        # round 4: host-scoped boilerplate line removal (SQL-oracled)
+        "host_boilerplate_dedup": q.host_boilerplate_dedup,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -1526,5 +1528,29 @@ SELECT url,
             WHEN regexp_matches(url, '[?&]sessionid=') THEN 'session_param'
             ELSE NULL END AS reason
 FROM u
+""",
+        # host-scoped boilerplate: a 10-token-window line drops from a
+        # page iff >= 2 distinct pages of the SAME host carry it
+        "host_boilerplate_dedup": f"""
+WITH {_PAGES_HOST_CTE},
+toks AS (
+  SELECT url, source || '.example' AS host, split(text, ' ') AS w FROM pages
+),
+lines AS (
+  SELECT url, host, CAST(k AS BIGINT) AS pos,
+         array_to_string(list_slice(w, (k - 1) * 10 + 1, k * 10), ' ') AS line
+  FROM toks, unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(k)
+),
+dup AS (
+  SELECT host, line FROM lines WHERE line <> ''
+  GROUP BY host, line HAVING count(DISTINCT url) >= 2
+)
+SELECT l.url,
+       coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                           ' ' ORDER BY l.pos), '') AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(d.line) AS BIGINT) AS n_removed
+FROM lines l LEFT JOIN dup d ON l.host = d.host AND l.line = d.line
+GROUP BY l.url
 """,
     }

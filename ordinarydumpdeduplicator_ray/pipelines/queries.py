@@ -2717,6 +2717,26 @@ def line_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def host_boilerplate_dedup(sf_dir: str) -> ray.data.Dataset:
+    """HOST-scoped boilerplate line removal
+    (stages/linededup.host_boilerplate_dedup): a line drops from a page
+    iff >= 2 distinct pages of the SAME host carry it — the CCNet
+    within-site pass that strips nav/footer repetition while keeping
+    content sentences that merely recur across unrelated hosts (which
+    the corpus-wide line_dedup would strip). Over the host-keyed dup
+    corpus, token_window lines match the oracle's list_slice windows."""
+    from ordinarydumpdeduplicator_ray.stages.linededup import (
+        host_boilerplate_dedup as impl,
+    )
+
+    pages = dup_corpus(sf_dir, with_source_host=True)
+    n = pages.count()
+    return impl(
+        pages, mode="token_window", window=10,
+        num_partitions=_nparts(), approx_rows=n * 8,
+    )
+
+
 def pii_scrub(sf_dir: str) -> ray.data.Dataset:
     """PII redaction over webtext: replace emails / IPv4s with typed
     placeholder tokens and count the hits — the standard pre-training

@@ -175,3 +175,107 @@ def line_dedup(docs: ray.data.Dataset, *, mode: str = "newline",
         docs, dup_ref, mode=mode, window=window,
         id_col=id_col, text_col=text_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# host-scoped boilerplate removal
+# ---------------------------------------------------------------------------
+
+def _host_of(url: str) -> str:
+    """https://host/path -> host (empty string when no authority)."""
+    i = url.find("://")
+    if i < 0:
+        return ""
+    rest = url[i + 3:]
+    j = rest.find("/")
+    return rest if j < 0 else rest[:j]
+
+
+def _combined_hashes(lines: list[str], host_h: np.uint64) -> np.ndarray:
+    """Per-line (host, line) combined int64 hashes: SplitMix64 of
+    line_hash XOR mix(host_hash) — one key space per host, so the same
+    nav bar on two different hosts never aliases."""
+    from ordinarydumpdeduplicator_ray.functions.countmin import _mix64
+
+    lh = _hash_lines(lines).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        out = _mix64(lh ^ _mix64(np.array([host_h], dtype=np.uint64)))
+    return out.view(np.int64)
+
+
+def _page_hostline_hash_batch(t: pa.Table, mode: str, window: int) -> pa.Table:
+    """Pages batch -> flat int64 bucket column of PER-PAGE-DISTINCT
+    non-empty (host, line) combined hashes."""
+    host_h = url_uids(pa.array(
+        [_host_of(u) for u in t["url"].to_pylist()], type=pa.string()
+    )).astype(np.uint64)
+    out: list[np.ndarray] = []
+    for hh, txt in zip(host_h, t["text"].to_pylist()):
+        lines = [x for x in split_doc(txt, mode, window) if x]
+        if lines:
+            out.append(np.unique(_combined_hashes(lines, hh)))
+    flat = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    return pa.table({"bucket": pa.array(flat, type=pa.int64())})
+
+
+def host_boilerplate_dedup(
+    pages: ray.data.Dataset,
+    *,
+    mode: str = "newline",
+    window: int = 10,
+    num_partitions: int = 8,
+    approx_rows: int | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style HOST-scoped boilerplate removal: a line is dropped
+    from a page iff it appears on >= 2 distinct pages of the SAME host
+    (nav bars / footers / cookie banners repeat within a site; a
+    sentence shared across two unrelated hosts is content, not
+    boilerplate — the corpus-wide ``line_dedup`` would strip it, this
+    stage keeps it). Same scale shape as line_dedup: one stateless
+    explode into (host, line) combined hashes, one duplicate-key
+    reduce, one broadcast + stateless strip pass."""
+    cells = pages.map_batches(
+        functools.partial(_page_hostline_hash_batch, mode=mode, window=window),
+        batch_format="pyarrow",
+    )
+    ref = duplicate_bucket_keys(cells, num_partitions, approx_rows=approx_rows)
+    keys = _get_broadcast(ref)
+    if len(keys) > BROADCAST_CAP:
+        raise ValueError(
+            f"boilerplate set ({len(keys)}) exceeds the broadcast cap "
+            f"({BROADCAST_CAP}); run the join-path variant instead"
+        )
+    joiner = "\n" if mode == "newline" else " "
+
+    def strip(t: pa.Table) -> pa.Table:
+        dup_sorted: np.ndarray = _get_broadcast(ref)
+        host_h = url_uids(pa.array(
+            [_host_of(u) for u in t["url"].to_pylist()], type=pa.string()
+        )).astype(np.uint64)
+        cleaned, n_lines, n_removed = [], [], []
+        for hh, txt in zip(host_h, t["text"].to_pylist()):
+            lines = split_doc(txt, mode, window)
+            if not lines:
+                cleaned.append(txt)
+                n_lines.append(0)
+                n_removed.append(0)
+                continue
+            hashes = _combined_hashes(lines, hh)
+            keep = np.ones(len(lines), dtype=bool)
+            nonempty = np.array([bool(x) for x in lines])
+            if len(dup_sorted):
+                idx = np.searchsorted(dup_sorted, hashes)
+                idx[idx == len(dup_sorted)] = 0
+                keep = ~(nonempty & (dup_sorted[idx] == hashes))
+            cleaned.append(joiner.join(
+                [x for x, k in zip(lines, keep) if k]))
+            n_lines.append(len(lines))
+            n_removed.append(int((~keep).sum()))
+        return pa.table({
+            "url": t["url"],
+            "text_dedup": pa.array(cleaned, type=pa.string()),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+        })
+
+    return pages.map_batches(strip, batch_format="pyarrow")

@@ -1028,3 +1028,37 @@ def test_warc_roundtrip(ray_session, tmp_path):
     got_us = [_cal.timegm(r["warc_ts"].timetuple()) * 1_000_000
               for r in got]
     assert got_us == [(r[1] // 1_000_000) * 1_000_000 for r in rows]
+
+
+def test_host_boilerplate_scoping(ray_session):
+    """A line repeated on two pages of the SAME host is boilerplate
+    (removed); the same line on pages of two DIFFERENT hosts is
+    content (kept) — the distinction vs corpus-wide line_dedup."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.linededup import (
+        host_boilerplate_dedup,
+    )
+
+    nav = "home products about contact"
+    pages = pa.table({
+        "url": pa.array([
+            "https://a.example/1", "https://a.example/2",
+            "https://b.example/1",
+        ]),
+        "text": pa.array([
+            nav + "\nunique alpha text",
+            nav + "\nunique beta text",
+            nav + "\nunique gamma text",
+        ]),
+    })
+    out = {r["url"]: r for r in host_boilerplate_dedup(
+        ray.data.from_arrow(pages), mode="newline", num_partitions=2,
+    ).take_all()}
+    # host a: nav on 2 pages -> removed from both
+    assert out["https://a.example/1"]["text_dedup"] == "unique alpha text"
+    assert out["https://a.example/2"]["text_dedup"] == "unique beta text"
+    assert out["https://a.example/1"]["n_removed"] == 1
+    # host b: nav appears on ONE page of b only -> kept
+    assert out["https://b.example/1"]["text_dedup"] == nav + "\nunique gamma text"
+    assert out["https://b.example/1"]["n_removed"] == 0
