@@ -168,6 +168,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "q1_pricing_summary",
         "q6_forecast_revenue",
         "url_pattern_filter",
+        "host_boilerplate_dedup",
     ]
     timings: dict[str, float] = {}
     for name in picks:
