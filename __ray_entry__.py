@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pattern_filter": q.url_pattern_filter,
         # round 4: host-scoped boilerplate line removal (SQL-oracled)
         "host_boilerplate_dedup": q.host_boilerplate_dedup,
+        # round 4: persisted IVF ANN index, full-probe (SQL-oracled)
+        "knn_cosine_ivf_persisted": q.knn_cosine_ivf_persisted,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -369,6 +371,15 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type
 """,
         "knn_cosine_vec0": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT v.vec_id, round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.e), 6) AS cos_sim
+FROM embeddings v, q
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT 10
+""",
+        # persisted IVF index at full probe == the brute-force top-k
+        "knn_cosine_ivf_persisted": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
 SELECT v.vec_id, round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.e), 6) AS cos_sim
 FROM embeddings v, q

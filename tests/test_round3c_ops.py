@@ -1062,3 +1062,37 @@ def test_host_boilerplate_scoping(ray_session):
     # host b: nav appears on ONE page of b only -> kept
     assert out["https://b.example/1"]["text_dedup"] == nav + "\nunique gamma text"
     assert out["https://b.example/1"]["n_removed"] == 0
+
+
+def test_persisted_ivf_index(ray_session, tmp_path):
+    """Persisted IVF lifecycle: full-probe search equals the exact
+    brute-force top-k bit-for-bit; bounded-probe search reads fewer
+    partitions and still recovers most of the true top-k; the index
+    layout is deterministic (rebuild -> identical manifest)."""
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        _query_vec, knn_cosine_vec0,
+    )
+    from ordinarydumpdeduplicator_ray.sources.pages import read_parquet_clean
+    from ordinarydumpdeduplicator_ray.state.annindex import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_parquet_clean(sf + "/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    man = build_ivf_index(emb, idx, n_centroids=8, iters=3)
+    assert man["n_centroids"] >= 1
+
+    q = _query_vec(sf)
+    exact = knn_cosine_vec0(sf).to_pylist()
+    full = search_ivf_index(idx, q, k=10, nprobe=None, exclude_id=0).to_pylist()
+    assert full == exact  # full probe == brute force, bit-for-bit
+
+    probed = search_ivf_index(idx, q, k=10, nprobe=2, exclude_id=0).to_pylist()
+    hit = len({r["vec_id"] for r in probed} & {r["vec_id"] for r in exact})
+    assert hit >= 5  # bounded probe still recovers most of the top-k
+
+    man2 = build_ivf_index(emb, str(tmp_path / "ivf2"), n_centroids=8, iters=3)
+    assert man2 == man  # deterministic rebuild
