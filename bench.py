@@ -169,6 +169,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "q6_forecast_revenue",
         "url_pattern_filter",
         "host_boilerplate_dedup",
+        "knn_cosine_ivf_persisted",
     ]
     timings: dict[str, float] = {}
     for name in picks:
