@@ -5189,26 +5189,23 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pa.Table:
         d_m = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
         c_m = np.floor(ep * (1.0 - dc) * (1.0 + tx) * 10000.0 + 0.5).astype(np.int64)
         dc_m = np.floor(dc * 10000.0 + 0.5).astype(np.int64)
-        keys = [f"{a}|{b}" for a, b in zip(
-            t["l_returnflag"].to_pylist(), t["l_linestatus"].to_pylist())]
-        agg: dict[str, list[int]] = {}
-        for i, k in enumerate(keys):
-            row = agg.setdefault(k, [0, 0, 0, 0, 0, 0])
-            row[0] += int(q_c[i])
-            row[1] += int(b_c[i])
-            row[2] += int(d_m[i])
-            row[3] += int(c_m[i])
-            row[4] += int(dc_m[i])
-            row[5] += 1
-        ks = sorted(agg)
+        # vectorized segment sums: dictionary-encode the (flag|status)
+        # key, then one np.add.at per metric — no per-row Python
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"], t["l_linestatus"], "|")
+        enc = pc.dictionary_encode(key.combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = len(enc.dictionary)
+        cols = {}
+        for name, vals in (("qty", q_c), ("base", b_c), ("disc", d_m),
+                           ("charge", c_m), ("dsum", dc_m)):
+            acc = np.zeros(kk, dtype=np.int64)
+            np.add.at(acc, idx, vals)
+            cols[name] = acc
+        cols["n"] = np.bincount(idx, minlength=kk).astype(np.int64)
         return pa.table({
-            "k": pa.array(ks, type=pa.string()),
-            "qty": pa.array([agg[k][0] for k in ks], type=pa.int64()),
-            "base": pa.array([agg[k][1] for k in ks], type=pa.int64()),
-            "disc": pa.array([agg[k][2] for k in ks], type=pa.int64()),
-            "charge": pa.array([agg[k][3] for k in ks], type=pa.int64()),
-            "dsum": pa.array([agg[k][4] for k in ks], type=pa.int64()),
-            "n": pa.array([agg[k][5] for k in ks], type=pa.int64()),
+            "k": enc.dictionary,
+            **{name: pa.array(v, type=pa.int64()) for name, v in cols.items()},
         })
 
     folded: dict[str, list[int]] = {}
