@@ -65,3 +65,26 @@ def test_iterative_ops_parallelism_invariant(tmp_path):
         a = a2
     assert set(a) == {"components", "edges", "pagerank", "carry", "kmeans"}
     assert all(v[0] > 0 for v in a.values())
+
+
+@pytest.mark.slow
+def test_ground_truth_recall_at_scale(tmp_path):
+    """Flagship dup-pair recall vs the generator truth sidecar at the
+    CI-scale corpus: the north rule's >=0.99 bar, measured pairwise in
+    every duplicate class (exact / near / hot)."""
+    from ordinarydumpdeduplicator_ray.sources.synth import write_pages_corpus
+
+    pages_dir = write_pages_corpus(
+        str(tmp_path / "pages"), ROWS, seed=42, shards=16
+    )
+    truth = os.path.join(os.path.dirname(pages_dir), "pages_truth.parquet")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "recall_probe.py"),
+         pages_dir, truth, "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    for cls in ("exact", "near", "hot"):
+        assert out[cls]["pairs_total"] > 0
+        assert out[cls]["recall"] >= 0.99, out
