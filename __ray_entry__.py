@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_boilerplate_dedup": q.host_boilerplate_dedup,
         # round 4: persisted IVF ANN index, full-probe (SQL-oracled)
         "knn_cosine_ivf_persisted": q.knn_cosine_ivf_persisted,
+        # round 4: predicate-pushdown read (row-group pruning at the scan)
+        "events_pushdown_stats": q.events_pushdown_stats,
         # hash-locked digests of the deterministic rows-only ops
         "doc_fingerprint_checksum": q.doc_fingerprint_checksum,
         "media_embedding_checksum": q.media_embedding_checksum,
@@ -1563,5 +1565,16 @@ SELECT l.url,
        CAST(count(d.line) AS BIGINT) AS n_removed
 FROM lines l LEFT JOIN dup d ON l.host = d.host AND l.line = d.line
 GROUP BY l.url
+""",
+        # predicate-pushdown read: per-type stats of events at/after the
+        # cutoff (the Ray side hands the filter to the parquet scan)
+        "events_pushdown_stats": """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15'
+GROUP BY event_type
 """,
     }

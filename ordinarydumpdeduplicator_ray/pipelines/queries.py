@@ -537,6 +537,44 @@ def events_type_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_pushdown_stats(sf_dir: str, since: str = "2024-01-15") -> ray.data.Dataset:
+    """Predicate-pushdown read: the time filter is handed to
+    ``read_parquet`` itself (pyarrow dataset expression), so row groups
+    whose ts-range statistics fall entirely before the cutoff never
+    leave storage — the "prune at the read" discipline on the ROW axis,
+    complementing the ``columns=`` projection every reader here already
+    does. The aggregate after the read is the standard per-type combine."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cut = _dt.datetime.fromisoformat(since)
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+        filter=(pads.field("ts") >= pa.scalar(cut, type=pa.timestamp("us"))),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(1000.0))),
+                        pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "value_milli": milli,
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    return (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+            Min("ts_us", alias_name="min_ts_us"),
+        )
+    )
+
+
 def knn_cosine_vec0(sf_dir: str, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k against the vec_id=0 query vector:
     per-batch top-k (vectorized matmul) + tiny driver-side merge — the
