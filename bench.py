@@ -170,6 +170,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "url_pattern_filter",
         "host_boilerplate_dedup",
         "knn_cosine_ivf_persisted",
+        "events_pushdown_stats",
     ]
     timings: dict[str, float] = {}
     for name in picks:
