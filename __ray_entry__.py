@@ -163,8 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.near_dup_actions_by_quality_checksum,
         # round 4: WARC container round-trip parity (SQL-oracled)
         "warc_corpus_stats": q.warc_corpus_stats,
-        # round 4: TPC-H Q1/Q6 shapes (integer-quantized exact sums)
+        # round 4: TPC-H Q1/Q5/Q6 shapes (integer-quantized exact sums)
         "q1_pricing_summary": q.q1_pricing_summary,
+        "q5_local_supplier_volume": q.q5_local_supplier_volume,
         "q6_forecast_revenue": q.q6_forecast_revenue,
         # round 4: crawl-frontier URL hygiene filter
         "url_pattern_filter": q.url_pattern_filter,
@@ -1513,6 +1514,23 @@ SELECT l_returnflag, l_linestatus,
        round(SUM(dc_m) / 10000.0 / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM f GROUP BY l_returnflag, l_linestatus
+""",
+        # Q5 broadcast-chain join: same int quantization per row; the
+        # driver compare sorts rows, so output order is irrelevant
+        "q5_local_supplier_volume": """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_m4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
 """,
         "q6_forecast_revenue": """
 SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_m4,

@@ -5278,6 +5278,108 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> pa.Table:
     })
 
 
+def q5_local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", year: int = 1997
+) -> pa.Table:
+    """TPC-H Q5 shape: revenue per nation from orders whose customer
+    and supplier share the nation, within one region and year — a
+    5-way join expressed as a BROADCAST CHAIN (region -> nations ->
+    customers -> orders are each tiny/small and fold into lookup maps
+    shipped once via ray.put) over ONE streaming pass of lineitem; the
+    only per-row work is two int64 array lookups + an equality mask.
+    Revenue int-quantizes per row (half-away) so the group sums are
+    exact under any blocking."""
+    import datetime as _dt
+
+    import ray as _ray
+
+    lo, hi = _dt.datetime(year, 1, 1), _dt.datetime(year + 1, 1, 1)
+
+    def _tbl(name: str, cols: list[str]) -> pa.Table:
+        return pa.concat_tables(list(
+            read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                               columns=cols)
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ))
+
+    reg = _tbl("region", ["r_regionkey", "r_name"])
+    rkeys = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
+    nat = _tbl("nation", ["n_nationkey", "n_name", "n_regionkey"])
+    nation_name = {
+        r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+        if r["n_regionkey"] in rkeys
+    }
+    cust = _tbl("customer", ["c_custkey", "c_nationkey"])
+    cust_nat = {
+        r["c_custkey"]: r["c_nationkey"] for r in cust.to_pylist()
+        if r["c_nationkey"] in nation_name
+    }
+    orders = _tbl("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    order_nat: dict[int, int] = {}
+    for r in orders.to_pylist():
+        if lo <= r["o_orderdate"] < hi and r["o_custkey"] in cust_nat:
+            order_nat[r["o_orderkey"]] = cust_nat[r["o_custkey"]]
+    supp = _tbl("supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = {r["s_suppkey"]: r["s_nationkey"] for r in supp.to_pylist()}
+
+    # pack the lookups as sorted arrays (searchsorted resolution — the
+    # packed-broadcast discipline, no Python dict probing per row)
+    ok_ids = np.array(sorted(order_nat), dtype=np.int64)
+    ok_nat = np.array([order_nat[k] for k in ok_ids], dtype=np.int64)
+    sp_ids = np.array(sorted(supp_nat), dtype=np.int64)
+    sp_nat = np.array([supp_nat[k] for k in sp_ids], dtype=np.int64)
+    ref = _ray.put({"ok_ids": ok_ids, "ok_nat": ok_nat,
+                    "sp_ids": sp_ids, "sp_nat": sp_nat})
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
+
+        lk = _get_broadcast(ref)
+        okk = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        spk = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        oi = np.searchsorted(lk["ok_ids"], okk)
+        oi_ok = (oi < len(lk["ok_ids"])) & \
+            (lk["ok_ids"][np.minimum(oi, len(lk["ok_ids"]) - 1)] == okk)
+        si = np.searchsorted(lk["sp_ids"], spk)
+        si_ok = (si < len(lk["sp_ids"])) & \
+            (lk["sp_ids"][np.minimum(si, len(lk["sp_ids"]) - 1)] == spk)
+        keep = oi_ok & si_ok
+        if not keep.any():
+            return pa.table({"nat": pa.array([], type=pa.int64()),
+                             "rev": pa.array([], type=pa.int64())})
+        cn = lk["ok_nat"][np.minimum(oi, len(lk["ok_ids"]) - 1)]
+        sn = lk["sp_nat"][np.minimum(si, len(lk["sp_ids"]) - 1)]
+        keep &= cn == sn
+        ep = t["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+        dc = t["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        nats = cn[keep]
+        uniq, inv = np.unique(nats, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"nat": pa.array(uniq, type=pa.int64()),
+                         "rev": pa.array(acc, type=pa.int64())})
+
+    folded: dict[int, int] = {}
+    for r in line.map_batches(partial, batch_format="pyarrow").take_all():
+        folded[r["nat"]] = folded.get(r["nat"], 0) + r["rev"]
+    rows = sorted(
+        ((nation_name[n], v) for n, v in folded.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], type=pa.string()),
+        "revenue_m4": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def q6_forecast_revenue(sf_dir: str, year: int = 1997) -> pa.Table:
     """TPC-H Q6 shape: revenue delta from discounted small-quantity
     lineitems of one year — a single filtered scalar aggregate, integer
