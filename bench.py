@@ -166,6 +166,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "near_dup_actions_by_quality",
         "warc_corpus_stats",
         "q1_pricing_summary",
+        "q5_local_supplier_volume",
         "q6_forecast_revenue",
         "url_pattern_filter",
         "host_boilerplate_dedup",
