@@ -5479,14 +5479,22 @@ def event_window_stats(sf_dir: str, window_min: int = 60) -> ray.data.Dataset:
             "user_id": t["user_id"],
             "value": t["value"],
         })
-        # combiner: per (type, window, user) partials within the block
-        import pandas as pd
-
-        df = tt.to_pandas()
-        g = df.groupby(["event_type", "window_start", "user_id"],
-                       sort=False, as_index=False).agg(
-            n=("value", "size"), v=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # combiner: per (type, window, user) partials within the block —
+        # Arrow-native (pa.Table.group_by), no pandas round-trip.
+        # count mode="all" matches SQL COUNT(*) (rows, not non-null
+        # values); sum min_count=0 yields 0.0 for all-null groups.
+        g = tt.group_by(
+            ["event_type", "window_start", "user_id"], use_threads=False
+        ).aggregate(
+            [
+                ("value", "count", pc.CountOptions(mode="all")),
+                ("value", "sum",
+                 pc.ScalarAggregateOptions(skip_nulls=True, min_count=0)),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "window_start", "user_id", "n", "v"]
+        )
 
     partials = events.map_batches(to_windows, batch_format="pyarrow")
     # exact distinct users: first collapse (type, window, user) globally

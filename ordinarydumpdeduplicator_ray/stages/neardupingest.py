@@ -131,7 +131,7 @@ def ingest_near_dup(
     def verify(t: pa.Table) -> pa.Table:
         out_schema = pa.schema([
             ("new_url", pa.string()), ("prior_url", pa.string()),
-            ("est", pa.float64()),
+            ("agree", pa.int64()),
         ])
         if len(t) == 0:
             return out_schema.empty_table()
@@ -146,38 +146,69 @@ def ingest_near_dup(
             nm[ok] = np.frombuffer(
                 b"".join(packed[i] for i in ok), dtype=np.uint64
             ).reshape(len(ok), k)
-        est = (nm == pm).mean(axis=1)
-        keep = (est >= thr) & pvalid & nvalid
+        agree = (nm == pm).sum(axis=1)
+        keep = (agree / k >= thr) & pvalid & nvalid
         t2 = t.filter(pa.array(keep))
         return pa.table({
             "new_url": t2["new_url"],
             "prior_url": t2["prior_url"],
-            "est": pa.array(np.round(est[keep], 6), type=pa.float64()),
+            "agree": pa.array(agree[keep].astype(np.int64), type=pa.int64()),
         })
 
-    # materialize: consumed twice (the groupby and the est lookup);
-    # match volume is O(new docs x matches/doc), ingest-bounded
-    matches = cands.map_batches(verify, batch_format="pyarrow").materialize()
-    # one verdict per new doc: smallest matching prior url + its est
+    matches = cands.map_batches(verify, batch_format="pyarrow")
+    # one verdict per new doc: smallest matching prior url + its est.
+    # The est rides the Min aggregate inside a composite sort key
+    # ("<prior_url>\x00<agree:05d>"): lexicographic min of the key IS
+    # min by prior_url (agree is deterministic per pair, so keys sharing
+    # a prior_url are identical) — no driver-side dicts, the whole
+    # resolution is one groupby + one narrow join (the packed-broadcast
+    # cleanup from VERDICT r4 finding #3, expressed as dataflow).
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    best = matches.groupby("new_url").aggregate(
-        Min("prior_url", alias_name="dup_of"),
+    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
+
+    def encode(t: pa.Table) -> pa.Table:
+        pad = pc.utf8_lpad(
+            pc.cast(t["agree"], pa.string()), width=5, padding="0"
+        )
+        return pa.table({
+            "new_url": t["new_url"],
+            "pick": pc.binary_join_element_wise(
+                t["prior_url"].combine_chunks().cast(pa.string()), pad, "\x00"
+            ),
+        })
+
+    best = (
+        matches.map_batches(encode, batch_format="pyarrow")
+        .groupby("new_url")
+        .aggregate(Min("pick", alias_name="pick"))
+        .map_batches(
+            lambda t: pa.table({"url": t["new_url"], "pick": t["pick"]}),
+            batch_format="pyarrow",
+        )
     )
-    best_rows = {r["new_url"]: r["dup_of"] for r in best.take_all()}
-    est_rows = {
-        (r["new_url"], r["prior_url"]): r["est"] for r in matches.take_all()
-    }
-    verdict_map = {
-        u: (d, est_rows.get((u, d))) for u, d in best_rows.items()
-    }
-    vref = ray.put(verdict_map)
+    verdict_schema = pa.schema([("url", pa.string()), ("pick", pa.string())])
+    joined = left_outer_join(
+        new_sigs.map_batches(
+            lambda t: t.select(["url"]), batch_format="pyarrow"
+        ),
+        best,
+        on=("url",),
+        empty_schema=verdict_schema,
+    )
 
     def finalize(t: pa.Table) -> pa.Table:
-        vm = ray.get(vref)
-        urls = t["url"].to_pylist()
-        dup_of = [vm.get(u, (None, None))[0] for u in urls]
-        est = [vm.get(u, (None, None))[1] for u in urls]
+        picks = t["pick"].to_pylist()
+        dup_of, est = [], []
+        for p in picks:
+            if p is None:
+                dup_of.append(None)
+                est.append(None)
+            else:
+                u, a = p.rsplit("\x00", 1)
+                dup_of.append(u)
+                est.append(float(np.round(int(a) / k, 6)))
         return pa.table({
             "url": t["url"],
             "is_dup": pa.array([d is not None for d in dup_of]),
@@ -185,6 +216,4 @@ def ingest_near_dup(
             "est": pa.array(est, type=pa.float64()),
         })
 
-    return new_sigs.map_batches(
-        lambda t: t.select(["url"]), batch_format="pyarrow"
-    ).map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -20,8 +20,10 @@ Scale shape:
 3. ``apply_removals``: the merged interval table (proportional to
    DUPLICATED docs, not the corpus) is broadcast via ``ray.put`` below
    a cap and looked up inside ``map_batches``; unaffected docs stream
-   through untouched. Above the cap callers should pre-filter the
-   corpus by an inner join on url before cutting.
+   through untouched. Above the cap it auto-switches to the JOIN
+   route: intervals list-collect per url, one corpus-sized left-outer
+   join attaches them as columns, and the cut runs in-stream — parity
+   -tested against the broadcast route.
 
 Spans are indexed in TOKEN space (the frozen ``functions.text.tokenize``
 stream). Cutting maps token indices back to char offsets of the
@@ -44,9 +46,10 @@ import ray
 import ray.data
 
 from ordinarydumpdeduplicator_ray.functions.text import _TOKEN_RE, tokenize
+from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
 
-# above this many affected docs the broadcast map is refused; see
-# apply_removals for the join route callers should take instead
+# above this many interval rows apply_removals auto-switches from the
+# broadcast map to the corpus-join route (both implemented below)
 _BROADCAST_CAP = 2_000_000
 
 
@@ -192,6 +195,152 @@ def _cut_text(text: str, intervals: list[tuple[int, int]]) -> tuple[str, int, bo
     return "".join(pieces), removed, False
 
 
+def _interval_blobs(merged: ray.data.Dataset) -> ray.data.Dataset:
+    """merged (url, tok_start, tok_end) -> ONE row per url with its
+    sorted disjoint intervals packed into a single binary blob
+    (url, spans: binary of little-endian int64 pairs s0 e0 s1 e1 ...).
+    Packed because Acero joins reject list<> non-key payload columns
+    — a binary column rides any join.
+
+    Scale shape: ONE sort of the O(affected-docs) interval table;
+    interior url runs of each block pack vectorized-per-run; only the
+    <=2 edge runs per block are reconciled driver-side (O(blocks)
+    rows) — the ``merge_intervals`` border pattern."""
+    srt = merged.sort(["url", "tok_start"]).materialize()
+    blob_schema = pa.schema(
+        [("url", pa.string()), ("spans", pa.binary()), ("edge", pa.bool_())]
+    )
+
+    def _pack_sorted(
+        urls: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    ) -> tuple[list, list[bytes]]:
+        if len(urls) == 0:
+            return [], []
+        inter = np.empty(2 * len(urls), dtype="<i8")
+        inter[0::2] = starts
+        inter[1::2] = ends
+        run_change = np.concatenate([[True], urls[1:] != urls[:-1]])
+        bounds = np.concatenate([np.flatnonzero(run_change), [len(urls)]])
+        blobs = [
+            inter[2 * bounds[k]: 2 * bounds[k + 1]].tobytes()
+            for k in range(len(bounds) - 1)
+        ]
+        return list(urls[bounds[:-1]]), blobs
+
+    def collect_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return blob_schema.empty_table()
+        urls = t["url"].to_numpy(zero_copy_only=False)
+        starts = t["tok_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = t["tok_end"].to_numpy(zero_copy_only=False).astype(np.int64)
+        interior = (urls != urls[0]) & (urls != urls[-1])
+        iu, iblobs = _pack_sorted(urls[interior], starts[interior], ends[interior])
+        em = ~interior
+        # edge rows: one single-interval blob each, regrouped driver-side
+        eu, eblobs = list(urls[em]), [
+            np.array([s, e], dtype="<i8").tobytes()
+            for s, e in zip(starts[em], ends[em])
+        ]
+        return pa.table(
+            {
+                "url": pa.array(eu + iu, type=pa.string()),
+                "spans": pa.array(eblobs + iblobs, type=pa.binary()),
+                "edge": pa.array(
+                    [True] * len(eu) + [False] * len(iu), type=pa.bool_()
+                ),
+            }
+        )
+
+    marked = srt.map_batches(
+        collect_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = marked.filter(expr="edge == False").drop_columns(["edge"])
+    edge_rows = marked.filter(expr="edge == True").take_all()
+    if not edge_rows:
+        return interior
+    # explode the O(blocks) edge rows back to raw intervals, regroup
+    flat = []
+    for r in edge_rows:
+        iv = np.frombuffer(r["spans"], dtype="<i8")
+        flat.extend((r["url"], int(iv[k]), int(iv[k + 1]))
+                    for k in range(0, len(iv), 2))
+    flat.sort()
+    eu, eblobs = _pack_sorted(
+        np.array([x[0] for x in flat], dtype=object),
+        np.array([x[1] for x in flat], dtype=np.int64),
+        np.array([x[2] for x in flat], dtype=np.int64),
+    )
+    edge_tbl = pa.table(
+        {
+            "url": pa.array(eu, type=pa.string()),
+            "spans": pa.array(eblobs, type=pa.binary()),
+        }
+    )
+    return interior.union(ray.data.from_arrow(edge_tbl))
+
+
+_CUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("n_removed_words", pa.int64()),
+        ("n_spans", pa.int64()),
+        ("normalized", pa.bool_()),
+    ]
+)
+
+
+def _cut_rows(
+    urls: pa.ChunkedArray | pa.Array,
+    texts: list,
+    intervals_of,
+) -> pa.Table:
+    """Shared cut loop: ``intervals_of(i)`` -> sorted disjoint
+    [(s, e), ...] for row i, or None/[] for untouched rows."""
+    out_text: list[str | None] = []
+    n_removed: list[int] = []
+    n_spans: list[int] = []
+    normalized: list[bool] = []
+    for i, txt in enumerate(texts):
+        iv = intervals_of(i)
+        if not iv or txt is None:
+            out_text.append(txt)
+            n_removed.append(0)
+            n_spans.append(0)
+            normalized.append(False)
+            continue
+        cleaned, rem, norm = _cut_text(txt, iv)
+        out_text.append(cleaned)
+        n_removed.append(rem)
+        n_spans.append(len(iv))
+        normalized.append(norm)
+    return pa.table(
+        {
+            "url": urls,
+            "text": pa.array(out_text, type=pa.string()),
+            "n_removed_words": pa.array(n_removed, type=pa.int64()),
+            "n_spans": pa.array(n_spans, type=pa.int64()),
+            "normalized": pa.array(normalized, type=pa.bool_()),
+        }
+    )
+
+
+def _cut_joined(t: pa.Table) -> pa.Table:
+    """Batch map for the JOIN route: each row's packed interval blob
+    arrives as a column (null for unaffected docs) — no
+    driver/broadcast state at all."""
+    blobs = t["spans"].to_pylist()
+
+    def intervals_of(i):
+        b = blobs[i]
+        if not b:
+            return None
+        iv = np.frombuffer(b, dtype="<i8")
+        return [(int(iv[k]), int(iv[k + 1])) for k in range(0, len(iv), 2)]
+
+    return _cut_rows(t["url"], t["text"].to_pylist(), intervals_of)
+
+
 class SpanCutter:
     """Actor-pool batch map: cut each affected doc's merged intervals.
     The interval map rides in the object store (one ``ray.put``), read
@@ -202,32 +351,10 @@ class SpanCutter:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()
-        texts = t["text"].to_pylist()
-        out_text: list[str | None] = []
-        n_removed: list[int] = []
-        n_spans: list[int] = []
-        normalized: list[bool] = []
-        for u, txt in zip(urls, texts):
-            iv = self.intervals.get(u)
-            if not iv or txt is None:
-                out_text.append(txt)
-                n_removed.append(0)
-                n_spans.append(0)
-                normalized.append(False)
-                continue
-            cleaned, rem, norm = _cut_text(txt, iv)
-            out_text.append(cleaned)
-            n_removed.append(rem)
-            n_spans.append(len(iv))
-            normalized.append(norm)
-        return pa.table(
-            {
-                "url": t["url"],
-                "text": pa.array(out_text, type=pa.string()),
-                "n_removed_words": pa.array(n_removed, type=pa.int64()),
-                "n_spans": pa.array(n_spans, type=pa.int64()),
-                "normalized": pa.array(normalized, type=pa.bool_()),
-            }
+        return _cut_rows(
+            t["url"],
+            t["text"].to_pylist(),
+            lambda i: self.intervals.get(urls[i]),
         )
 
 
@@ -235,18 +362,50 @@ def apply_removals(
     extracted: ray.data.Dataset,
     merged: ray.data.Dataset,
     concurrency: int = 4,
+    route: str = "auto",
 ) -> ray.data.Dataset:
     """extracted (url, text, ...) + merged intervals -> the corpus with
-    every losing occurrence cut. The interval table is proportional to
-    the number of DUPLICATED docs; above ``_BROADCAST_CAP`` affected
-    urls this raises rather than silently materializing — at that scale
-    pre-filter the corpus with an inner join on url instead."""
-    rows = merged.take_all()  # O(affected docs x spans/doc), capped below
-    if len({r["url"] for r in rows}) > _BROADCAST_CAP:
-        raise ValueError(
-            f"apply_removals: >{_BROADCAST_CAP} affected urls; use the "
-            "join route (inner_join corpus with the interval table)"
+    every losing occurrence cut.
+
+    Two parity-tested routes (tests/test_spanremoval.py):
+
+    - ``broadcast`` (default under ``_BROADCAST_CAP`` interval rows):
+      the per-url interval map rides the object store once
+      (``ray.put``), looked up inside an actor-pool ``map_batches`` —
+      zero shuffle, unaffected docs stream through untouched.
+    - ``join`` (default above the cap): intervals pack per url into a
+      binary blob (``_interval_blobs``, one sort of the O(affected)
+      table), then ONE corpus-sized ``left_outer_join`` on url
+      attaches it as a column and ``_cut_joined`` cuts in-stream — no
+      O(affected) driver materialization anywhere, safe at any
+      affected-doc count.
+
+    ``route="auto"`` switches on ``merged.count()`` (row count upper-
+    bounds the distinct-url count, so the broadcast side never
+    materializes an above-cap table even to measure it)."""
+    if route == "auto":
+        route = "broadcast" if merged.count() <= _BROADCAST_CAP else "join"
+    if route == "join":
+        corpus = extracted.map_batches(
+            lambda t: t.select(["url", "text"]), batch_format="pyarrow"
         )
+        joined_schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("text", pa.string()),
+                ("spans", pa.binary()),
+            ]
+        )
+        joined = left_outer_join(
+            corpus, _interval_blobs(merged), on=("url",),
+            empty_schema=joined_schema,
+        )
+        return joined.map_batches(
+            _cut_joined, batch_format="pyarrow", batch_size=256
+        )
+    if route != "broadcast":
+        raise ValueError(f"apply_removals: unknown route {route!r}")
+    rows = merged.take_all()  # O(affected docs x spans/doc), auto-capped
     by_url: dict[str, list[tuple[int, int]]] = {}
     for r in rows:
         by_url.setdefault(r["url"], []).append((r["tok_start"], r["tok_end"]))

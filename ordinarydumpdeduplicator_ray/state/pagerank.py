@@ -7,13 +7,22 @@ operator actually wants to inspect (or blocklist) before bulk-dropping
 a component. Analytics layer over the same edges the flagship already
 produces; no new corpus pass.
 
-Scale shape: edges stream as blocks (O(duplicated docs), NOT corpus
--sized); each power iteration is one ``map_blocks`` round emitting an
-int64 per-node contribution partial, folded driver-side. The rank
-vector is O(nodes) and broadcasts once per iteration via ``ray.put``
-(nodes = dup-graph members; the documented cap mirrors the flagship's
-``MAX_DRIVER_EDGES`` seam — beyond it, ranks would partition by node
-range like the distributed label propagation).
+Scale shape, TWO parity-tested routes (tests force each and compare
+bit-for-bit):
+
+- ``broadcast`` (below ``_MAX_BROADCAST_NODES``): each power iteration
+  is one ``map_blocks`` round emitting an int64 per-node contribution
+  partial, folded driver-side; the O(nodes) rank vector broadcasts
+  once per iteration via ``ray.put``.
+- ``distributed`` (above the cap, or forced): the rank vector lives as
+  a Dataset partitioned by url — each iteration is ONE hash join of
+  the degree-annotated incidence table with the rank table plus ONE
+  groupby-sum; nothing O(nodes) ever touches the driver or any single
+  worker (the label-propagation exchange shape, ``state/unionfind.py``).
+
+Both routes run the identical integer recurrence, and int64 partial
+sums are commutative, so they produce bit-identical ranks under any
+blocking/partitioning.
 
 Determinism: ALL arithmetic is integer. Ranks live in 1e-9 units;
 a node's per-edge contribution is ``rank // degree`` (integer
@@ -39,26 +48,167 @@ _DAMP_NUM, _DAMP_DEN = 85, 100
 _MAX_BROADCAST_NODES = 50_000_000
 
 
+_EMPTY_RANKS = pa.schema([("url", pa.string()), ("rank", pa.float64())])
+
+
+def pagerank_distributed(
+    edges: ray.data.Dataset,
+    iters: int = 10,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Partitioned-rank-vector route: the O(nodes) state lives as a
+    (url, rank:int64 nano-units) Dataset; each iteration is one hash
+    join (degree-annotated incidence ⋈ ranks on url) and one
+    groupby-sum — no O(nodes) broadcast, no driver materialization.
+    Bit-identical to the broadcast route (same integer recurrence,
+    commutative int64 partials); returns (url, rank:float64)."""
+    from ray.data.aggregate import Sum
+
+    from ordinarydumpdeduplicator_ray.stages.join import (
+        _drop_empty_blocks,
+        inner_join,
+    )
+
+    # undirected incidence with source degree attached once: (url, nbr)
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.concat_arrays(
+                    [t["url_a"].combine_chunks(), t["url_b"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["url_b"].combine_chunks(), t["url_a"].combine_chunks()]
+                ),
+            }
+        )
+
+    incidence = edges.map_batches(
+        both_dirs, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if incidence.count() == 0:
+        return ray.data.from_arrow(_EMPTY_RANKS.empty_table())
+    incidence = _drop_empty_blocks(incidence)
+    from ray.data.aggregate import Count
+
+    degrees = (
+        incidence.groupby("url")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table(
+                {"url": t["url"],
+                 "deg": pc.max_element_wise(
+                     t["deg"].combine_chunks().cast(pa.int64()), 1
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = degrees.count()
+    inc_deg = inner_join(
+        incidence, degrees, on=("url",), num_partitions=num_partitions
+    ).materialize()
+
+    init_rank = _SCALE // n
+    teleport = ((_DAMP_DEN - _DAMP_NUM) * _SCALE) // (_DAMP_DEN * n)
+    ranks = degrees.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"],
+             "rank": pa.array(np.full(len(t), init_rank, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        sends = inner_join(
+            inc_deg, _drop_empty_blocks(ranks), on=("url",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            # each endpoint sends rank // degree to its neighbor
+            lambda t: pa.table(
+                {
+                    "url": t["nbr"],
+                    "contrib": pc.divide(
+                        t["rank"].combine_chunks().cast(pa.int64()),
+                        t["deg"].combine_chunks().cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            sends.groupby("url")
+            .aggregate(Sum("contrib", alias_name="s"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": t["url"],
+                        "rank": pc.add(
+                            pa.scalar(teleport, type=pa.int64()),
+                            pc.divide(
+                                pc.multiply(
+                                    pa.scalar(_DAMP_NUM, type=pa.int64()),
+                                    t["s"].combine_chunks().cast(pa.int64()),
+                                ),
+                                pa.scalar(_DAMP_DEN, type=pa.int64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "rank": pc.divide(
+                    t["rank"].combine_chunks().cast(pa.float64()),
+                    pa.scalar(float(_SCALE), type=pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
-    edges: ray.data.Dataset, iters: int = 10
+    edges: ray.data.Dataset, iters: int = 10, route: str = "auto"
 ) -> pa.Table:
     """Undirected PageRank over (url_a, url_b) edges; returns
     (url, rank) with rank summing to ~1. Deterministic and
-    blocking-independent (integer arithmetic throughout)."""
+    blocking-independent (integer arithmetic throughout).
+    ``route="auto"`` picks the broadcast rank vector below
+    ``_MAX_BROADCAST_NODES`` and the partitioned Dataset route above it
+    (callers at that scale should consume ``pagerank_distributed``
+    directly rather than pull the table to the driver)."""
     from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
     from ordinarydumpdeduplicator_ray.stages.spans import _pair_urls
     from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
 
+    if route == "distributed":
+        out = pagerank_distributed(edges, iters)
+        return pa.Table.from_pylist(
+            out.sort("url").take_all(), schema=_EMPTY_RANKS
+        )
+    if route not in ("auto", "broadcast"):
+        raise ValueError(f"pagerank: unknown route {route!r}")
     edges = edges.materialize()
     nodes = _pair_urls(edges)
     n = len(nodes)
     if n == 0:
-        return pa.table({"url": pa.array([], type=pa.string()),
-                         "rank": pa.array([], type=pa.float64())})
+        return _EMPTY_RANKS.empty_table()
     if n > _MAX_BROADCAST_NODES:  # pragma: no cover - cluster scale
-        raise NotImplementedError(
-            "pagerank: node set exceeds the broadcast cap; partition the "
-            "rank vector by node range (label-propagation seam)"
+        if route == "broadcast":
+            raise ValueError(
+                "pagerank: node set exceeds the broadcast cap; use "
+                "route='distributed' / pagerank_distributed"
+            )
+        out = pagerank_distributed(edges, iters)
+        return pa.Table.from_pylist(
+            out.sort("url").take_all(), schema=_EMPTY_RANKS
         )
     nodes_ref = ray.put(nodes)
 

@@ -1096,3 +1096,46 @@ def test_persisted_ivf_index(ray_session, tmp_path):
 
     man2 = build_ivf_index(emb, str(tmp_path / "ivf2"), n_centroids=8, iters=3)
     assert man2 == man  # deterministic rebuild
+
+
+def test_pagerank_distributed_route_parity(ray_session):
+    """The partitioned-rank-vector route (above-cap fallback) must be
+    BIT-identical to the broadcast route — same integer recurrence,
+    commutative int64 partials — on a graph with a hub, a chain, a
+    triangle and parallel edges, across several edge blockings."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.pagerank import pagerank
+
+    pairs = (
+        [("hub", f"leaf{i}") for i in range(6)]
+        + [(f"c{i}", f"c{i+1}") for i in range(5)]
+        + [("t0", "t1"), ("t1", "t2"), ("t2", "t0")]
+        + [("p1", "p2"), ("p1", "p2")]  # parallel edge: degree counts it
+    )
+    t = pa.table({
+        "url_a": pa.array([a for a, _ in pairs]),
+        "url_b": pa.array([b for _, b in pairs]),
+    })
+
+    def snap(route, nblocks):
+        tbl = pagerank(
+            ray.data.from_arrow(t).repartition(nblocks), iters=7, route=route
+        )
+        return sorted(zip(tbl["url"].to_pylist(), tbl["rank"].to_pylist()))
+
+    want = snap("broadcast", 3)
+    assert snap("distributed", 1) == want
+    assert snap("distributed", 5) == want
+
+    # empty edges: schema-correct empty result on the distributed route
+    from ordinarydumpdeduplicator_ray.state.pagerank import (
+        pagerank_distributed,
+    )
+
+    empty = pagerank_distributed(ray.data.from_arrow(pa.table({
+        "url_a": pa.array([], type=pa.string()),
+        "url_b": pa.array([], type=pa.string()),
+    })))
+    assert empty.count() == 0
+    assert empty.schema().base_schema.names == ["url", "rank"]

@@ -146,3 +146,109 @@ def test_exact_substring_removal_query(ray_session):
     rows2 = q.exact_substring_removal("/root/testdata/sf0.001").take_all()
     key = lambda rs: sorted((r["url"], r["clean_sha"]) for r in rs)
     assert key(rows) == key(rows2)
+
+
+def test_apply_removals_join_route_parity(ray_session):
+    """The join route (above-cap fallback) must produce the exact same
+    cut corpus as the broadcast route — byte-identical text and stats
+    per url, under many tiny blocks so url runs straddle block borders
+    in _interval_lists."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages import spanremoval as sr
+
+    rng = np.random.default_rng(41)
+    docs = {}
+    intervals = []
+    for i in range(80):
+        u = f"doc{i:03d}"
+        n_tok = int(rng.integers(8, 60))
+        docs[u] = " ".join(f"w{i}_{j}" for j in range(n_tok))
+        # half the docs get 1-4 random cut intervals
+        if i % 2 == 0:
+            for _ in range(int(rng.integers(1, 5))):
+                s = int(rng.integers(0, n_tok))
+                e = min(n_tok, s + int(rng.integers(1, 12)))
+                if e > s:
+                    intervals.append((u, s, e))
+    # materialized, as remove_duplicate_spans does: a LAZY repartition
+    # feeding the broadcast route's actor pool deadlocks on a small
+    # session (the pool reserves every CPU, starving the split tasks)
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(list(docs), type=pa.string()),
+                "text": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    ).repartition(7).materialize()
+    merged = sr.merge_intervals(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in intervals], type=pa.string()),
+                    "tok_start": pa.array(
+                        [r[1] for r in intervals], type=pa.int64()
+                    ),
+                    "tok_end": pa.array([r[2] for r in intervals], type=pa.int64()),
+                }
+            )
+        ).repartition(11)
+    ).materialize()
+
+    def snap(route):
+        rows = sr.apply_removals(corpus, merged, route=route).take_all()
+        return sorted(
+            (
+                r["url"],
+                r["text"],
+                r["n_removed_words"],
+                r["n_spans"],
+                r["normalized"],
+            )
+            for r in rows
+        )
+
+    a = snap("broadcast")
+    b = snap("join")
+    assert a == b
+    assert sum(1 for r in a if r[3] > 0) > 0  # some docs actually cut
+
+
+def test_apply_removals_auto_switches_to_join(ray_session, monkeypatch):
+    """Force a tiny cap: auto must take the join route (no take_all of
+    the interval table) and still match the broadcast output."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages import spanremoval as sr
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b", "c"], type=pa.string()),
+                "text": pa.array(
+                    ["t0 t1 t2 t3 t4", "s0 s1 s2 s3", "keep me whole"],
+                    type=pa.string(),
+                ),
+            }
+        )
+    )
+    merged = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b"], type=pa.string()),
+                "tok_start": pa.array([1, 0], type=pa.int64()),
+                "tok_end": pa.array([3, 2], type=pa.int64()),
+            }
+        )
+    )
+    want = sorted(
+        (r["url"], r["text"])
+        for r in sr.apply_removals(corpus, merged, route="broadcast").take_all()
+    )
+    monkeypatch.setattr(sr, "_BROADCAST_CAP", 1)
+    got_rows = sr.apply_removals(corpus, merged, route="auto").take_all()
+    got = sorted((r["url"], r["text"]) for r in got_rows)
+    assert got == want
+    assert dict(got)["a"] == "t0 t3 t4"
+    assert dict(got)["c"] == "keep me whole"
