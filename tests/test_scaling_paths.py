@@ -557,3 +557,69 @@ class TestFusedExplode:
         )
         assert len(fused) > 0
         assert fused == unfused
+
+
+def test_ngram_jaccard_components_brute_force(ray_session, tmp_path):
+    """Components of the exact-Jaccard graph must equal brute-force
+    union-find over brute-force pairs (planted two clusters + noise)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    from ordinarydumpdeduplicator_ray.functions.hashing import (
+        TokenHasher,
+        shingle_hashes,
+    )
+    from ordinarydumpdeduplicator_ray.functions.text import tokenize
+    from ordinarydumpdeduplicator_ray.pipelines.queries import (
+        ngram_jaccard_components,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for base_seed in (1, 2):  # two independent template clusters
+        base = list(rng.choice(vocab, 50))
+        for k in range(6):
+            words = list(base)
+            for _ in range(k):  # increasing mutation -> chain topology
+                words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+            texts.append(" ".join(words))
+    for _ in range(10):  # noise docs
+        texts.append(" ".join(rng.choice(vocab, 50)))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in ngram_jaccard_components(str(tmp_path), threshold=0.5).to_pylist()
+    )
+
+    hasher = TokenHasher()
+    sets = {}
+    for did, x in zip(tbl["doc_id"].to_pylist(), texts):
+        toks = tokenize(x)
+        if len(toks) >= 5:
+            sets[did] = shingle_hashes(hasher.hash_tokens(toks), 5)
+    parent = {d: d for d in sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edge_docs = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = np.intersect1d(sets[a], sets[b], assume_unique=True).size
+        union = len(sets[a]) + len(sets[b]) - inter
+        if union and round(inter / union, 6) >= 0.5:
+            edge_docs.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = sorted((d, find(d)) for d in sorted(edge_docs))
+    assert got == expect
+    assert len({c for _, c in got}) >= 2  # both planted clusters present
