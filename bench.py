@@ -186,12 +186,19 @@ def main_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     from ordinarydumpdeduplicator_ray.pipelines import queries as q
 
+    # box context rides the JSON (not just BASELINE prose): the shared
+    # sandbox swings ±50%, so rounds are only comparable with the load
+    # regime recorded. load1 = 1-min loadavg at start; busy_p50 =
+    # median WHOLE-BOX /proc/stat busy fraction sampled over the sweep.
+    load1 = round(os.getloadavg()[0], 2)
     pages = q.dup_corpus(sf_dir, near=True).materialize()
     n_docs = pages.count()
 
-    wall, n_groups, _stages = run_flagship(pages, num_cpus)
-    timings = {"near_dup_full": round(wall, 3)}
-    timings.update(bench_queries(sf_dir))
+    with _BusySampler(os.cpu_count() or num_cpus) as sampler:
+        wall, n_groups, _stages = run_flagship(pages, num_cpus)
+        timings = {"near_dup_full": round(wall, 3)}
+        timings.update(bench_queries(sf_dir))
+    busy = sampler.stats()
 
     return {
         "metric": "near_dup_full_pipeline_wall",
@@ -203,6 +210,9 @@ def main_bench(sf_dir: str, num_cpus: int) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / wall, 1),
         "near_dup_groups": n_groups,
+        "load1": load1,
+        "busy_p50": busy.get("busy_p50"),
+        "busy_mean": busy.get("busy_mean"),
     }
 
 
@@ -283,10 +293,12 @@ def _one_scaling_run(pages_dir: str, num_cpus: int) -> dict:
 
     pages = read_pages(pages_dir).materialize()
     n_docs = pages.count()
+    load1 = round(os.getloadavg()[0], 2)
     with _BusySampler(num_cpus) as sampler:
         wall, n_groups, stages = run_flagship(pages, num_cpus)
     return {
         "num_cpus": num_cpus,
+        "load1": load1,
         "docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),

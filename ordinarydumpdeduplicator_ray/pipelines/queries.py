@@ -5750,6 +5750,20 @@ def token_search(sf_dir: str, term: str = "join") -> ray.data.Dataset:
     )
 
 
+def _topk_hubs(urls: pa.Array | pa.ChunkedArray, ranks: np.ndarray,
+               k: int) -> pa.Table:
+    """(rank_nano desc, url asc) top-k — shared by the driver path and
+    the per-block candidate emit of the distributed path."""
+    order = np.lexsort(
+        (np.asarray(urls.to_pylist(), dtype=object), -ranks)
+    )[:k]
+    return pa.table({
+        "url": (urls.combine_chunks() if isinstance(urls, pa.ChunkedArray)
+                else urls).take(pa.array(order)),
+        "rank_nano": pa.array(ranks[order], type=pa.int64()),
+    })
+
+
 def dup_graph_hubs(sf_dir: str, k: int = 20) -> pa.Table:
     """Top-k PageRank hubs of the near-dup graph (state/pagerank.py):
     the template/mirror documents the most duplication mass flows
@@ -5757,23 +5771,50 @@ def dup_graph_hubs(sf_dir: str, k: int = 20) -> pa.Table:
     component. Integer-quantized power iteration over the flagship's
     edge table: deterministic, blocking-independent, hash-locked via
     dup_graph_hubs_checksum. Rows-only (iterative graph analytics is
-    not SQL-expressible)."""
-    from ordinarydumpdeduplicator_ray.state.pagerank import pagerank
+    not SQL-expressible).
 
-    tbl = pagerank(_flagship(sf_dir)["edges"])
+    Scale shape: below the pagerank broadcast cap the rank table is
+    dup-graph-member-sized and the top-k runs driver-side; above it the
+    ranks STAY a partitioned Dataset (pagerank_distributed) and each
+    block emits only its local top-k — the driver merges O(blocks x k)
+    candidate rows, never O(nodes). Both paths produce identical rows
+    (parity pytest with a forced cap)."""
+    from ordinarydumpdeduplicator_ray.state import pagerank as pr
+
+    empty = pa.table({"url": pa.array([], type=pa.string()),
+                      "rank_nano": pa.array([], type=pa.int64())})
+    edges = _flagship(sf_dir)["edges"]
+    # nodes <= 2 x edges: edge count is a free conservative route switch
+    if edges.count() * 2 > pr._MAX_BROADCAST_NODES:
+        ranks_ds = pr.pagerank_distributed(edges)
+
+        def block_topk(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return empty
+            rn = np.rint(
+                t["rank"].to_numpy(zero_copy_only=False) * 1e9
+            ).astype(np.int64)
+            return _topk_hubs(t["url"], rn, k)
+
+        cand = pa.concat_tables(
+            list(ranks_ds.map_batches(block_topk, batch_format="pyarrow")
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+            or [empty]
+        )
+        if len(cand) == 0:
+            return empty
+        return _topk_hubs(
+            cand["url"],
+            cand["rank_nano"].to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+    tbl = pr.pagerank(edges)
     if len(tbl) == 0:
-        return pa.table({"url": pa.array([], type=pa.string()),
-                         "rank_nano": pa.array([], type=pa.int64())})
+        return empty
     ranks = np.rint(
         tbl["rank"].to_numpy(zero_copy_only=False) * 1e9
     ).astype(np.int64)
-    order = np.lexsort(
-        (np.asarray(tbl["url"].to_pylist(), dtype=object), -ranks)
-    )[:k]
-    return pa.table({
-        "url": tbl["url"].take(pa.array(order)),
-        "rank_nano": pa.array(ranks[order], type=pa.int64()),
-    })
+    return _topk_hubs(tbl["url"], ranks, k)
 
 
 def dup_graph_hubs_checksum(sf_dir: str) -> pa.Table:

@@ -1128,6 +1128,16 @@ def test_pagerank_distributed_route_parity(ray_session):
     assert snap("distributed", 1) == want
     assert snap("distributed", 5) == want
 
+    # auto must take the distributed route above the cap and still match
+    import ordinarydumpdeduplicator_ray.state.pagerank as pr
+
+    orig_cap = pr._MAX_BROADCAST_NODES
+    pr._MAX_BROADCAST_NODES = 1
+    try:
+        assert snap("auto", 3) == want
+    finally:
+        pr._MAX_BROADCAST_NODES = orig_cap
+
     # empty edges: schema-correct empty result on the distributed route
     from ordinarydumpdeduplicator_ray.state.pagerank import (
         pagerank_distributed,
@@ -1139,3 +1149,22 @@ def test_pagerank_distributed_route_parity(ray_session):
     })))
     assert empty.count() == 0
     assert empty.schema().base_schema.names == ["url", "rank"]
+
+
+def test_dup_graph_hubs_distributed_topk_parity(ray_session):
+    """Above the pagerank broadcast cap, dup_graph_hubs must switch to
+    the per-block top-k over the partitioned rank Dataset and return
+    the exact same rows as the driver path."""
+    import ordinarydumpdeduplicator_ray.state.pagerank as pr
+    from ordinarydumpdeduplicator_ray.pipelines.queries import dup_graph_hubs
+
+    sf = "/root/testdata/sf0.001"
+    want = dup_graph_hubs(sf).to_pylist()
+    orig = pr._MAX_BROADCAST_NODES
+    pr._MAX_BROADCAST_NODES = 1
+    try:
+        got = dup_graph_hubs(sf).to_pylist()
+    finally:
+        pr._MAX_BROADCAST_NODES = orig
+    assert got == want
+    assert len(want) > 0
