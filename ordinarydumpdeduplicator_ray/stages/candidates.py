@@ -521,6 +521,80 @@ def duplicate_bucket_keys(
     return ray.put(keep)
 
 
+def duplicated_hit_rows(
+    cells: ray.data.Dataset,
+    num_partitions: int,
+    key_col: str = "bucket",
+) -> ray.data.Dataset:
+    """(..., key) rows -> the SUBSET whose key occurs in >= 2 rows
+    anywhere in the dataset, as a DATASET — the join-route sibling of
+    ``duplicate_bucket_keys``: nothing O(duplicated keys) ever touches
+    the driver, so it holds at any boilerplate volume.
+
+    ONE sort by key; each sorted block emits its interior >=2-run rows
+    vectorized (adjacent-equal mask). A key RUN spanning a block border
+    is resolved from O(blocks) per-block scalars: in a globally sorted
+    layout a value that appears in two blocks is necessarily the
+    first/last value of each, so the driver sums the per-block counts
+    of border values only (a handful of ints per block — row data never
+    moves) and passes each block two booleans. Raw tasks over the
+    materialized sort's own block refs (``stages/blockops.py``) — no
+    extra execution launch; output blocks go straight back to the
+    object store via ``from_arrow_refs``."""
+    import numpy as np
+
+    from ordinarydumpdeduplicator_ray.stages.blockops import (
+        _as_table,
+        block_refs,
+        map_blocks,
+    )
+
+    schema = cells.schema().base_schema
+    sort_parts = max(2 * num_partitions, 8)
+    srt = cells.repartition(sort_parts).sort(key_col).materialize()
+    refs = block_refs(srt)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def scal(t: pa.Table):
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        return (int(k[0]), int(k[-1]),
+                int((k == k[0]).sum()), int((k == k[-1]).sum()))
+
+    scals = map_blocks(srt, scal)
+    # global count of each border value: a value spanning blocks is the
+    # first/last of every block it touches; one interior to a block
+    # never appears elsewhere. first==last (single-value block) counts
+    # once.
+    border_count: dict[int, int] = {}
+    for first, last, cf, cl in scals:
+        border_count[first] = border_count.get(first, 0) + cf
+        if last != first:
+            border_count[last] = border_count.get(last, 0) + cl
+
+    def emit(blk, dup_first: bool, dup_last: bool) -> pa.Table:
+        t = _as_table(blk)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        dup = np.zeros(len(k), dtype=bool)
+        eq = k[1:] == k[:-1]
+        dup[1:] |= eq
+        dup[:-1] |= eq
+        dup[k == k[0]] = dup_first
+        dup[k == k[-1]] = dup_last
+        return t.filter(pa.array(dup))
+
+    task = ray.remote(emit)
+    out_refs = [
+        task.remote(
+            r,
+            border_count[first] >= 2,
+            border_count[last] >= 2,
+        )
+        for r, (first, last, _, _) in zip(refs, scals)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def _prefilter_singleton_buckets(
     buckets: ray.data.Dataset, num_partitions: int, member: str, mtype: pa.DataType
 ) -> ray.data.Dataset:

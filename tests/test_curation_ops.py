@@ -332,3 +332,111 @@ def test_nfc_normalization_stats(ray_session):
         else:
             assert not r["changed"]
             assert r["nfc_sha"] == hashlib.sha256(txt.encode()).hexdigest()
+
+
+class TestLineDedupJoinRoute:
+    def test_join_route_parity_newline(self, ray_session):
+        """The join route (above-cap fallback: distributed dup set +
+        blob join) must produce the exact same output as the broadcast
+        route, across blockings."""
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.linededup import line_dedup
+
+        tbl = _multiline_corpus()
+        ds = ray.data.from_arrow(tbl).repartition(5).materialize()
+
+        def snap(route):
+            return {
+                r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+                for r in line_dedup(ds, mode="newline", route=route).take_all()
+            }
+
+        want = snap("broadcast")
+        assert snap("join") == want
+        assert want == _brute_line_dedup(tbl)
+
+    def test_auto_switches_to_join(self, ray_session, monkeypatch):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages import linededup as ld
+
+        tbl = _multiline_corpus()
+        ds = ray.data.from_arrow(tbl).repartition(3).materialize()
+        want = {
+            r["doc_id"]: r["text_dedup"]
+            for r in ld.line_dedup(
+                ds, mode="newline", route="broadcast"
+            ).take_all()
+        }
+        monkeypatch.setattr(ld, "BROADCAST_CAP", 1)
+        got = {
+            r["doc_id"]: r["text_dedup"]
+            for r in ld.line_dedup(
+                ds, mode="newline", approx_rows=100, route="auto"
+            ).take_all()
+        }
+        assert got == want
+
+    def test_host_boilerplate_join_route_parity(self, ray_session):
+        import ray.data
+        from ordinarydumpdeduplicator_ray.stages.linededup import (
+            host_boilerplate_dedup,
+        )
+
+        rows = []
+        for h in ("a.example", "b.example"):
+            for p in range(4):
+                rows.append((
+                    f"https://{h}/p{p}",
+                    f"nav bar of {h}\nunique {h} {p}\nshared sentence",
+                ))
+        rows.append(("https://c.example/only", "shared sentence\nc body"))
+        tbl = pa.table({
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(3).materialize()
+
+        def snap(route):
+            return {
+                r["url"]: (r["text_dedup"], r["n_removed"])
+                for r in host_boilerplate_dedup(
+                    ds, mode="newline", route=route
+                ).take_all()
+            }
+
+        want = snap("broadcast")
+        got = snap("join")
+        assert got == want
+        # semantics spot-check: per-host nav removed, cross-host shared
+        # sentence removed only where >= 2 pages of the SAME host carry it
+        assert "nav bar of a.example" not in want["https://a.example/p0"][0]
+        assert "shared sentence" in want["https://c.example/only"][0]
+
+
+def test_duplicated_hit_rows_border_exact(ray_session):
+    """duplicated_hit_rows must equal the brute-force >=2-occurrence
+    subset under adversarial blocking (hot key spanning many blocks)."""
+    import ray.data
+    from ordinarydumpdeduplicator_ray.stages.candidates import (
+        duplicated_hit_rows,
+    )
+
+    rng = np.random.default_rng(31)
+    keys = np.concatenate([
+        np.full(500, 777, dtype=np.int64),          # hot key, spans blocks
+        rng.integers(0, 400, size=600).astype(np.int64),  # mixed dups
+        np.arange(10_000, 10_300, dtype=np.int64),  # singletons
+    ])
+    ids = np.arange(len(keys), dtype=np.int64)
+    t = pa.table({"rid": pa.array(ids, type=pa.int64()),
+                  "bucket": pa.array(keys, type=pa.int64())})
+    got = duplicated_hit_rows(
+        ray.data.from_arrow(t).repartition(13), num_partitions=4
+    ).take_all()
+    import collections
+
+    counts = collections.Counter(keys.tolist())
+    want = sorted(
+        (int(i), int(k)) for i, k in zip(ids, keys) if counts[int(k)] >= 2
+    )
+    assert sorted((r["rid"], r["bucket"]) for r in got) == want
