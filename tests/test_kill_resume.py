@@ -22,10 +22,6 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROWS = int(os.environ.get("GRAFT_KILL_ROWS", "20000"))
-# how long after groups_exact completes before the SIGKILL lands: long
-# enough that the edges shuffle is genuinely in flight, short enough
-# that the stage hasn't finished (scaled up for big corpora)
-KILL_DELAY = float(os.environ.get("GRAFT_KILL_DELAY", "2.0"))
 
 
 def _probe(pages_dir: str, ck: str, cpus: int = 6,
@@ -54,24 +50,34 @@ def test_kill_mid_shuffle_then_resume_bit_identical(tmp_path):
     ck = str(tmp_path / "ck")
     ck_control = str(tmp_path / "ck_control")
 
-    # run A: kill while the edges shuffle is in flight. Trigger: the
-    # groups_exact checkpoint completing means the pipeline has moved
-    # into build_edges (bucket explode -> sort -> verify joins).
+    # run A: kill while the edges shuffle is in flight. The pipeline
+    # enters build_edges (bucket explode -> sort -> verify joins) the
+    # moment the groups_exact manifest lands; the dwell before the
+    # SIGKILL scales with the MEASURED pipeline speed (a fixed dwell
+    # breaks whenever the shared box runs 2-3x faster or slower): a
+    # quarter of the signatures->groups_exact span, clamped, sits well
+    # inside the edges window at every box speed and corpus size.
     proc = _probe(pages_dir, ck)
-    marker = os.path.join(ck, "groups_exact", "MANIFEST.json")
+    sig_manifest = os.path.join(ck, "signatures", "MANIFEST.json")
+    ge_manifest = os.path.join(ck, "groups_exact", "MANIFEST.json")
     deadline = time.time() + 1500
     killed = False
+    t_sig = None
     try:
         while time.time() < deadline:
             if proc.poll() is not None:
                 break  # finished before we could kill (corpus too small)
-            if os.path.exists(marker):
-                time.sleep(KILL_DELAY)
+            if t_sig is None and os.path.exists(sig_manifest):
+                t_sig = time.time()
+            if os.path.exists(ge_manifest):
+                dwell = min(5.0, max(0.2, 0.25 * (time.time() - t_sig))
+                            ) if t_sig else 0.5
+                time.sleep(dwell)
                 if proc.poll() is None:
                     os.killpg(proc.pid, signal.SIGKILL)
                     killed = True
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         proc.wait(timeout=120)
     finally:
         if proc.poll() is None:
