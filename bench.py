@@ -172,6 +172,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "host_boilerplate_dedup",
         "knn_cosine_ivf_persisted",
         "events_pushdown_stats",
+        "ngram_jaccard_components",
     ]
     timings: dict[str, float] = {}
     for name in picks:
