@@ -166,7 +166,7 @@ def ingest_near_dup(
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    from ordinarydumpdeduplicator_ray.stages.join import left_outer_join
+    from ordinarydumpdeduplicator_ray.stages.join import broadcast_left_join
 
     def encode(t: pa.Table) -> pa.Table:
         pad = pc.utf8_lpad(
@@ -188,13 +188,17 @@ def ingest_near_dup(
             batch_format="pyarrow",
         )
     )
+    # the verdict table is one row per MATCHED new doc (<= the ingest
+    # cap), and its url key is unique by construction — the packed
+    # broadcast lookup beats a hash-shuffle join at every ingest size
+    # (cap-guarded with the shuffle fallback inside broadcast_left_join)
     verdict_schema = pa.schema([("url", pa.string()), ("pick", pa.string())])
-    joined = left_outer_join(
+    joined = broadcast_left_join(
         new_sigs.map_batches(
             lambda t: t.select(["url"]), batch_format="pyarrow"
         ),
         best,
-        on=("url",),
+        on="url",
         empty_schema=verdict_schema,
     )
 
