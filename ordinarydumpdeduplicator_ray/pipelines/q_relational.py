@@ -752,9 +752,15 @@ def event_window_stats(sf_dir: str, window_min: int = 60) -> ray.data.Dataset:
                  pc.ScalarAggregateOptions(skip_nulls=True, min_count=0)),
             ]
         )
-        return g.rename_columns(
-            ["event_type", "window_start", "user_id", "n", "v"]
-        )
+        # select by the GENERATED names, not position: pyarrow has
+        # moved key columns between first and last across majors
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "user_id": g["user_id"],
+            "n": g["value_count"],
+            "v": g["value_sum"],
+        })
 
     partials = events.map_batches(to_windows, batch_format="pyarrow")
     # exact distinct users: first collapse (type, window, user) globally

@@ -546,12 +546,14 @@ def duplicated_hit_rows(
     from ordinarydumpdeduplicator_ray.stages.blockops import (
         _as_table,
         block_refs,
-        map_blocks,
     )
 
     schema = cells.schema().base_schema
     sort_parts = max(2 * num_partitions, 8)
     srt = cells.repartition(sort_parts).sort(key_col).materialize()
+    # enumerate the block refs ONCE: the scal pass and the emit pass
+    # must see the same blocks in the same order, or the border flags
+    # attach to the wrong blocks
     refs = block_refs(srt)
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
@@ -561,7 +563,8 @@ def duplicated_hit_rows(
         return (int(k[0]), int(k[-1]),
                 int((k == k[0]).sum()), int((k == k[-1]).sum()))
 
-    scals = map_blocks(srt, scal)
+    scal_task = ray.remote(lambda blk: scal(_as_table(blk)))
+    scals = ray.get([scal_task.remote(r) for r in refs])
     # global count of each border value: a value spanning blocks is the
     # first/last of every block it touches; one interior to a block
     # never appears elsewhere. first==last (single-value block) counts

@@ -127,17 +127,11 @@ def _strip_batch(t: pa.Table, dup_ref, mode: str, window: int,
             n_lines.append(0)
             n_removed.append(0)
             continue
-        hashes = _hash_lines(lines)
-        keep = np.ones(len(lines), dtype=bool)
-        nonempty = np.array([bool(x) for x in lines])
-        if len(dup_sorted):
-            idx = np.searchsorted(dup_sorted, hashes)
-            idx[idx == len(dup_sorted)] = 0
-            keep = ~(nonempty & (dup_sorted[idx] == hashes))
-        cleaned.append(joiner.join(
-            [x for x, k in zip(lines, keep) if k]))
-        n_lines.append(len(lines))
-        n_removed.append(int((~keep).sum()))
+        c, nl, nr = _strip_with_lookup(
+            lines, _hash_lines(lines), dup_sorted, joiner)
+        cleaned.append(c)
+        n_lines.append(nl)
+        n_removed.append(nr)
     return pa.table({
         id_col: t[id_col],
         "text_dedup": pa.array(cleaned, type=pa.string()),
@@ -470,17 +464,11 @@ def host_boilerplate_dedup(
                 n_lines.append(0)
                 n_removed.append(0)
                 continue
-            hashes = _combined_hashes(lines, hh)
-            keep = np.ones(len(lines), dtype=bool)
-            nonempty = np.array([bool(x) for x in lines])
-            if len(dup_sorted):
-                idx = np.searchsorted(dup_sorted, hashes)
-                idx[idx == len(dup_sorted)] = 0
-                keep = ~(nonempty & (dup_sorted[idx] == hashes))
-            cleaned.append(joiner.join(
-                [x for x, k in zip(lines, keep) if k]))
-            n_lines.append(len(lines))
-            n_removed.append(int((~keep).sum()))
+            c, nl, nr = _strip_with_lookup(
+                lines, _combined_hashes(lines, hh), dup_sorted, joiner)
+            cleaned.append(c)
+            n_lines.append(nl)
+            n_removed.append(nr)
         return pa.table({
             "url": t["url"],
             "text_dedup": pa.array(cleaned, type=pa.string()),

@@ -384,6 +384,10 @@ def apply_removals(
     bounds the distinct-url count, so the broadcast side never
     materializes an above-cap table even to measure it)."""
     if route == "auto":
+        # pin the interval table first: the count and the chosen
+        # route's consumption would otherwise re-run merge_intervals'
+        # whole lazy lineage twice
+        merged = merged.materialize()
         route = "broadcast" if merged.count() <= _BROADCAST_CAP else "join"
     if route == "join":
         corpus = extracted.map_batches(

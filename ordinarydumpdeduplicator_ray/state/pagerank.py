@@ -180,10 +180,14 @@ def pagerank(
     """Undirected PageRank over (url_a, url_b) edges; returns
     (url, rank) with rank summing to ~1. Deterministic and
     blocking-independent (integer arithmetic throughout).
-    ``route="auto"`` picks the broadcast rank vector below
-    ``_MAX_BROADCAST_NODES`` and the partitioned Dataset route above it
-    (callers at that scale should consume ``pagerank_distributed``
-    directly rather than pull the table to the driver)."""
+    This convenience wrapper returns a DRIVER-side table, so above
+    ``_MAX_BROADCAST_NODES`` it refuses (the O(nodes) driver pull is
+    itself the hazard the cap guards) and directs callers to the
+    implemented scale path: ``pagerank_distributed`` keeps the ranks a
+    partitioned Dataset end-to-end, and ``queries.dup_graph_hubs``
+    shows the per-block top-k consumption pattern. ``route``:
+    ``broadcast`` / ``distributed`` force a route (the explicit
+    distributed route still collects — parity-test use)."""
     from ordinarydumpdeduplicator_ray.stages.blockops import map_blocks
     from ordinarydumpdeduplicator_ray.stages.spans import _pair_urls
     from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
@@ -201,14 +205,12 @@ def pagerank(
     if n == 0:
         return _EMPTY_RANKS.empty_table()
     if n > _MAX_BROADCAST_NODES:  # pragma: no cover - cluster scale
-        if route == "broadcast":
-            raise ValueError(
-                "pagerank: node set exceeds the broadcast cap; use "
-                "route='distributed' / pagerank_distributed"
-            )
-        out = pagerank_distributed(edges, iters)
-        return pa.Table.from_pylist(
-            out.sort("url").take_all(), schema=_EMPTY_RANKS
+        raise ValueError(
+            "pagerank: the node set exceeds the broadcast cap and a "
+            "pa.Table return would materialize O(nodes) rows on the "
+            "driver; consume pagerank_distributed() (partitioned rank "
+            "Dataset) instead — see queries.dup_graph_hubs for the "
+            "per-block top-k pattern"
         )
     nodes_ref = ray.put(nodes)
 

@@ -1128,13 +1128,15 @@ def test_pagerank_distributed_route_parity(ray_session):
     assert snap("distributed", 1) == want
     assert snap("distributed", 5) == want
 
-    # auto must take the distributed route above the cap and still match
+    # above the cap the Table-returning wrapper must REFUSE the
+    # O(nodes) driver pull and name the partitioned consumer path
     import ordinarydumpdeduplicator_ray.state.pagerank as pr
 
     orig_cap = pr._MAX_BROADCAST_NODES
     pr._MAX_BROADCAST_NODES = 1
     try:
-        assert snap("auto", 3) == want
+        with pytest.raises(ValueError, match="pagerank_distributed"):
+            snap("auto", 3)
     finally:
         pr._MAX_BROADCAST_NODES = orig_cap
 
