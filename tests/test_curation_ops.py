@@ -440,3 +440,41 @@ def test_duplicated_hit_rows_border_exact(ray_session):
         (int(i), int(k)) for i, k in zip(ids, keys) if counts[int(k)] >= 2
     )
     assert sorted((r["rid"], r["bucket"]) for r in got) == want
+
+
+def test_duplicated_hit_rows_randomized_blockings(ray_session):
+    """Randomized key distributions x block counts: the distributed
+    >=2-occurrence subset must match brute force in every combination
+    (duplicate-free, all-duplicate, skewed, and block counts that force
+    single-row and single-value blocks)."""
+    import collections
+
+    import ray.data
+    from ordinarydumpdeduplicator_ray.stages.candidates import (
+        duplicated_hit_rows,
+    )
+
+    rng = np.random.default_rng(57)
+    cases = [
+        rng.integers(0, 30, size=200),            # heavy duplication
+        np.arange(150),                           # all singletons
+        np.full(97, 5),                           # one value only
+        np.concatenate([np.full(80, 1), np.arange(100, 140)]),  # skew
+        rng.integers(0, 10**9, size=300),         # sparse (mostly unique)
+    ]
+    for ci, keys in enumerate(cases):
+        keys = keys.astype(np.int64)
+        rng.shuffle(keys)
+        ids = np.arange(len(keys), dtype=np.int64)
+        t = pa.table({"rid": pa.array(ids), "bucket": pa.array(keys)})
+        counts = collections.Counter(keys.tolist())
+        want = sorted(
+            (int(i), int(k)) for i, k in zip(ids, keys) if counts[int(k)] >= 2
+        )
+        for nblocks in (1, 2, len(keys) // 3, len(keys)):
+            got = duplicated_hit_rows(
+                ray.data.from_arrow(t).repartition(nblocks), num_partitions=2
+            ).take_all()
+            assert sorted((r["rid"], r["bucket"]) for r in got) == want, (
+                ci, nblocks
+            )
