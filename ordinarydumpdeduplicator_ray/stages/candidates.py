@@ -52,8 +52,6 @@ from ordinarydumpdeduplicator_ray.functions.hashing import combine_hash_rows, sh
 from ordinarydumpdeduplicator_ray.functions.minhash import packed_minhash
 from ordinarydumpdeduplicator_ray.functions.simhash import simhash_block_keys
 
-_SEP = "\x1f"
-
 _KEYS_ONLY_SCHEMA = pa.schema([("bucket", pa.int64())])
 
 
@@ -89,13 +87,29 @@ def _member_np(col, is_int: bool) -> np.ndarray:
 
 
 def _pack_members(run: np.ndarray, is_int: bool) -> bytes:
-    return run.astype("<i8").tobytes() if is_int else _SEP.join(run).encode("utf-8")
+    """int members: raw little-endian int64s. String members:
+    length-prefixed ([n:int32][len_i:int32 x n][utf-8 bytes...]) — a
+    separator-join would corrupt on a member containing the separator
+    byte (crawl urls are arbitrary bytes)."""
+    if is_int:
+        return run.astype("<i8").tobytes()
+    bs = [s.encode("utf-8") for s in run]
+    head = np.empty(len(bs) + 1, dtype="<i4")
+    head[0] = len(bs)
+    head[1:] = [len(b) for b in bs]
+    return head.tobytes() + b"".join(bs)
 
 
 def _unpack_members(b: bytes, is_int: bool) -> np.ndarray:
     if is_int:
         return np.frombuffer(b, dtype="<i8")
-    return np.asarray(b.decode("utf-8").split(_SEP), dtype=object)
+    n = int(np.frombuffer(b[:4], dtype="<i4")[0])
+    lens = np.frombuffer(b[4:4 + 4 * n], dtype="<i4")
+    offs = 4 + 4 * n + np.concatenate([[0], np.cumsum(lens)])
+    return np.asarray(
+        [b[offs[i]:offs[i + 1]].decode("utf-8") for i in range(n)],
+        dtype=object,
+    )
 
 
 def _bucket_table(
@@ -548,7 +562,6 @@ def duplicated_hit_rows(
         block_refs,
     )
 
-    schema = cells.schema().base_schema
     sort_parts = max(2 * num_partitions, 8)
     srt = cells.repartition(sort_parts).sort(key_col).materialize()
     # enumerate the block refs ONCE: the scal pass and the emit pass
@@ -556,7 +569,10 @@ def duplicated_hit_rows(
     # attach to the wrong blocks
     refs = block_refs(srt)
     if not refs:
-        return ray.data.from_arrow(schema.empty_table())
+        # schema probe of the lazy input only on this cheap empty path
+        # (probing before the sort would pay a limit-1 execution on
+        # every call)
+        return ray.data.from_arrow(cells.schema().base_schema.empty_table())
 
     def scal(t: pa.Table):
         k = t[key_col].to_numpy(zero_copy_only=False)
@@ -723,12 +739,9 @@ def candidate_pairs(
         # Blocks are fetched with ONE parallel ray.get over the refs —
         # a serial iter_batches pull over the ~hundreds of small emit
         # blocks measured ~5 s where the lexsort itself is ~1 s.
-        refs = [
-            r
-            for bundle in pairs.iter_internal_ref_bundles()
-            for r, m in bundle.blocks
-            if m.num_rows is None or m.num_rows > 0
-        ]
+        from ordinarydumpdeduplicator_ray.stages.blockops import block_refs
+
+        refs = block_refs(pairs)
         tables = [
             pa.Table.from_batches([blk]) if isinstance(blk, pa.RecordBatch) else blk
             for blk in ray.get(refs)

@@ -163,6 +163,10 @@ def representative_signatures(
     shuffle. Join fallback past ``_REP_BROADCAST_CAP``."""
     import ray as _ray
 
+    # pin once: the cap count and the chosen route's consumption would
+    # otherwise each run the lazy index lineage (exact_group_index
+    # returns a lazy union)
+    index = index.materialize()
     if index.count() > _REP_BROADCAST_CAP:
         from ordinarydumpdeduplicator_ray.stages.join import inner_join
 

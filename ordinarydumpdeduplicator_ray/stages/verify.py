@@ -57,9 +57,7 @@ _EDGE_SCHEMA = pa.schema(
 )
 
 # distinct pair-participating uids above which the packed signature
-# lookup no longer broadcasts (2M uids ~= 2 GiB of minhash matrix in
-# plasma, read zero-copy once per node) and verification falls back to
-# the two shuffle joins.
+# lookup no longer broadcasts:
 # 4M uids x (128 x 8 B minhash + url + scalars) ~ 4.5 GiB packed lookup —
 # one plasma copy per node, read zero-copy by every task; above it the
 # two-join attach takes over (driver/packing memory, not correctness)
@@ -574,18 +572,25 @@ class _ShingleRecheck:
         self._cache_cap = 200_000
 
     def _shingles(self, text: str | None, cache: dict) -> np.ndarray | None:
+        import hashlib
+
         from ordinarydumpdeduplicator_ray.functions.hashing import shingle_hashes
         from ordinarydumpdeduplicator_ray.functions.text import tokenize
 
         if text is None:
             return None
-        s = cache.get(text)
+        # key by a 16-byte digest, not the text itself: the entry-count
+        # cap alone leaves the cache byte-UNBOUNDED with 10-100 KB web
+        # texts as keys (GBs per worker at the cap); the digest keeps
+        # the dedup benefit at ~24 B/key
+        key = hashlib.blake2b(text.encode(), digest_size=16).digest()
+        s = cache.get(key)
         if s is None:
             toks = tokenize(text, self.config.lowercase)
             s = shingle_hashes(self.hasher.hash_tokens(toks), self.config.shingle_size) \
                 if toks else np.empty(0, dtype=np.uint64)
             if len(cache) < self._cache_cap:
-                cache[text] = s
+                cache[key] = s
         return s
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -643,6 +648,9 @@ def exact_jaccard_recheck(
     attach via two hash joins against the (fully re-extracted) pages
     and ``_ShingleRecheck`` shingles per worker with a cross-batch
     cache instead."""
+    # pin once: the route-switch count and the chosen route's
+    # consumption would otherwise each run the lazy pending lineage
+    pending = pending.materialize()
     if pending.count() <= _BROADCAST_PENDING_CAP:
         return _recheck_broadcast(pending, pages, config)
     return _recheck_join(pending, pages, config, num_partitions)

@@ -146,11 +146,17 @@ def _scan_shards(pages_path: str) -> list[tuple[str, str]]:
     return out
 
 
-def _shard_key(rel: str, path: str, config_hash: str) -> str:
+def _shard_key(rel: str, path: str, config_hash: str,
+               keep_text: bool = False) -> str:
+    """keep_text is part of the identity: it changes the shard OUTPUT
+    schema (signatures with/without the text column) while living
+    outside DedupConfig, so omitting it would let a resume silently
+    reuse shards of the wrong shape."""
     import hashlib
 
     st = os.stat(path)
-    payload = f"{rel}:{st.st_size}:{st.st_mtime_ns}:{config_hash}"
+    payload = (f"{rel}:{st.st_size}:{st.st_mtime_ns}:{config_hash}"
+               f":text={int(keep_text)}")
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -229,7 +235,9 @@ def write_scan_sharded(
 
     shards = _scan_shards(pages_path)
     plan = [
-        (src, os.path.join(data_dir, f"shard-{_shard_key(rel, src, config_hash)}"))
+        (src, os.path.join(
+            data_dir,
+            f"shard-{_shard_key(rel, src, config_hash, keep_text)}"))
         for src, rel in shards
     ]
     missing = [(s, d) for s, d in plan if not os.path.isdir(d)]
