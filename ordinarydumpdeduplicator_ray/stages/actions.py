@@ -44,13 +44,23 @@ def plan_deletion(
     ``isolate`` (missing, kept, or canonical) raises ValueError
     (DuplicatesProcessor.cs:192-212 throws on non-isolated input).
     """
-    req = delete_urls.map_batches(
-        lambda t: pa.table({"url": t["url"], "requested": pa.array([True] * len(t))}),
-        batch_format="pyarrow",
-    )
-    joined = left_outer_join(actions, req, on=("url",), num_partitions=num_partitions)
+    # distinct request urls: a duplicated url in the request would
+    # otherwise multiply its action row through the left join (and let
+    # the count guard below pass on mismatched multiplicity)
+    from ray.data.aggregate import Count
 
-    n_requested = delete_urls.count()
+    req = delete_urls.groupby("url").aggregate(
+        Count(alias_name="_c")
+    ).map_batches(
+        lambda t: pa.table({"url": t["url"],
+                            "requested": pa.array([True] * len(t))}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_requested = req.count()
+    # pin: the guard count and the returned lineage both consume it
+    joined = left_outer_join(
+        actions, req, on=("url",), num_partitions=num_partitions
+    ).materialize()
 
     def requested_isolated(t: pa.Table) -> pa.Table:
         mask = pc.and_kleene(

@@ -107,6 +107,12 @@ def embedding_near_dup_pairs(
     cfg = config or DedupConfig()
     import functools
 
+    if nbits % band_bits:
+        raise ValueError(
+            f"embedding_near_dup_pairs: nbits ({nbits}) must be divisible "
+            f"by band_bits ({band_bits}) — trailing hyperplane bits would "
+            "silently drop from every band key"
+        )
     # consumed twice (band coding + re-rank vector fetch) — pin the
     # input lineage so an expensive upstream (read/synthesis) runs once
     embeddings = embeddings.materialize()
@@ -114,34 +120,67 @@ def embedding_near_dup_pairs(
         functools.partial(_band_codes, nbits=nbits, band_bits=band_bits, seed=seed),
         batch_format="pyarrow",
         batch_size=4096,
+        concurrency=concurrency,
     )
     pairs = candidate_pairs(
         bucket_rows, cfg, num_partitions, member_field=("vec_id", pa.int64())
     ).materialize()
 
-    pair_ids = _collect_pair_ids(pairs, _BROADCAST_ID_CAP)
+    # the broadcast cap is a BYTE budget: id count alone ignores the
+    # embedding dim (2M ids x 768 dims ~= 12 GiB — the case the old
+    # fixed id cap let through)
+    sample = embeddings.take_batch(1, batch_format="pyarrow")
+    dim = len(sample["embedding"][0]) if len(sample) else 1
+    id_cap = min(_BROADCAST_ID_CAP,
+                 max(1, _BROADCAST_BYTE_BUDGET // (max(dim, 1) * 8)))
+    pair_ids = _collect_pair_ids(pairs, id_cap)
     if pair_ids is not None:
         return _rerank_broadcast(pairs, embeddings, pair_ids, threshold)
     return _rerank_join(pairs, embeddings, threshold, num_partitions)
 
 
 # distinct pair ids above which the normalized-vector lookup no longer
-# broadcasts (2M ids x 768 dims ~= 12 GiB would be too chunky; at 128
-# dims it is ~2 GiB) and re-ranking falls back to the shuffle joins
+# broadcasts and re-ranking falls back to the shuffle joins; the
+# effective cap also honors a byte budget scaled by the embedding dim
+# (the matrix is dim x 8 B per id)
 _BROADCAST_ID_CAP = 2_000_000
+_BROADCAST_BYTE_BUDGET = 2 << 30  # ~2 GiB of normalized vectors
 
 
 def _collect_pair_ids(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
+    """Distinct pair-participating ids, or None once they exceed
+    ``cap``. Per-block uniques run as raw tasks over the materialized
+    pair blocks (workers do the unique — raw id columns never stream to
+    the driver), fetched ONE block at a time with an early bail, so
+    driver memory is bounded by ~cap + one block's distinct ids even
+    when the pair table is huge (the regime the join fallback serves)."""
     import pyarrow.compute as pc
 
-    chunks: list[pa.Array] = []
-    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        chunks.append(b["vec_id_a"].combine_chunks())
-        chunks.append(b["vec_id_b"].combine_chunks())
-    if not chunks:
+    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
+
+    refs = block_refs(pairs)
+    if not refs:
         return pa.array([], type=pa.int64())
-    uniq = pc.unique(pa.chunked_array(chunks))
-    return None if len(uniq) > cap else uniq
+
+    def block_uniq(t: pa.Table) -> pa.Array:
+        both = pa.chunked_array(
+            [t["vec_id_a"].combine_chunks(), t["vec_id_b"].combine_chunks()]
+        )
+        return pc.unique(both)
+
+    task = ray.remote(lambda blk: block_uniq(_as_table(blk)))
+    out_refs = [task.remote(r) for r in refs]
+    uniq = pa.array([], type=pa.int64())
+    for r in out_refs:
+        part = ray.get(r)
+        if len(part) == 0:
+            continue
+        merged = pc.unique(pa.chunked_array([uniq, part]))
+        uniq = merged.combine_chunks() if isinstance(merged, pa.ChunkedArray) \
+            else merged
+        if len(uniq) > cap:
+            return None
+    return uniq
 
 
 def _rerank_broadcast(

@@ -46,7 +46,14 @@ def _url_sha(pages: ray.data.Dataset, side: str) -> ray.data.Dataset:
             for s in e["text_sha256"].to_pylist()
         ]
         return pa.table(
-            {"url": e["url"], f"sha_{side}": pa.array(shas, type=pa.string())}
+            {
+                "url": e["url"],
+                f"sha_{side}": pa.array(shas, type=pa.string()),
+                # presence marker: a BROKEN row (null sha) is still
+                # PRESENT — classification must not read absence off
+                # the sha's nullness after the outer join
+                f"present_{side}": pa.array([True] * len(e), type=pa.bool_()),
+            }
         )
 
     return pages.map_batches(project, batch_format="pyarrow")
@@ -60,28 +67,37 @@ def snapshot_diff(
     """(current pages, previous pages) -> (url, change_status, sha_prev,
     sha_cur) with change_status in {new, unchanged, modified, removed}.
 
-    Full-outer join on url over (url, sha) projections: a url only in
-    current is ``new``, only in previous is ``removed``, in both with
-    equal shas ``unchanged`` else ``modified``
-    (``Common/FileStatus.cs:5-14`` transition semantics)."""
+    Full-outer join on url over (url, sha, present) projections: a url
+    only in current is ``new``, only in previous is ``removed``, in
+    both with equal shas ``unchanged`` else ``modified``
+    (``Common/FileStatus.cs:5-14`` transition semantics). Presence is
+    read off the explicit marker, NOT the sha's nullness — a BROKEN
+    page (null sha) present in both snapshots is ``unchanged``
+    (broken-vs-ok is ``modified``), matching ``file_state_chain``'s
+    null-safe comparison."""
     cur = _url_sha(current, "cur").materialize()
     prev = _url_sha(previous, "prev").materialize()
 
     schema = pa.schema(
-        [("url", pa.string()), ("sha_cur", pa.string()), ("sha_prev", pa.string())]
+        [("url", pa.string()),
+         ("sha_cur", pa.string()), ("present_cur", pa.bool_()),
+         ("sha_prev", pa.string()), ("present_prev", pa.bool_())]
     )
     if cur.count() == 0 and prev.count() == 0:
         joined = ray.data.from_arrow(schema.empty_table())
     elif prev.count() == 0:
-        joined = cur.map_batches(
-            lambda t: t.append_column("sha_prev", pa.nulls(len(t), pa.string())),
-            batch_format="pyarrow",
-        )
+        def pad_prev(t: pa.Table) -> pa.Table:
+            t = t.append_column("sha_prev", pa.nulls(len(t), pa.string()))
+            return t.append_column("present_prev", pa.nulls(len(t), pa.bool_()))
+
+        joined = cur.map_batches(pad_prev, batch_format="pyarrow")
     elif cur.count() == 0:
         joined = prev.map_batches(
             lambda t: pa.table({"url": t["url"],
                                 "sha_cur": pa.nulls(len(t), pa.string()),
-                                "sha_prev": t["sha_prev"]}),
+                                "present_cur": pa.nulls(len(t), pa.bool_()),
+                                "sha_prev": t["sha_prev"],
+                                "present_prev": t["present_prev"]}),
             batch_format="pyarrow",
         )
     else:
@@ -93,9 +109,13 @@ def snapshot_diff(
         )
 
     def classify(t: pa.Table) -> pa.Table:
-        has_cur = pc.is_valid(t["sha_cur"])
-        has_prev = pc.is_valid(t["sha_prev"])
-        same = pc.fill_null(pc.equal(t["sha_cur"], t["sha_prev"]), False)
+        has_cur = pc.fill_null(t["present_cur"], False)
+        has_prev = pc.fill_null(t["present_prev"], False)
+        # null-safe sha equality: both-broken (null == null) is SAME
+        same = pc.or_(
+            pc.fill_null(pc.equal(t["sha_cur"], t["sha_prev"]), False),
+            pc.and_(pc.is_null(t["sha_cur"]), pc.is_null(t["sha_prev"])),
+        )
         status = pc.if_else(
             pc.and_(has_cur, pc.invert(has_prev)), pa.scalar(STATUS_NEW),
             pc.if_else(

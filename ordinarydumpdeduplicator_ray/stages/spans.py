@@ -133,8 +133,12 @@ class SpanActor:
 # above this many DISTINCT pair urls the text attach falls back to the
 # two hash-shuffle joins; below it the corpus is streamed ONCE through
 # a broadcast membership filter and the (small) pair-member text table
-# is broadcast-joined onto the pairs — zero corpus shuffles
+# is broadcast-joined onto the pairs — zero corpus shuffles. The url
+# count alone does not bound the BYTES broadcast (texts are
+# unbounded-width), so the member-text table's measured size gates the
+# final route too.
 _SPAN_ATTACH_URL_CAP = 2_000_000
+_SPAN_ATTACH_BYTE_CAP = 2 << 30  # ~2 GiB of member texts
 
 
 def _pair_urls(pairs: ray.data.Dataset) -> pa.Array:
@@ -196,7 +200,9 @@ def compute_spans(
 
     pairs = pairs.materialize()
     urls = _pair_urls(pairs)
-    if len(urls) <= _SPAN_ATTACH_URL_CAP:
+    use_broadcast = len(urls) <= _SPAN_ATTACH_URL_CAP
+    texts_src = texts
+    if use_broadcast:
         from ordinarydumpdeduplicator_ray.stages.verify import _get_broadcast
 
         url_ref = ray.put(urls)
@@ -209,6 +215,14 @@ def compute_spans(
         pair_texts = texts.map_batches(
             member_texts, batch_format="pyarrow"
         ).materialize()
+        # byte gate: the url COUNT does not bound the broadcast BYTES
+        # (member texts are unbounded-width); above the budget the
+        # pre-filtered member table still feeds the join route — a
+        # strictly smaller join side than the whole corpus
+        if (pair_texts.size_bytes() or 0) > _SPAN_ATTACH_BYTE_CAP:
+            use_broadcast = False
+            texts_src = pair_texts
+    if use_broadcast:
         with_a = broadcast_inner_join(
             pairs,
             pair_texts.map_batches(proj("a"), batch_format="pyarrow"),
@@ -221,12 +235,12 @@ def compute_spans(
         )
     else:
         with_a = inner_join(
-            pairs, texts.map_batches(proj("a"), batch_format="pyarrow"),
+            pairs, texts_src.map_batches(proj("a"), batch_format="pyarrow"),
             on=("url_a",), num_partitions=num_partitions,
             empty_schema=schema_a,
         )
         with_ab = inner_join(
-            with_a, texts.map_batches(proj("b"), batch_format="pyarrow"),
+            with_a, texts_src.map_batches(proj("b"), batch_format="pyarrow"),
             on=("url_b",), num_partitions=num_partitions,
             empty_schema=schema_ab,
         )

@@ -569,3 +569,79 @@ class TestCorpusSplit:
         c = Counter(got.values())
         assert set(c) == {"train", "val", "test"}
         assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_snapshot_diff_broken_rows_presence_semantics(ray_session):
+    """A BROKEN page (text & html null -> null sha) present in both
+    snapshots must classify by PRESENCE, not by sha nullness:
+    broken-in-both = unchanged, broken-vs-ok = modified, and a broken
+    page that truly disappears = removed (the pre-fix code reported
+    every broken current row as 'removed')."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.snapshot import snapshot_diff
+
+    def pages(rows):
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([u for u, _ in rows], type=pa.string()),
+            "html": pa.nulls(len(rows), type=pa.binary()),
+            "text": pa.array([t for _, t in rows], type=pa.string()),
+        }))
+
+    prev = pages([
+        ("u-both-broken", None),
+        ("u-breaks", "was fine"),
+        ("u-heals", None),
+        ("u-gone-broken", None),
+        ("u-stays", "same text"),
+    ])
+    cur = pages([
+        ("u-both-broken", None),
+        ("u-breaks", None),
+        ("u-heals", "now fine"),
+        ("u-new-broken", None),
+        ("u-stays", "same text"),
+    ])
+    got = {
+        r["url"]: r["change_status"]
+        for r in snapshot_diff(cur, prev, num_partitions=4).take_all()
+    }
+    assert got == {
+        "u-both-broken": "unchanged",
+        "u-breaks": "modified",
+        "u-heals": "modified",
+        "u-gone-broken": "removed",
+        "u-new-broken": "new",
+        "u-stays": "unchanged",
+    }
+
+
+def test_plan_deletion_duplicate_request_rejected_or_deduped(ray_session):
+    """A delete request listing the same url twice must neither defeat
+    the isolation guard nor duplicate the url's action row."""
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.stages.actions import plan_deletion
+
+    actions = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a", "b", "c"], type=pa.string()),
+        "action": pa.array(["keep", "isolate", "isolate"], type=pa.string()),
+        "group_key": pa.array(["a", "a", "a"], type=pa.string()),
+    }))
+    req = ray.data.from_arrow(pa.table({
+        "url": pa.array(["b", "b"], type=pa.string()),
+    }))
+    out = sorted(
+        (r["url"], r["action"])
+        for r in plan_deletion(actions, req, num_partitions=4).take_all()
+    )
+    assert out == [("a", "keep"), ("b", "delete"), ("c", "isolate")]
+
+    # duplicated NON-isolated url must still trip the guard
+    bad = ray.data.from_arrow(pa.table({
+        "url": pa.array(["a", "a"], type=pa.string()),
+    }))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not currently isolated"):
+        plan_deletion(actions, bad, num_partitions=4)
