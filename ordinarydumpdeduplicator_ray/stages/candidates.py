@@ -770,9 +770,12 @@ def candidate_pairs(
     # duplicates with an exact comparison — a hash collision between
     # different pairs cannot merge them. (A groupby aggregate here pays
     # per-group Python overhead for ~one group per pair — orders of
-    # magnitude slower.) A pair whose copies straddle a block border can
-    # survive once per border — at most one duplicate row per sorted
-    # block, harmless downstream (identical edges).
+    # magnitude slower.) A pair run straddling a block border is closed
+    # EXACTLY: each block also drops its leading rows when they equal
+    # the previous block's last row (O(blocks) scalars to the driver,
+    # the usual border pattern) — duplicate-free output matters to
+    # consumers that EMIT per pair row (span extraction, cos re-rank),
+    # not just to idempotent edge unions.
     import pandas.util as pdu
 
     def add_pair_key(t: pa.Table) -> pa.Table:
@@ -786,17 +789,46 @@ def candidate_pairs(
             pk = (ha * _GOLD) ^ hb
         return t.append_column("pk", pa.array(pk.view(np.int64), type=pa.int64()))
 
-    def local_unique(t: pa.Table) -> pa.Table:
-        if len(t) < 2:
+    def local_unique(t: pa.Table, drop_leading=None) -> pa.Table:
+        if len(t) == 0:
             return t.drop_columns(["pk"])
         a = _member_np(t[a_col], is_int)
         b = _member_np(t[b_col], is_int)
-        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        keep = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        ) if len(t) > 1 else np.ones(1, dtype=bool)
+        if drop_leading is not None and a[0] == drop_leading[0] \
+                and b[0] == drop_leading[1]:
+            keep[0] = False
         return t.filter(pa.array(keep)).drop_columns(["pk"])
 
-    return (
+    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
+
+    srt = (
         pairs.repartition(sort_parts)
         .map_batches(add_pair_key, batch_format="pyarrow")
         .sort("pk")
-        .map_batches(local_unique, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
+    refs = block_refs(srt)
+    if not refs:
+        return ray.data.from_arrow(_pairs_schema(member, mtype).empty_table())
+
+    def ends(t: pa.Table):
+        a = _member_np(t[a_col], is_int)
+        b = _member_np(t[b_col], is_int)
+        return (a[0], b[0], a[-1], b[-1])
+
+    ends_task = ray.remote(lambda blk: ends(_as_table(blk)))
+    bounds = ray.get([ends_task.remote(r) for r in refs])
+    emit_task = ray.remote(
+        lambda blk, dl: local_unique(_as_table(blk), drop_leading=dl)
+    )
+    out_refs = []
+    for k, r in enumerate(refs):
+        dl = None
+        if k > 0:
+            pa_, pb_ = bounds[k - 1][2], bounds[k - 1][3]
+            dl = (pa_, pb_)
+        out_refs.append(emit_task.remote(r, dl))
+    return ray.data.from_arrow_refs(out_refs)

@@ -623,3 +623,43 @@ def test_ngram_jaccard_components_brute_force(ray_session, tmp_path):
     expect = sorted((d, find(d)) for d in sorted(edge_docs))
     assert got == expect
     assert len({c for _, c in got}) >= 2  # both planted clusters present
+
+
+def test_candidate_pairs_exactly_distinct_string_members(ray_session):
+    """String-member pairs take the distributed pk-sort dedup path;
+    a pair emitted by MANY bands must come out exactly once even when
+    its copies straddle sorted-block borders (multiplicity check, not
+    just set equality — the pre-fix seam left one duplicate per
+    border)."""
+    import collections
+
+    import ray.data
+    from ordinarydumpdeduplicator_ray.config import DedupConfig
+    from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
+
+    # 40 urls, every url pair sharing 30 buckets -> each pair emitted
+    # 30x before dedup; many partitions -> many narrow sorted blocks
+    urls = [f"u{i:03d}" for i in range(40)]
+    rows_b, rows_u = [], []
+    for b in range(30):
+        for u in urls[: 2 + (b % 17)]:  # varying bucket membership
+            rows_b.append(b)
+            rows_u.append(u)
+    buckets = ray.data.from_arrow(pa.table({
+        "bucket": pa.array(rows_b, type=pa.int64()),
+        "url": pa.array(rows_u, type=pa.string()),
+    })).repartition(23)
+    out = candidate_pairs(
+        buckets.materialize(), DedupConfig(), num_partitions=8
+    ).take_all()
+    counts = collections.Counter((r["url_a"], r["url_b"]) for r in out)
+    dupes = {k: c for k, c in counts.items() if c > 1}
+    assert not dupes, dupes
+    # sanity: the expected pair set is present
+    expect = set()
+    for b in range(30):
+        mem = urls[: 2 + (b % 17)]
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                expect.add((min(mem[i], mem[j]), max(mem[i], mem[j])))
+    assert set(counts) == expect
