@@ -352,6 +352,20 @@ def average_hash(px: np.ndarray, hash_size: int = 8) -> int:
         + pad[ys[:-1, None], xs[None, :-1]]
     )
     cnt = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
-    blocks = sums / cnt
+    # images narrower than hash_size produce zero-pixel grid cells
+    # (repeated boundaries): give them their row/col neighbor's mean by
+    # clamping the divisor and carrying the last non-empty sum — else
+    # every sub-8px image (tracking pixels, spacers) divides by zero
+    # and hashes to 0 regardless of content, falsely clustering them
+    empty = cnt == 0
+    blocks = sums / np.maximum(cnt, 1)
+    if empty.any():
+        # propagate down-right: an empty cell shares its predecessor's
+        # value (deterministic, keeps tiny images content-dependent)
+        for i in range(blocks.shape[0]):
+            for j in range(blocks.shape[1]):
+                if empty[i, j]:
+                    blocks[i, j] = blocks[i, j - 1] if j else \
+                        (blocks[i - 1, j] if i else blocks[0, 0])
     bits = (blocks > blocks.mean()).ravel()
     return int.from_bytes(np.packbits(bits).tobytes(), "big")

@@ -42,11 +42,21 @@ def _decode_binary_csv(t: pa.Table, binary_cols: tuple[str, ...]) -> pa.Table:
     for c in binary_cols:
         if c not in t.column_names:
             continue
-        vals = [
-            base64.b64decode(v[len(_B64_PREFIX):])
-            if isinstance(v, str) and v.startswith(_B64_PREFIX) else None
-            for v in t[c].to_pylist()
-        ]
+        vals = []
+        for v in t[c].to_pylist():
+            if v is None or v == "":
+                vals.append(None)
+            elif isinstance(v, str) and v.startswith(_B64_PREFIX):
+                vals.append(base64.b64decode(v[len(_B64_PREFIX):]))
+            else:
+                # loud, not silent: an externally produced CSV whose
+                # binary column isn't in this round-trip encoding would
+                # otherwise null every value with no warning
+                raise ValueError(
+                    f"csv column {c!r} value lacks the {_B64_PREFIX!r} "
+                    "binary encoding prefix; this reader only consumes "
+                    "CSVs written by write_pages_csv"
+                )
         t = t.set_column(
             t.column_names.index(c), c, pa.array(vals, type=pa.binary())
         )

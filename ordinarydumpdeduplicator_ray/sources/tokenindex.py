@@ -91,7 +91,9 @@ def build_token_index(
     buckets: int = DEFAULT_BUCKETS,
 ) -> str:
     """Stream ``docs`` into a fresh bucket-partitioned index at
-    ``out_dir`` (atomic rename)."""
+    ``out_dir`` (atomic rename; an index already present is REPLACED —
+    renamed aside then removed, so readers never see a half-built
+    directory and a rebuild never silently keeps the stale index)."""
     tmp = out_dir + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
     docs.map_batches(
@@ -100,8 +102,18 @@ def build_token_index(
     ).write_parquet(tmp, partition_cols=["bucket"])
     try:
         os.rename(tmp, out_dir)
-    except OSError:  # concurrent builder won the rename
-        shutil.rmtree(tmp, ignore_errors=True)
+    except OSError:
+        # out_dir already exists: replace it (rename aside -> swap in
+        # -> drop the old). The pre-fix branch assumed "concurrent
+        # builder won" and DISCARDED the fresh build, silently serving
+        # the stale index after every rebuild.
+        old = out_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(out_dir, old)
+            os.rename(tmp, out_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        except OSError:  # genuine concurrent-builder race
+            shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
 
 
@@ -123,6 +135,10 @@ def append_token_index(
         batch_format="pyarrow",
     ).materialize()
     n_rows = delta.count()
+    if n_rows == 0:
+        # nothing to append: write_parquet creates no scratch dir for
+        # an empty delta, so listing it would crash the ingest
+        return 0
     delta.write_parquet(scratch, partition_cols=["bucket"])
     for bdir in sorted(os.listdir(scratch)):
         src_b = os.path.join(scratch, bdir)

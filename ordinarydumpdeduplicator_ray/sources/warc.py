@@ -38,12 +38,23 @@ class BadWarcRecord(ValueError):
 
 
 def _parse_warc_ts(s: str) -> int | None:
-    """WARC-Date -> epoch microseconds (None if unparseable)."""
+    """WARC-Date -> epoch microseconds (None if unparseable). WARC 1.1
+    permits fractional seconds ('...T12:00:00.123Z') — accepted and
+    carried at microsecond precision."""
     import calendar
     import time as _time
 
+    s = s.strip()
+    frac_us = 0
+    if "." in s and s.endswith("Z"):
+        base, frac = s[:-1].split(".", 1)
+        if frac.isdigit():
+            frac_us = int((frac + "000000")[:6])
+            s = base + "Z"
     try:
-        return calendar.timegm(_time.strptime(s.strip(), _WARC_TS_FMT)) * 1_000_000
+        return calendar.timegm(
+            _time.strptime(s, _WARC_TS_FMT)
+        ) * 1_000_000 + frac_us
     except ValueError:
         return None
 

@@ -614,6 +614,44 @@ def duplicated_hit_rows(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def collect_pair_ids(
+    pairs: ray.data.Dataset, cap: int,
+    a_col: str = "uid_a", b_col: str = "uid_b",
+) -> pa.Array | None:
+    """Distinct pair-participating int64 ids, or None once they exceed
+    ``cap``. Per-block uniques run as raw tasks over the materialized
+    pair blocks (workers do the unique — raw id columns never stream to
+    the driver), fetched ONE block at a time with an early bail, so
+    driver memory is bounded by ~cap + one block's distinct ids even
+    when the pair table is huge (the regime a join fallback serves).
+    Shared by the embedding re-rank and winnow verify cap checks."""
+    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
+
+    refs = block_refs(pairs)
+    if not refs:
+        return pa.array([], type=pa.int64())
+
+    def block_uniq(t: pa.Table) -> pa.Array:
+        both = pa.chunked_array(
+            [t[a_col].combine_chunks(), t[b_col].combine_chunks()]
+        )
+        return pc.unique(both)
+
+    task = ray.remote(lambda blk: block_uniq(_as_table(blk)))
+    out_refs = [task.remote(r) for r in refs]
+    uniq = pa.array([], type=pa.int64())
+    for r in out_refs:
+        part = ray.get(r)
+        if len(part) == 0:
+            continue
+        merged = pc.unique(pa.chunked_array([uniq, part]))
+        uniq = merged.combine_chunks() if isinstance(merged, pa.ChunkedArray) \
+            else merged
+        if len(uniq) > cap:
+            return None
+    return uniq
+
+
 def _prefilter_singleton_buckets(
     buckets: ray.data.Dataset, num_partitions: int, member: str, mtype: pa.DataType
 ) -> ray.data.Dataset:

@@ -148,39 +148,11 @@ _BROADCAST_BYTE_BUDGET = 2 << 30  # ~2 GiB of normalized vectors
 
 
 def _collect_pair_ids(pairs: ray.data.Dataset, cap: int) -> pa.Array | None:
-    """Distinct pair-participating ids, or None once they exceed
-    ``cap``. Per-block uniques run as raw tasks over the materialized
-    pair blocks (workers do the unique — raw id columns never stream to
-    the driver), fetched ONE block at a time with an early bail, so
-    driver memory is bounded by ~cap + one block's distinct ids even
-    when the pair table is huge (the regime the join fallback serves)."""
-    import pyarrow.compute as pc
+    """Distinct pair ids or None above ``cap`` — the shared per-block
+    early-bail collector (stages/candidates.collect_pair_ids)."""
+    from ordinarydumpdeduplicator_ray.stages.candidates import collect_pair_ids
 
-    from ordinarydumpdeduplicator_ray.stages.blockops import _as_table, block_refs
-
-    refs = block_refs(pairs)
-    if not refs:
-        return pa.array([], type=pa.int64())
-
-    def block_uniq(t: pa.Table) -> pa.Array:
-        both = pa.chunked_array(
-            [t["vec_id_a"].combine_chunks(), t["vec_id_b"].combine_chunks()]
-        )
-        return pc.unique(both)
-
-    task = ray.remote(lambda blk: block_uniq(_as_table(blk)))
-    out_refs = [task.remote(r) for r in refs]
-    uniq = pa.array([], type=pa.int64())
-    for r in out_refs:
-        part = ray.get(r)
-        if len(part) == 0:
-            continue
-        merged = pc.unique(pa.chunked_array([uniq, part]))
-        uniq = merged.combine_chunks() if isinstance(merged, pa.ChunkedArray) \
-            else merged
-        if len(uniq) > cap:
-            return None
-    return uniq
+    return collect_pair_ids(pairs, cap, a_col="vec_id_a", b_col="vec_id_b")
 
 
 def _rerank_broadcast(

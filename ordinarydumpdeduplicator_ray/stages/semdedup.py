@@ -169,15 +169,23 @@ def _greedy_cluster_dedup_anchored(
     kept = np.ones(n, dtype=bool)
     dup_of = np.full(n, -1, dtype=np.int64)
     dup_prior = np.zeros(n, dtype=bool)
-    # anchor pass: one GEMM for every new row at once
+    # anchor pass: GEMM in row chunks sized so the similarity matrix
+    # stays ~_PAIRWISE_CAP^2 elements — the unchunked (n_new x
+    # n_anchor) product is unbounded on a big cluster (the same hazard
+    # _greedy_cluster_dedup's cap guards); rows are independent, so
+    # chunking changes nothing
     if len(a_ids) and n:
-        sims = np.round(n_mat @ a_mat.T, 6)
-        sims[:, a_zero] = -2.0
-        best = np.argmax(sims, axis=1)
-        hit = (sims[np.arange(n), best] >= threshold) & ~n_zero
-        kept[hit] = False
-        dup_of[hit] = a_ids[best[hit]]
-        dup_prior[hit] = True
+        chunk = max(1, (_PAIRWISE_CAP * _PAIRWISE_CAP) // len(a_ids))
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sims = np.round(n_mat[s:e] @ a_mat.T, 6)
+            sims[:, a_zero] = -2.0
+            best = np.argmax(sims, axis=1)
+            hit = (sims[np.arange(e - s), best] >= threshold) & ~n_zero[s:e]
+            idx = np.arange(s, e)[hit]
+            kept[idx] = False
+            dup_of[idx] = a_ids[best[hit]]
+            dup_prior[idx] = True
     # greedy pass among surviving new rows
     kept_mat = np.empty_like(n_mat)
     kept_ids = np.empty(n, dtype=np.int64)
@@ -225,12 +233,15 @@ def semantic_dedup(
     per-row argmax cosine, and the within-cluster pass keeps the lowest
     id of every near-set.
     """
-    sample = pa.concat_tables(
+    batches = list(
         ds.limit(sample_rows).iter_batches(
             batch_size=sample_rows, batch_format="pyarrow"
         )
     )
-    if len(sample) == 0:
+    # an empty dataset yields ZERO batches — concat_tables(()) raises
+    # before any len check could run
+    sample = pa.concat_tables(batches) if batches else None
+    if sample is None or len(sample) == 0:
         return ray.data.from_arrow(pa.schema([
             (id_col, pa.int64()), ("cluster", pa.int32()),
             ("kept", pa.bool_()), ("dup_of", pa.int64()),

@@ -138,10 +138,41 @@ def _assemble_fp_lookup(sigs: ray.data.Dataset, wanted: pa.Array) -> dict:
     flat = np.concatenate([np.frombuffer(r["flat"], dtype=np.int64) for r in parts])
     urls = np.concatenate([np.asarray(r["urls"], dtype=object) for r in parts])
     if len(np.unique(uids)) != len(uids):
-        raise ValueError(
-            "uid collision in winnow fingerprint lookup — two urls share "
-            "a SipHash64; re-salt or fall back to the join path"
-        )
+        # duplicate uids: an exact re-crawl (same url, same fingerprint
+        # sequence) collapses silently; same url with DIFFERENT
+        # fingerprints (ambiguous corpus) or distinct urls sharing a
+        # SipHash64 (collision) raise with the actual cause
+        offs0 = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        seen: dict[int, tuple] = {}
+        keep_rows = []
+        for i in range(len(uids)):
+            key = int(uids[i])
+            payload = (urls[i], flat[offs0[i]:offs0[i + 1]].tobytes())
+            prev = seen.get(key)
+            if prev is None:
+                seen[key] = payload
+                keep_rows.append(i)
+            elif prev[0] != payload[0]:
+                raise ValueError(
+                    "uid collision in winnow fingerprint lookup — urls "
+                    f"{prev[0]!r} and {payload[0]!r} share a SipHash64; "
+                    "re-salt or fall back to the join path"
+                )
+            elif prev[1] != payload[1]:
+                raise ValueError(
+                    f"winnow: url {payload[0]!r} appears multiple times "
+                    "with DIFFERENT texts — deduplicate the corpus by url "
+                    "(e.g. latest_page_versions) before containment pairing"
+                )
+            # else: exact duplicate row — drop silently
+        if len(keep_rows) != len(uids):
+            keep_idx = np.asarray(keep_rows, dtype=np.int64)
+            flat = np.concatenate(
+                [flat[offs0[i]:offs0[i + 1]] for i in keep_rows]
+            ) if keep_rows else np.empty(0, dtype=np.int64)
+            uids = uids[keep_idx]
+            lens = lens[keep_idx]
+            urls = urls[keep_idx]
     order = np.argsort(uids)
     offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
     # reorder the ragged rows by sorted uid
@@ -168,7 +199,13 @@ def winnow_containment_pairs(
     concurrency: int | tuple = 4,
 ) -> ray.data.Dataset:
     """(url, text) corpus -> (url_a, url_b, n_shared, containment)
-    for every pair with containment >= threshold (url_a < url_b)."""
+    for every pair with containment >= threshold (url_a < url_b).
+
+    Input urls should be distinct per text: exact re-crawl rows (same
+    url, same text) collapse silently on the broadcast path; the same
+    url with DIFFERENT texts raises (ambiguous — scope the corpus with
+    latest_page_versions first). The >cap join fallback assumes
+    url-distinct input."""
     from ordinarydumpdeduplicator_ray.stages.candidates import candidate_pairs
 
     cfg = config or DedupConfig()
@@ -185,14 +222,16 @@ def winnow_containment_pairs(
         cfg, num_partitions, member_field=("uid", pa.int64()),
     ).materialize()
 
-    chunks = []
-    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        chunks.append(b["uid_a"].combine_chunks())
-        chunks.append(b["uid_b"].combine_chunks())
-    if not chunks:
+    from ordinarydumpdeduplicator_ray.stages.candidates import collect_pair_ids
+
+    # distinct pair uids via per-block worker-side uniques with an
+    # early bail at the cap — the raw uid columns never stream to the
+    # driver (they used to, gigabytes at the very scale the join
+    # fallback exists for)
+    wanted = collect_pair_ids(pairs, _BROADCAST_UID_CAP)
+    if wanted is not None and len(wanted) == 0:
         return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
-    wanted = pc.unique(pa.chunked_array(chunks))
-    if len(wanted) > _BROADCAST_UID_CAP:
+    if wanted is None:
         return _verify_join(pairs, sigs, threshold, num_partitions)
     lookup_ref = ray.put(_assemble_fp_lookup(sigs, wanted))
 

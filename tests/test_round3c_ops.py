@@ -1170,3 +1170,111 @@ def test_dup_graph_hubs_distributed_topk_parity(ray_session):
         pr._MAX_BROADCAST_NODES = orig
     assert got == want
     assert len(want) > 0
+
+
+def test_build_token_index_rebuild_replaces_stale(ray_session, tmp_path):
+    """Rebuilding over an existing index must serve the NEW corpus —
+    the pre-fix 'concurrent builder won' branch silently kept the
+    stale index on every rebuild."""
+    import ray.data
+    from ordinarydumpdeduplicator_ray.sources.tokenindex import (
+        build_token_index,
+        lookup_postings,
+    )
+
+    def docs(rows):
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([u for u, _ in rows], type=pa.string()),
+            "text": pa.array([t for _, t in rows], type=pa.string()),
+        }))
+
+    idx = str(tmp_path / "idx")
+    build_token_index(docs([("u1", "alpha beta")]), idx, key_col="url")
+    assert lookup_postings(idx, "alpha").count() == 1
+    build_token_index(docs([("u2", "gamma delta")]), idx, key_col="url")
+    assert lookup_postings(idx, "gamma").count() == 1
+    assert lookup_postings(idx, "alpha").count() == 0
+
+
+def test_append_token_index_empty_delta_noop(ray_session, tmp_path):
+    import ray.data
+    from ordinarydumpdeduplicator_ray.sources.tokenindex import (
+        append_token_index,
+        build_token_index,
+        lookup_postings,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_token_index(ray.data.from_arrow(pa.table({
+        "url": pa.array(["u1"], type=pa.string()),
+        "text": pa.array(["alpha"], type=pa.string()),
+    })), idx, key_col="url")
+    empty = ray.data.from_arrow(pa.table({
+        "url": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    assert append_token_index(idx, empty, key_col="url") == 0
+    assert lookup_postings(idx, "alpha").count() == 1
+
+
+def test_winnow_duplicate_url_rows(ray_session):
+    """Exact re-crawl rows (same url, same text) must collapse, not
+    crash with a bogus SipHash-collision error; same url with
+    DIFFERENT texts raises the ambiguity error."""
+    import ray.data
+    from ordinarydumpdeduplicator_ray.stages.winnowpairs import (
+        winnow_containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    tbl = pa.table({
+        "url": pa.array(["u1", "u1", "u2"], type=pa.string()),
+        "text": pa.array([base, base, base + " extra tail"], type=pa.string()),
+    })
+    out = winnow_containment_pairs(
+        ray.data.from_arrow(tbl), threshold=0.3, num_partitions=2,
+        concurrency=1,
+    ).take_all()
+    assert {(r["url_a"], r["url_b"]) for r in out} == {("u1", "u2")}
+    assert len(out) == 1  # the duplicate row did not double the pair
+
+    bad = pa.table({
+        "url": pa.array(["u1", "u1", "u2"], type=pa.string()),
+        "text": pa.array([base, "entirely different words here",
+                          base], type=pa.string()),
+    })
+    with pytest.raises(ValueError, match="DIFFERENT texts"):
+        winnow_containment_pairs(
+            ray.data.from_arrow(bad), threshold=0.3, num_partitions=2,
+            concurrency=1,
+        ).take_all()
+
+
+def test_semantic_dedup_empty_input(ray_session):
+    import ray.data
+    from ordinarydumpdeduplicator_ray.stages.semdedup import semantic_dedup
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    }))
+    assert semantic_dedup(empty).count() == 0
+
+
+def test_average_hash_tiny_images_content_dependent():
+    import numpy as np
+    from ordinarydumpdeduplicator_ray.functions.imagecodec import average_hash
+
+    rnd1 = (np.arange(48).reshape(4, 4, 3) * 17 % 256).astype(np.uint8)
+    rnd2 = (np.arange(48).reshape(4, 4, 3) * 31 % 256).astype(np.uint8)
+    assert average_hash(rnd1) != average_hash(rnd2)  # pre-fix: both 0
+    assert average_hash(rnd1) == average_hash(rnd1)
+
+
+def test_warc_ts_fractional_seconds():
+    from ordinarydumpdeduplicator_ray.sources.warc import _parse_warc_ts
+
+    assert _parse_warc_ts("2024-05-01T12:00:00Z") == 1714564800000000
+    assert _parse_warc_ts("2024-05-01T12:00:00.123Z") == 1714564800123000
+    assert _parse_warc_ts("2024-05-01T12:00:00.123456789Z") == 1714564800123456
+    assert _parse_warc_ts("not a date") is None
