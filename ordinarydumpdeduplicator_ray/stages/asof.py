@@ -104,7 +104,6 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     tie: tuple[str, str],
-    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Left as-of join: for every left row, attach the right row with
     the same ``by`` key and the greatest ``on`` value <= the left row's
@@ -280,10 +279,7 @@ def cap_rows_per_key(
     def process(t: pa.Table, carry: dict | None) -> pa.Table:
         keys_np = t[key].to_numpy(zero_copy_only=False)
         n = len(t)
-        # run bounds over arbitrary (string) keys
-        change = np.flatnonzero(keys_np[1:] != keys_np[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([starts[1:], [n]])
+        starts, ends = _run_bounds(keys_np)
         rank = np.arange(n) - np.repeat(starts, ends - starts)
         if carry is not None and carry["key"] == keys_np[0]:
             rank[: ends[0]] += carry["count"]
@@ -344,10 +340,7 @@ def budget_rows_per_key(
     def process(t: pa.Table, carry: dict | None) -> pa.Table:
         keys_np = t[key].to_numpy(zero_copy_only=False)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(t)
-        change = np.flatnonzero(keys_np[1:] != keys_np[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([starts[1:], [n]])
+        starts, ends = _run_bounds(keys_np)
         cum = np.cumsum(w)
         # inclusive running sum within each key run
         run_base = np.repeat(cum[starts] - w[starts], ends - starts)

@@ -118,7 +118,10 @@ def component_groups(
     label propagation."""
     comp_schema = components.schema()
     if comp_schema is not None and "n_bytes" in (comp_schema.names or []):
-        joined = components
+        # pin before the count: a lazy size-annotated components input
+        # would otherwise run its lineage for count() and AGAIN for the
+        # iter_batches below
+        joined = components.materialize()
         # the size-annotated components table comes from the driver
         # union-find (<= max_driver_edges) — it is small and already on
         # the driver's side of the fence. Ray's shuffle aggregate pays

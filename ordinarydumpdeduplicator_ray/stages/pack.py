@@ -27,11 +27,9 @@ import ray.data
 
 
 def _runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    n = len(keys)
-    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([starts[1:], [n]])
-    return starts, ends
+    from ordinarydumpdeduplicator_ray.stages.windows import _run_bounds
+
+    return _run_bounds(keys)
 
 
 def _join_runs(t: pa.Table, starts: np.ndarray, ends: np.ndarray,

@@ -26,6 +26,21 @@ import pyarrow as pa
 import ray.data
 
 
+def _disc_rank(q: float, n: int) -> int:
+    """1-based percentile_disc rank: the smallest k with k/n >= q,
+    COMPARED IN DOUBLES (SQL cume_dist semantics). Plain
+    ``ceil(q * n)`` is off by one whenever q*n picks up float error
+    (0.55 * 100 = 55.000000000000007 -> rank 56, while DuckDB's
+    cume_dist(55) = 0.55 >= 0.55 returns 55); nudging the ceil result
+    against the k/n >= q predicate reproduces the SQL result exactly."""
+    k = max(1, math.ceil(q * n))
+    while k > 1 and (k - 1) / n >= q:
+        k -= 1
+    while k < n and k / n < q:
+        k += 1
+    return k
+
+
 def exact_percentiles(
     ds: ray.data.Dataset, column: str, qs: list[float]
 ) -> dict[float, int | None]:
@@ -60,7 +75,7 @@ def exact_percentiles(
     out: dict[float, int | None] = {}
     fetched: dict[int, pa.Table] = {}
     for q in qs:
-        rank = max(1, math.ceil(q * n)) - 1  # 0-based global index
+        rank = _disc_rank(q, n) - 1  # 0-based global index
         bi = int(np.searchsorted(cum, rank, side="right") - 1)
         off = int(rank - cum[bi])
         blk = fetched.get(bi)
@@ -160,7 +175,7 @@ def grouped_exact_percentiles(
         rows[key].append(k)
         rows["n"].append(n_k)
         for q in qs:
-            rows[f"q{q}"].append(value_at(start + max(1, math.ceil(q * n_k)) - 1))
+            rows[f"q{q}"].append(value_at(start + _disc_rank(q, n_k) - 1))
         rows["max"].append(value_at(start + n_k - 1))
         start += n_k
 

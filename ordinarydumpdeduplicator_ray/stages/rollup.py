@@ -45,13 +45,19 @@ def explode_url_prefix_levels(urls: pa.ChunkedArray | pa.Array) -> tuple:
     # every '/' in the data buffer, assigned to its row
     slash = np.flatnonzero(buf[offs[0] : offs[-1]] == ord("/")) + offs[0]
     row_of = np.searchsorted(ends, slash, side="right")
-    # drop the two scheme slashes ('://') — the first two per row
+    # drop the two scheme slashes ('://') — the first two per row.
+    # A batch with NO slash at all (slash-free/malformed urls) must
+    # short-circuit: len(slash)-1 == -1 would otherwise index the empty
+    # row_of from the end and crash
     first_two = np.zeros(len(slash), dtype=bool)
-    seen_start = np.searchsorted(row_of, np.arange(n), side="left")
-    for k in (0, 1):
-        pos = seen_start + k
-        valid = (pos < len(slash)) & (row_of[np.minimum(pos, len(slash) - 1)] == np.arange(n))
-        first_two[pos[valid]] = True
+    if len(slash):
+        seen_start = np.searchsorted(row_of, np.arange(n), side="left")
+        for k in (0, 1):
+            pos = seen_start + k
+            valid = (pos < len(slash)) & (
+                row_of[np.minimum(pos, len(slash) - 1)] == np.arange(n)
+            )
+            first_two[pos[valid]] = True
     path_slash = slash[~first_two]
     path_row = row_of[~first_two]
     # cuts per emission: each path slash ends one prefix; the full url
@@ -74,6 +80,15 @@ def explode_url_prefix_levels(urls: pa.ChunkedArray | pa.Array) -> tuple:
     idx = (np.arange(int(out_ends[-1]) if len(out_ends) else 0, dtype=np.int64)
            - np.repeat(out_starts, lens) + np.repeat(abs_start, lens))
     data = buf[idx]
+    if len(out_ends) and int(out_ends[-1]) >= 2**31:
+        # int32 StringArray offsets would silently wrap: refuse loud.
+        # ~2 GiB of exploded prefixes in ONE block means the upstream
+        # block size is mis-tuned — repartition finer rather than emit
+        # corrupt offsets
+        raise ValueError(
+            "explode_url_prefix_levels: block explodes past 2 GiB of "
+            "prefix bytes; repartition the input into smaller blocks"
+        )
     new_offs = np.concatenate([[0], out_ends]).astype(np.int32)
     prefix = pa.StringArray.from_buffers(
         len(cut_rows), pa.py_buffer(new_offs.tobytes()), pa.py_buffer(data.tobytes())

@@ -25,7 +25,10 @@ import ray.data
 
 
 def _run_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Starts/ends of equal-key runs in a sorted int64 key array."""
+    """Starts/ends of equal-key runs in a sorted key array (any dtype
+    with != semantics — int64, string/object). The ONE run-bounds
+    kernel: pack.py and asof.py's scans call this rather than clone
+    it."""
     n = len(keys)
     starts = np.concatenate([[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1])
     ends = np.concatenate([starts[1:], [n]])

@@ -78,10 +78,18 @@ def build_ivf_index(
         })
 
     os.makedirs(out_dir, exist_ok=True)
+    vectors_dir = os.path.join(out_dir, "vectors")
+    if os.path.isdir(vectors_dir):
+        # rebuild: write_parquet APPENDS uniquely-named files into the
+        # cluster partitions, so a pre-existing layout must go first or
+        # searches silently read stale rows alongside the new build
+        import shutil as _shutil
+
+        _shutil.rmtree(vectors_dir)
     emb.map_batches(
         lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
     ).map_batches(attach, batch_format="pyarrow").write_parquet(
-        os.path.join(out_dir, "vectors"), partition_cols=["cluster"]
+        vectors_dir, partition_cols=["cluster"]
     )
     manifest = {
         "n_centroids": int(len(cents)),

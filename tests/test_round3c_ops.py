@@ -1278,3 +1278,65 @@ def test_warc_ts_fractional_seconds():
     assert _parse_warc_ts("2024-05-01T12:00:00.123Z") == 1714564800123000
     assert _parse_warc_ts("2024-05-01T12:00:00.123456789Z") == 1714564800123456
     assert _parse_warc_ts("not a date") is None
+
+
+def test_disc_rank_matches_duckdb_percentile_disc():
+    """The float-exactness fix: smallest k with k/n >= q compared in
+    doubles (cume_dist semantics) — ceil(q*n) alone returns rank 56 for
+    q=0.55, n=100 where SQL returns 55."""
+    import duckdb
+
+    from ordinarydumpdeduplicator_ray.stages.quantiles import _disc_rank
+
+    con = duckdb.connect()
+    for n in (10, 100, 997):
+        for q in (0.01, 0.07, 0.14, 0.28, 0.5, 0.55, 0.56, 0.75, 0.95, 1.0):
+            want = con.execute(
+                f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY x) "
+                f"FROM (SELECT unnest(range(1,{n+1})) x)"
+            ).fetchone()[0]
+            assert _disc_rank(q, n) == want, (q, n)
+
+
+def test_prefix_explode_slash_free_batch(ray_session):
+    """Urls with no '/' anywhere must not crash the prefix explode."""
+    from ordinarydumpdeduplicator_ray.stages.rollup import (
+        explode_url_prefix_levels,
+    )
+
+    rows, levels, prefixes = explode_url_prefix_levels(
+        pa.array(["mailto:x", "urn:y"], type=pa.string())
+    )
+    assert list(rows) == [0, 1]
+    assert list(levels) == [1, 1]
+    assert prefixes.to_pylist() == ["mailto:x", "urn:y"]
+
+
+def test_ivf_index_rebuild_no_stale_vectors(ray_session, tmp_path):
+    """Rebuilding an IVF index into the same dir must not leave the
+    previous build's partition files behind."""
+    import numpy as np
+    import ray.data
+
+    from ordinarydumpdeduplicator_ray.state.annindex import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    def emb(ids):
+        rng = np.random.default_rng(5)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, rng.standard_normal(8))) for _ in ids],
+                type=pa.list_(pa.float64()),
+            ),
+        }))
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb(list(range(50))), idx, n_centroids=4)
+    build_ivf_index(emb(list(range(100, 120))), idx, n_centroids=4)
+    rng = np.random.default_rng(5)
+    hits = search_ivf_index(idx, rng.standard_normal(8), k=20, nprobe=4)
+    got_ids = {r["vec_id"] for r in hits.to_pylist()}
+    assert got_ids and all(i >= 100 for i in got_ids), got_ids
